@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
+matching SQL from oracle_sql.json in DuckDB with the sfDir tables
+registered as views. Compares: schema (column names), row count, and
+values (columns sorted by name, rows sorted by all columns). Reports
+per-query PASS/FAIL with a diff preview and max numeric drift.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return repr(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = sorted(got.columns)
+            got_rows = con.sql(
+                f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            con.register("exp_rel", exp)
+            exp_rows = con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM exp_rel ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: schema spark={got_cols} oracle={exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows spark={len(got_rows)} oracle={len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        drift = 0.0
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            for j, (gv, ev) in enumerate(zip(g, e)):
+                if isinstance(gv, float) and isinstance(ev, float) and \
+                        not (math.isnan(gv) and math.isnan(ev)):
+                    drift = max(drift, abs(gv - ev))
+                if canon(gv) != canon(ev):
+                    if bad is None:
+                        bad = (i, got_cols[j], gv, ev)
+        if bad:
+            i, c, gv, ev = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={ev!r} (drift={drift:.3g})")
+            n_fail += 1
+        else:
+            extra = f" (max float drift {drift:.3g})" if drift > 0 else ""
+            print(f"PASS {name}: {len(got_rows)} rows{extra}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata table loaders (see /root/repo/TESTDATA.md).
+  *
+  * All queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read one
+  * parquet file per table. Reads are plain `spark.read.parquet`, so Catalyst
+  * predicate pushdown / column pruning apply to every downstream query.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a long (spark.sql.legacy.parquet.nanosAsLong=true, set by
+    * Verify/Bench/tests). Normalize to a microsecond TimestampType column —
+    * floor(ns/1000), the same truncation DuckDB applies — so every
+    * downstream query sees a real timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns values exceed double's 2^53 mantissa
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Fixed "as of" instant for queries whose reference semantics use
+    * wall-clock `now()` (SURVEY.md §7 determinism rules). Chosen just past
+    * the max `events.ts` in the testdata (2024-01-30 23:26).
+    */
+  val AsOf = "2024-01-31 00:00:00"
+}
