@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/** Cross-engine-stable rounding.
+  *
+  * Spark's `round()` converts the double to its shortest decimal string and
+  * applies HALF_UP (so 141428.95499999998 → "141428.955" → 141428.96), while
+  * DuckDB rounds the binary value (→ 141428.95). Any aggregate landing on an
+  * exact .xx5 therefore hash-mismatches between engines. Instead both the
+  * Spark plans and the oracle SQL use the literal IEEE expression
+  * floor(x * 10^s + 0.5) / 10^s, which evaluates bit-identically in any
+  * engine that computes the same underlying double.
+  */
+object Num {
+  private def p(s: Int): Double = math.pow(10, s)
+
+  /** Round half-up (toward +inf) at scale s, IEEE-stable across engines. */
+  def r(c: Column, s: Int): Column = floor(c * lit(p(s)) + lit(0.5)) / lit(p(s))
+
+  /** The same expression as SQL text for the DuckDB oracle. */
+  def rSql(e: String, s: Int): String = {
+    val pow = p(s)
+    s"floor(($e) * $pow + 0.5) / $pow"
+  }
+}

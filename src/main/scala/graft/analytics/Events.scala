@@ -1,0 +1,266 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Num, Tables}
+
+/** Event-stream analytics over the `events` table — the reference's
+  * journey/funnel/dashboard/billing surface (SURVEY.md §2.5 A5–A8,
+  * §2.7 W1–W3, §2.9 ST4) as batch DataFrame plans. The streaming
+  * variants live in graft.streaming.
+  *
+  * All wall-clock semantics are pinned to Tables.AsOf (SURVEY §7
+  * determinism rules).
+  */
+object Events {
+
+  /** A6: event-sequence journey analysis (snowflake_loader.py:202-223).
+    * Ordered collect is made deterministic via array_sort over
+    * struct(ts, event_id) — Spark's collect_list has no intrinsic order.
+    * Two-level aggregation: per-user sequence, then sequence frequency.
+    */
+  def journey(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("event_sequence"),
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1e6).as("duration_sec"))
+    perUser.groupBy(col("event_sequence"))
+      .agg(count(lit(1)).as("frequency"),
+        Num.r(avg(col("n_events")), 4).as("avg_events"),
+        Num.r(avg(col("duration_sec")), 3).as("avg_duration_sec"))
+  }
+
+  val journeySql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         string_agg(event_type, ',' ORDER BY ts, event_id) AS event_sequence,
+      |         count(*) AS n_events,
+      |         epoch(max(ts) - min(ts)) AS duration_sec
+      |  FROM events GROUP BY user_id)
+      |SELECT event_sequence, count(*) AS frequency,
+      |       floor((avg(n_events)) * 10000.0 + 0.5) / 10000.0 AS avg_events,
+      |       floor((avg(duration_sec)) * 1000.0 + 0.5) / 1000.0 AS avg_duration_sec
+      |FROM per_user GROUP BY event_sequence""".stripMargin
+
+  /** A7: conversion funnel — stage map, per-stage distinct users,
+    * LAG window for stage-to-stage conversion rate
+    * (snowflake_loader.py:225-254).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.events(spark, dir)
+      .withColumn("funnel_stage",
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "signup", 3)
+          .when(col("event_type") === "purchase", 4))
+      .filter(col("funnel_stage").isNotNull)
+    val counts = staged.groupBy(col("funnel_stage"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    counts
+      .withColumn("prev_users", lag(col("n_users"), 1).over(Window.orderBy(col("funnel_stage"))))
+      .withColumn("conversion_rate",
+        Num.r(col("n_users").cast("double") / col("prev_users"), 4))
+      .drop("prev_users")
+  }
+
+  val funnelSql: String =
+    """WITH staged AS (
+      |  SELECT CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |              WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END AS funnel_stage,
+      |         user_id
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+      |counts AS (
+      |  SELECT funnel_stage, count(DISTINCT user_id) AS n_users
+      |  FROM staged GROUP BY funnel_stage)
+      |SELECT funnel_stage, n_users,
+      |       floor((CAST(n_users AS DOUBLE) /
+      |             lag(n_users) OVER (ORDER BY funnel_stage)) * 10000.0 + 0.5) / 10000.0 AS conversion_rate
+      |FROM counts""".stripMargin
+
+  /** A5: real-time KPI dashboard — single-row filtered conditional
+    * aggregation over hour/day windows relative to a fixed asOf
+    * (enhanced_schema.sql:254-281).
+    */
+  def dashboard(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(Tables.AsOf).cast("timestamp")
+    val lastHour = col("ts") >= asOf - expr("INTERVAL 1 HOUR")
+    val lastDay = col("ts") >= asOf - expr("INTERVAL 24 HOURS")
+    Tables.events(spark, dir).agg(
+      count(when(lastHour, 1)).as("events_last_hour"),
+      countDistinct(when(lastHour, col("user_id"))).as("users_last_hour"),
+      count(when(lastDay, 1)).as("events_last_day"),
+      countDistinct(when(lastDay, col("user_id"))).as("users_last_day"),
+      count(when(lastDay && col("event_type") === "purchase", 1)).as("purchases_last_day"),
+      Num.r(sum(when(lastDay && col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 2).as("purchase_value_last_day"),
+      Num.r(avg(when(lastDay, col("value"))), 4).as("avg_value_last_day"),
+      count(lit(1)).as("total_events"),
+      countDistinct(col("user_id")).as("total_users"))
+  }
+
+  val dashboardSql: String =
+    s"""SELECT
+      |  count(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 1 HOUR THEN 1 END) AS events_last_hour,
+      |  count(DISTINCT CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 1 HOUR THEN user_id END) AS users_last_hour,
+      |  count(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN 1 END) AS events_last_day,
+      |  count(DISTINCT CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN user_id END) AS users_last_day,
+      |  count(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS AND event_type = 'purchase' THEN 1 END) AS purchases_last_day,
+      |  floor((sum(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS AND event_type = 'purchase' THEN value ELSE 0 END)) * 100.0 + 0.5) / 100.0 AS purchase_value_last_day,
+      |  floor((avg(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN value END)) * 10000.0 + 0.5) / 10000.0 AS avg_value_last_day,
+      |  count(*) AS total_events,
+      |  count(DISTINCT user_id) AS total_users
+      |FROM events""".stripMargin
+
+  /** W3/S9-analog: last event per key — the Redis seq-guard hot-state
+    * materialization (enhanced_kpi_consumer.py:638-673) as a window dedup.
+    */
+  def lastEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+  }
+
+  val lastEventPerUserSql: String =
+    """SELECT user_id, event_id, event_type, value, ts FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** A8 [spec-only billing consumer]: tumbling 1-minute usage metering
+    * keyed by account (config.yaml:208-212). date_trunc keeps the key
+    * SQL-portable; the streaming variant uses window().
+    */
+  def billingUsage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("account_id", col("user_id") % 10)
+      .groupBy(col("account_id"), date_trunc("minute", col("ts")).as("bucket_min"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.r(sum(col("value")), 2).as("total_value"))
+
+  val billingUsageSql: String =
+    """SELECT user_id % 10 AS account_id, date_trunc('minute', ts) AS bucket_min,
+      |       count(*) AS n_events, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity gap) — the scale-tier
+    * generalization of the reference's explicit session ids (ST5 noted
+    * absent in the reference; standard event-pipeline operator).
+    * One shuffle on user_id; per-user sort inside the window.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR date_diff('microsecond',
+      |                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                     ts) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      |FROM flagged GROUP BY user_id""".stripMargin
+
+  /** Running per-user cumulative value (W1-family running window). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        Num.r(sum(col("value")).over(w), 2).as("running_value"))
+  }
+
+  val runningTotalSql: String =
+    """SELECT event_id, user_id,
+      |       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_value
+      |FROM events""".stripMargin
+
+  /** Semi-structured JSON payload access (reference JSONB/VARIANT columns,
+    * SURVEY §1.2): extract props.k, aggregate by it.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.r(avg(col("value")), 4).as("avg_value"),
+        max(col("k")).as("max_k"))
+
+  val jsonPropsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |       count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+      |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** U1-analog: multi-source union then normalize+aggregate — splits
+    * events into per-type "topics", unions them back (consumer's
+    * 3-topic loop, enhanced_kpi_consumer.py:74-89).
+    */
+  def unionTopics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.filter(col("event_type").isin("view", "click"))
+      .withColumn("topic", lit("frontend.user.interaction"))
+    val b = ev.filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("topic", lit("text.agent.turn.completed"))
+    val c = ev.filter(col("event_type") === "error")
+      .withColumn("topic", lit("agent.tool.invoked"))
+    a.unionByName(b).unionByName(c)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.r(sum(col("value")), 2).as("total_value"))
+  }
+
+  val unionTopicsSql: String =
+    """SELECT CASE WHEN event_type IN ('view','click') THEN 'frontend.user.interaction'
+      |            WHEN event_type IN ('signup','purchase') THEN 'text.agent.turn.completed'
+      |            ELSE 'agent.tool.invoked' END AS topic,
+      |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_journey" -> journey,
+    "q_funnel" -> funnel,
+    "q_dashboard" -> dashboard,
+    "q_last_event_per_user" -> lastEventPerUser,
+    "q_billing_usage" -> billingUsage,
+    "q_sessionize" -> sessionize,
+    "q_running_total" -> runningTotal,
+    "q_json_props" -> jsonProps,
+    "q_union_topics" -> unionTopics)
+
+  val oracles: Map[String, String] = Map(
+    "q_journey" -> journeySql,
+    "q_funnel" -> funnelSql,
+    "q_dashboard" -> dashboardSql,
+    "q_last_event_per_user" -> lastEventPerUserSql,
+    "q_billing_usage" -> billingUsageSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_running_total" -> runningTotalSql,
+    "q_json_props" -> jsonPropsSql,
+    "q_union_topics" -> unionTopicsSql)
+}

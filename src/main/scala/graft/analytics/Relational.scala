@@ -3,27 +3,35 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Num, Tables}
 
 /** Relational analytics over the TPC-H-ish star schema — the warehouse-side
   * capability surface of the reference (SURVEY.md §2.5 A1–A5, §2.6 J1–J5,
   * §2.7 W1/O1/O2/L1, §2.8 D1–D4), re-expressed as declarative DataFrame
   * plans so Catalyst handles pushdown, partial aggregation and join
   * strategy selection.
+  *
+  * Scale notes (100 TB design stance):
+  *  - every groupBy here is a hash aggregate with map-side partial agg;
+  *  - dimension tables (region/nation) are explicitly broadcast, so the
+  *    fact-side scan never shuffles for them;
+  *  - filters and column selections sit directly on the parquet scan
+  *    (PushedFilters/ReadSchema verified via .explain in the test suite);
+  *  - top-k uses orderBy+limit which Spark executes as
+  *    TakeOrderedAndProject (no global sort materialization).
   */
 object Relational {
 
   /** A1-analog: per-entity KPI rollup (reference: per-session KPIs,
-    * enhanced_kpi_consumer.py:558-612). Grouped hash aggregate with
-    * map-side partial aggregation; scales linearly with input.
+    * enhanced_kpi_consumer.py:558-612).
     */
   def sessionKpis(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 4).as("avg_value"),
+        Num.r(sum(col("value")), 2).as("total_value"),
+        Num.r(avg(col("value")), 4).as("avg_value"),
         min(col("ts")).as("started_at"),
         max(col("ts")).as("ended_at"),
         countDistinct(col("event_type")).as("n_event_types"))
@@ -31,45 +39,280 @@ object Relational {
   val sessionKpisSql: String =
     """SELECT user_id,
       |       count(*) AS n_events,
-      |       round(sum(value), 2) AS total_value,
-      |       round(avg(value), 4) AS avg_value,
+      |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+      |       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
       |       min(ts) AS started_at,
       |       max(ts) AS ended_at,
       |       count(DISTINCT event_type) AS n_event_types
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** Q1-style pricing summary (scan + filter + wide hash aggregate).
-    * Filter reaches the parquet scan as a pushed predicate.
-    */
+  /** Q1-style pricing summary (scan + pushed filter + wide hash agg). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Num.r(avg(col("l_quantity")), 4).as("avg_qty"),
+        Num.r(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |       round(avg(l_quantity), 4) AS avg_qty,
-      |       round(avg(l_discount), 4) AS avg_disc,
+      |       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+      |       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+      |       floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** O2-analog: top-k retrieval by score (DESC-index intent,
+    * enhanced_schema.sql:177). Spark executes as TakeOrderedAndProject.
+    */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(10)
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin
+
+  /** Simple categorical rollup (A10-analog batch accounting). */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.r(sum(col("o_totalprice")), 2).as("total_price"))
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+      |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** A2-analog: daily lead metrics generalized to all days
+    * (enhanced_kpi_consumer.py:538-556).
+    */
+  def dailyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.r(avg(col("o_totalprice")), 2).as("avg_price"))
+
+  val dailyOrdersSql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders,
+      |       floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** A3-analog: daily performance summary — two daily aggregates LEFT
+    * JOINed on the derived date key (enhanced_schema.sql:234-251, J2).
+    */
+  def dailySummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.r(avg(col("o_totalprice")), 2).as("avg_order_price"))
+    li.join(ord, Seq("d"), "left")
+  }
+
+  val dailySummarySql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_lineitems,
+      |         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+      |         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+      |  FROM lineitem GROUP BY 1),
+      |ord AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+      |         floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_order_price
+      |  FROM orders GROUP BY 1)
+      |SELECT li.d, li.n_lineitems, li.sum_qty, li.revenue,
+      |       ord.n_orders, ord.avg_order_price
+      |FROM li LEFT JOIN ord ON li.d = ord.d""".stripMargin
+
+  /** J5-analog multi-way equi-join chain with broadcast dimensions:
+    * region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem, revenue per nation.
+    * nation/region are broadcast (tiny); customer⋈orders⋈lineitem shuffle
+    * on their keys with AQE free to re-plan.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+      |       count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Q3-style shipping priority: filtered 3-way join + agg + top-k. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-01-01"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Share-of-total via window over a grouped aggregate (SC15-style
+    * cross-source combination shape).
+    */
+  def mktsegShare(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice")).as("seg_rev"), count(lit(1)).as("n_orders"))
+    seg.withColumn("rev_share",
+        Num.r(col("seg_rev") / sum(col("seg_rev")).over(Window.partitionBy()), 6))
+      .withColumn("seg_rev", Num.r(col("seg_rev"), 2))
+  }
+
+  val mktsegShareSql: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment, sum(o_totalprice) AS seg_rev, count(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, floor((seg_rev) * 100.0 + 0.5) / 100.0 AS seg_rev, n_orders,
+      |       floor((seg_rev / sum(seg_rev) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+      |FROM seg""".stripMargin
+
+  /** Left-semi join (EXISTS intent, J6 keyed-merge family). */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val customersWithOpenOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  /** D1-analog upsert: last-write-wins keyed dedup via window row_number
+    * (enhanced_kpi_consumer.py:395-434 ON CONFLICT DO UPDATE). At scale
+    * this is one shuffle on the upsert key; AQE handles skew.
+    */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  val latestOrderPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
+  /** A1 relational analog at order grain: per-order line rollup joined
+    * back to the order header (J1 shape).
+    */
+  def orderRollup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        Num.r(avg(col("l_discount")), 4).as("avg_discount"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+    Tables.orders(spark, dir)
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"),
+        col("sum_qty"), col("revenue"), col("avg_discount"),
+        col("first_ship"), col("last_ship"))
+  }
+
+  val orderRollupSql: String =
+    """SELECT o_orderkey, o_totalprice, n_lines, sum_qty, revenue,
+      |       avg_discount, first_ship, last_ship
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, count(*) AS n_lines,
+      |         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+      |         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+      |         floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_discount,
+      |         min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_kpis" -> sessionKpis,
-    "q1_pricing_summary" -> pricingSummary)
+    "q1_pricing_summary" -> pricingSummary,
+    "q_top_customers" -> topCustomers,
+    "q_order_priority" -> orderPriority,
+    "q_daily_orders" -> dailyOrders,
+    "q_daily_summary" -> dailySummary,
+    "q_revenue_by_nation" -> revenueByNation,
+    "q3_shipping_priority" -> shippingPriority,
+    "q_mktseg_share" -> mktsegShare,
+    "q_customers_with_open_orders" -> customersWithOpenOrders,
+    "q_customers_without_orders" -> customersWithoutOrders,
+    "q_latest_order_per_customer" -> latestOrderPerCustomer,
+    "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
     "q_session_kpis" -> sessionKpisSql,
-    "q1_pricing_summary" -> pricingSummarySql)
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q_top_customers" -> topCustomersSql,
+    "q_order_priority" -> orderPrioritySql,
+    "q_daily_orders" -> dailyOrdersSql,
+    "q_daily_summary" -> dailySummarySql,
+    "q_revenue_by_nation" -> revenueByNationSql,
+    "q3_shipping_priority" -> shippingPrioritySql,
+    "q_mktseg_share" -> mktsegShareSql,
+    "q_customers_with_open_orders" -> customersWithOpenOrdersSql,
+    "q_customers_without_orders" -> customersWithoutOrdersSql,
+    "q_latest_order_per_customer" -> latestOrderPerCustomerSql,
+    "q_order_rollup" -> orderRollupSql)
 }
