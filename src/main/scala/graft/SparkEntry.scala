@@ -16,8 +16,10 @@ object SparkEntry {
     analytics.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries ++ analytics.Events.queries
+    analytics.Relational.queries ++ analytics.Events.queries ++
+      analytics.TransformQueries.queries
 
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracles ++ analytics.Events.oracles
+    analytics.Relational.oracles ++ analytics.Events.oracles ++
+      analytics.TransformQueries.oracles
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL / referrer analysis (SURVEY.md §2.3 F15–F17;
+  * etl/transform/frontend_transformer.py:100-233). Built on Spark's
+  * parse_url (codegen'd) — equivalent to Python urlparse for well-formed
+  * http(s) URLs (no port/userinfo edge cases in the event surface).
+  */
+object UrlInfo {
+
+  /** F15 components. */
+  def urlDomain(u: Column): Column = parse_url(u, lit("HOST"))
+  def urlPath(u: Column): Column = parse_url(u, lit("PATH"))
+  def urlParam(u: Column, key: String): Column = parse_url(u, lit("QUERY"), lit(key))
+
+  /** F16 categorize_page — keyword buckets over the lowered path
+    * (frontend_transformer.py:144-169). Order of the when-chain matches
+    * the Python elif order.
+    */
+  def pageCategory(path: Column): Column = {
+    val p = lower(path)
+    when(path.isNull || path === "" || path === "/", "homepage")
+      .when(p.contains("/product") || p.contains("/p/"), "product")
+      .when(p.contains("/category") || p.contains("/c/") || p.contains("/collection"), "category")
+      .when(p.contains("/cart") || p.contains("/checkout"), "checkout")
+      .when(p.contains("/about") || p.contains("/company"), "about")
+      .when(p.contains("/contact") || p.contains("/support"), "contact")
+      .when(p.contains("/blog") || p.contains("/news") || p.contains("/article"), "content")
+      .when(p.contains("/search") || p.contains("/results"), "search")
+      .when(p.contains("/account") || p.contains("/profile") || p.contains("/dashboard"), "account")
+      .otherwise("other")
+  }
+
+  val SearchEngines = Seq("google.com", "bing.com", "yahoo.com", "duckduckgo.com",
+    "baidu.com", "yandex.com", "ask.com")
+  val SocialPlatforms = Seq("facebook.com", "twitter.com", "linkedin.com", "instagram.com",
+    "pinterest.com", "youtube.com", "tiktok.com", "snapchat.com", "reddit.com", "tumblr.com")
+  val EmailPlatforms = Seq("gmail.com", "outlook.com", "yahoo.com", "mail.google.com",
+    "webmail", "mail.")
+
+  private def containsAny(c: Column, subs: Seq[String]): Column =
+    subs.map(s => c.contains(s)).reduce(_ || _)
+
+  /** F17 categorize_referrer — substring membership in domain lists,
+    * search > social > email > referral; empty domain ⇒ direct
+    * (frontend_transformer.py:203-233).
+    */
+  def referrerType(domain: Column): Column =
+    when(domain.isNull || domain === "", "direct")
+      .when(containsAny(domain, SearchEngines), "search")
+      .when(containsAny(domain, SocialPlatforms), "social")
+      .when(containsAny(domain, EmailPlatforms), "email")
+      .otherwise("referral")
+
+  /** F17 assembled: referrer string ⇒ {referrer, referrer_domain,
+    * referrer_type} struct (frontend_transformer.py:171-201).
+    */
+  def referrerInfo(r: Column): Column =
+    when(r.isNull || r === "",
+      struct(lit(null).cast("string").as("referrer"),
+        lit(null).cast("string").as("referrer_domain"),
+        lit("direct").as("referrer_type")))
+    .otherwise {
+      val d = lower(parse_url(r, lit("HOST")))
+      struct(r.as("referrer"), d.as("referrer_domain"),
+        referrerType(d).as("referrer_type"))
+    }
+}

@@ -1,0 +1,50 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{DeviceInfo, Normalize, Scoring, UrlInfo}
+
+/** Frontend interaction transform stage (SURVEY.md §3 Trace 2;
+  * etl/transform/frontend_transformer.py:23-72).
+  *
+  * Pure projection stage: F14–F19 enrichment structs + SC3–SC6 scores.
+  */
+object FrontendTransform {
+  val RequiredFields = Seq("event_type", "timestamp")
+
+  def isValid(df: DataFrame): Column =
+    RequiredFields.map(f => col(f).isNotNull).reduce(_ && _)
+
+  def enrich(raw: DataFrame, asOfMs: Long): DataFrame = {
+    val u = col("page_url")
+    val hasUrl = u.isNotNull && u =!= ""
+    raw.filter(isValid(raw)).select(
+      Normalize.normString(col("session_id")).as("session_id"),
+      Normalize.normString(col("user_id")).as("user_id"),
+      Normalize.normalizeEventType(col("event_type")).as("event_type"),
+      Normalize.normString(col("interaction_type")).as("interaction_type"),
+      Normalize.normString(col("widget_id")).as("widget_id"),
+      // F15 page_info (frontend_transformer.py:100-142)
+      struct(
+        when(hasUrl, u).as("url"),
+        when(hasUrl, UrlInfo.urlDomain(u)).as("domain"),
+        when(hasUrl, UrlInfo.urlPath(u)).as("path"),
+        Normalize.normString(col("page_title")).as("title"),
+        when(hasUrl, UrlInfo.pageCategory(UrlInfo.urlPath(u))).otherwise("unknown").as("category"),
+        when(hasUrl, UrlInfo.urlParam(u, "utm_source")).as("utm_source"),
+        when(hasUrl, UrlInfo.urlParam(u, "utm_medium")).as("utm_medium"),
+        when(hasUrl, UrlInfo.urlParam(u, "utm_campaign")).as("utm_campaign")).as("page_info"),
+      UrlInfo.referrerInfo(col("referrer")).as("referrer_info"),
+      DeviceInfo.deviceInfo(col("user_agent"), col("screen_resolution"),
+        col("viewport_size")).as("device_info"),
+      Normalize.standardizeTsNum(col("timestamp")).as("timestamp"),
+      // F19 timing_info lift
+      struct(col("load_time_ms"), col("time_on_page"), col("time_since_last_event"),
+        col("session_duration"), col("page_load_complete")).as("timing_info"),
+      Scoring.userSegment(col("page_url"), col("event_type"), col("referrer")).as("user_segment"),
+      Scoring.engagementScore(col("event_type"), col("time_on_page")).as("engagement_score"),
+      Scoring.conversionStage(col("event_type"), col("page_url")).as("conversion_stage"),
+      Scoring.eventQualityScore(col("session_id"), col("user_agent"), col("page_url"),
+        col("timestamp")).as("quality_score"))
+  }
+}
