@@ -1,0 +1,194 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, Tables}
+import graft.scale.{Dedup, Similarity, SimHash64}
+import graft.functions.TextAnalysis
+
+/** Scale-tier queries: deduplication, similarity search, token/fingerprint
+  * ops over `documents` and `embeddings` (the LLM-training-data operators
+  * of BASELINE.json's north star). SQL-expressible ops carry DuckDB
+  * oracles; hash-seeded ops (MinHash via xxhash64, SimHash) are rows-only
+  * and are instead cross-checked against their exact counterparts in
+  * ScaleSpec.
+  */
+object ScaleQueries {
+
+  /** documents ∪ re-keyed copies of every 10th doc — deterministic corpus
+    * WITH exact duplicates (the raw table has only near-dups).
+    */
+  private def docsWithCopies(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val docsWithCopiesSql =
+    """(SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Exact dedup via digest groupBy. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(docsWithCopies(spark, dir), "text", "doc_id")
+
+  val dedupExactSql: String =
+    s"""SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+       |FROM $docsWithCopiesSql d
+       |GROUP BY md5(text) HAVING count(*) > 1""".stripMargin
+
+  /** Exact word-3-gram Jaccard near-dup pairs (quadratic baseline). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
+      .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
+
+  val jaccardPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |        ELSE [] END) AS s
+       |    FROM toks) t),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       ${Num.rSql("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 6)} AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5""".stripMargin
+
+  /** MinHash+LSH near-dup pairs — the linear-ish scale path. xxhash64
+    * seeding is engine-specific, so no SQL oracle (rows-only); ScaleSpec
+    * asserts it finds exactly the exact-Jaccard pairs on testdata.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
+      .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
+
+  /** SimHash near-dup pairs via 16-bit chunk LSH + Hamming verification
+    * (custom codegen'd expression; rows-only).
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("chunk_idx"))
+      .withColumn("chunk", expr("(sig >> (chunk_idx * 16)) & 65535"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Exact cosine top-10 against vec 0 (brute-force baseline). */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), 0L, 10)
+
+  private val dblEmb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0
+       | THEN list_dot_product($a,$b) /
+       |      (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))
+       | ELSE 0.0 END""".stripMargin.replace("\n", " ")
+
+  val cosineTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, ${Num.rSql(cosSql("e.v", "qv"), 6)} AS cos_sim
+       |FROM e CROSS JOIN q WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val PlaneIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+  private val planesSql =
+    s"SELECT vec_id AS pid, $dblEmb AS pe FROM embeddings WHERE vec_id IN (1,2,3,4)"
+  private val sigsSql =
+    s"""SELECT e.vec_id, e.v,
+       |  string_agg(CASE WHEN list_dot_product(e.v, p.pe) >= 0 THEN '1' ELSE '0' END,
+       |             '' ORDER BY p.pid) AS bucket
+       |FROM (SELECT vec_id, $dblEmb AS v FROM embeddings) e
+       |CROSS JOIN ($planesSql) p GROUP BY e.vec_id, e.v""".stripMargin
+
+  /** LSH-bucketed approximate top-5 (same buckets in both engines). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), 0L, PlaneIds, 5)
+
+  val annLshSql: String =
+    s"""WITH sigs AS ($sigsSql),
+       |q AS (SELECT bucket AS qb, v AS qv FROM sigs WHERE vec_id = 0)
+       |SELECT s.vec_id, ${Num.rSql(cosSql("s.v", "qv"), 6)} AS cos_sim
+       |FROM sigs s CROSS JOIN q
+       |WHERE s.bucket = q.qb AND s.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  /** Embedding near-dup pairs at cos ≥ 0.4 within LSH buckets. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), PlaneIds, 0.4)
+
+  val embedNearDupSql: String =
+    s"""WITH sigs AS ($sigsSql)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |       ${Num.rSql(cosSql("a.v", "b.v"), 6)} AS cos_sim
+       |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${Num.rSql(cosSql("a.v", "b.v"), 6)} >= 0.4""".stripMargin
+
+  /** Per-label centroid similarity (IVF building block). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidSimilarity(Tables.embeddings(spark, dir))
+
+  val labelCentroidsSql: String =
+    s"""WITH e AS (SELECT vec_id, label, $dblEmb AS v FROM embeddings),
+       |expl AS (
+       |  SELECT label, i, avg(v[i]) AS cx
+       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY label)
+       |SELECT e.vec_id, e.label, ${Num.rSql(cosSql("e.v", "cent.c"), 6)} AS centroid_sim
+       |FROM e JOIN cent ON e.label = cent.label""".stripMargin
+
+  /** Token counting + document fingerprinting (md5). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+      md5(col("text").cast("binary")).as("fingerprint"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       |  CASE WHEN text IS NULL THEN 0
+       |       ELSE len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) END AS bpe_tokens,
+       |  md5(text) AS fingerprint
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_jaccard_pairs" -> jaccardPairs,
+    "q_minhash_pairs" -> minhashPairs,
+    "q_simhash_pairs" -> simhashPairs,
+    "q_cosine_topk" -> cosineTopK,
+    "q_ann_lsh" -> annLsh,
+    "q_embed_neardup" -> embedNearDup,
+    "q_label_centroids" -> labelCentroids,
+    "q_token_counts" -> tokenCounts)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_jaccard_pairs" -> jaccardPairsSql,
+    "q_cosine_topk" -> cosineTopKSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_label_centroids" -> labelCentroidsSql,
+    "q_token_counts" -> tokenCountsSql)
+}

@@ -1,0 +1,110 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings(vec_id, embedding
+  * array<float>, label)`.
+  *
+  * Brute-force cosine top-k is the exact baseline (one broadcast of the
+  * query vector; the scan stays columnar and the top-k is
+  * TakeOrderedAndProject — no global sort). The LSH path (random
+  * hyperplane signatures) restricts the exact computation to one bucket:
+  * at 100 TB the bucket join shuffles only (bucket, vec_id) pairs and the
+  * per-bucket candidate set is ~n/2^bits.
+  *
+  * Arithmetic is pinned for oracle parity: elements are cast to double
+  * BEFORE multiply/accumulate, and sums run left-to-right — bit-identical
+  * in any engine evaluating the same sequential expression.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with double accumulation in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = norm(a) * norm(b)
+    when(den > 0, d / den).otherwise(0.0)
+  }
+
+  /** Exact cosine top-k against one query vector (vec_id = queryId). */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), graft.Num.r(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane signature: one bit per plane = sign(v·plane).
+    * Planes come from the data itself (vec_id in [1, 1+bits)) so the
+    * construction is deterministic and oracle-expressible.
+    */
+  def lshSignature(embeddings: DataFrame, planeIds: Seq[Long]): DataFrame = {
+    val planes = embeddings
+      .filter(col("vec_id").isInCollection(planeIds))
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    embeddings.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pid"),
+          when(dot(col("embedding"), col("pe")) >= 0, "1").otherwise("0").as("bit")))),
+        x => x.getField("bit")), "").as("bucket"))
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket. */
+  def lshTopK(embeddings: DataFrame, queryId: Long, planeIds: Seq[Long], k: Int): DataFrame = {
+    val sigs = lshSignature(embeddings, planeIds)
+    val qSig = sigs.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("q_bucket"))
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    sigs.join(broadcast(qSig), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= queryId)
+      .join(embeddings, Seq("vec_id"))
+      .crossJoin(broadcast(qVec))
+      .select(col("vec_id"), graft.Num.r(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-dup at cosine ≥ threshold, bucketed by LSH signature
+    * (pairs in different buckets are skipped — the approximation both
+    * engines share).
+    */
+  def nearDupPairs(embeddings: DataFrame, planeIds: Seq[Long], threshold: Double): DataFrame = {
+    val sigs = lshSignature(embeddings, planeIds)
+    val withSig = embeddings.join(sigs, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    withSig.as("a").join(withSig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        graft.Num.r(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Per-label centroid distance — the IVF building block: centroids via
+    * positional explode + mean, then each vector's cosine to its label
+    * centroid.
+    */
+  def labelCentroidSimilarity(embeddings: DataFrame): DataFrame = {
+    val centroids = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    embeddings.join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        graft.Num.r(cosine(col("embedding"), col("centroid")), 6).as("centroid_sim"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analytics.ScaleQueries
+import graft.scale.SimHash64
+
+/** Cross-checks for the scale ops that have no SQL oracle: MinHash+LSH
+  * against exact Jaccard, SimHash against the planted near-dups, and
+  * determinism goldens for the custom expression.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash+LSH finds exactly the exact-Jaccard near-dup pairs") {
+    val exact = ScaleQueries.jaccardPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ScaleQueries.minhashPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification filters candidates by TRUE Jaccard >= 0.5, so
+    // approx ⊆ exact always; the planted dups (j≈0.99) must all be found
+    assert(approx.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(approx == exact, s"LSH missed ${exact -- approx}")
+  }
+
+  test("simhash LSH pairs cover the planted near-dups") {
+    val exact = ScaleQueries.jaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = ScaleQueries.simhashPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("SimHash64 expression is deterministic and codegen-consistent") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox",
+      "the quick brown fix", "").toDF("t")
+      .select(SimHash64.simhash64(col("t")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    // near-identical text ⇒ small Hamming distance
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) <= 16)
+    // interpreted eval matches whatever the codegen path produced
+    assert(hs(0) == directedEval("the quick brown fox"))
+  }
+
+  private def directedEval(s: String): Long = SimHash64.compute(s)
+
+  test("brute-force and LSH top-k agree on shared candidates") {
+    val brute = ScaleQueries.cosineTopK(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = ScaleQueries.annLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // any vec in both rankings must carry the identical similarity
+    lsh.foreach { case (id, s) =>
+      brute.get(id).foreach(b => assert(b == s))
+    }
+    assert(lsh.nonEmpty)
+  }
+}
