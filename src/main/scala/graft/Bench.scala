@@ -13,11 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // absorb JVM/codegen/session warm-up outside any query's timing, and
+    // run in sorted order so per-query numbers are comparable across runs
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // string/codegen warm-up — the first string-heavy query otherwise
+    // absorbs ~3s of JIT cost
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("upper(event_type) t", "length(props) l")
+      .groupBy("t").sum("l").collect()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

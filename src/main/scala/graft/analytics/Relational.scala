@@ -148,9 +148,11 @@ object Relational {
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val n = broadcast(Tables.nation(spark, dir))
     val r = broadcast(Tables.region(spark, dir))
+    // customer is small relative to the fact side at every SF — broadcast
+    // keeps the orders scan shuffle-free; only lineitem⋈orders shuffles
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

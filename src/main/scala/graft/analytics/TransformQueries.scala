@@ -241,9 +241,14 @@ object TransformQueries {
   def urlReferrer(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("url", urlCol).withColumn("referrer", referrerCol)
+      // materialize parse_url outputs once — the contains-chains below
+      // reference them ~20×, and per-reference URL re-parsing would
+      // otherwise dominate the scan
+      .withColumn("path", UrlInfo.urlPath(col("url")))
+      .withColumn("rdomain", lower(UrlInfo.urlDomain(col("referrer"))))
       .groupBy(
-        UrlInfo.pageCategory(UrlInfo.urlPath(col("url"))).as("page_category"),
-        UrlInfo.referrerType(lower(UrlInfo.urlDomain(col("referrer")))).as("referrer_type"),
+        UrlInfo.pageCategory(col("path")).as("page_category"),
+        UrlInfo.referrerType(col("rdomain")).as("referrer_type"),
         Scoring.userSegment(col("url"), col("event_type"), col("referrer")).as("user_segment"),
         Scoring.conversionStage(col("event_type"), col("url")).as("conversion_stage"))
       .agg(count(lit(1)).as("n"))
@@ -449,15 +454,15 @@ object TransformQueries {
 
   // ---- F11/F13/SC2 marketo activity enrichment ----
 
-  def activityEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val id = get_json_object(col("props"), "$.k").cast("int") % 120
+  def activityEnrich(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // parse the JSON payload once, not once per derived key
+      .withColumn("aid", get_json_object(col("props"), "$.k").cast("int") % 120)
       .groupBy(
-        Normalize.activityTypeName(id).as("activity_type"),
-        Normalize.activityCategory(id).as("activity_category"),
-        Scoring.activityEngagementScore(id).as("engagement_score"))
+        Normalize.activityTypeName(col("aid")).as("activity_type"),
+        Normalize.activityCategory(col("aid")).as("activity_category"),
+        Scoring.activityEngagementScore(col("aid")).as("engagement_score"))
       .agg(count(lit(1)).as("n"))
-  }
 
   val activityEnrichSql: String = {
     val id = "(CAST(json_extract_string(props,'$.k') AS INT) % 120)"

@@ -10,10 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object UrlInfo {
 
-  /** F15 components. */
-  def urlDomain(u: Column): Column = parse_url(u, lit("HOST"))
-  def urlPath(u: Column): Column = parse_url(u, lit("PATH"))
-  def urlParam(u: Column, key: String): Column = parse_url(u, lit("QUERY"), lit(key))
+  /** F15 components — regex extraction rather than Spark's parse_url:
+    * ParseUrl is a non-codegen expression (it re-parses the URL per call
+    * and falls out of whole-stage codegen), while regexp_extract stays in
+    * the codegen'd pipeline. The patterns implement Python urlparse
+    * semantics (netloc = authority up to /?#, which INCLUDES any port —
+    * parse_url's HOST would strip it; path = up to ?#).
+    */
+  def urlDomain(u: Column): Column =
+    nullif(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1), lit(""))
+  def urlPath(u: Column): Column =
+    nullif(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), lit(""))
+  def urlParam(u: Column, key: String): Column =
+    nullif(regexp_extract(u, s"[?&]${java.util.regex.Pattern.quote(key)}=([^&#]*)", 1), lit(""))
 
   /** F16 categorize_page — keyword buckets over the lowered path
     * (frontend_transformer.py:144-169). Order of the when-chain matches

@@ -39,17 +39,36 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .select(col("canonical_doc_id"), col("n_copies"))
 
+  /** Shingle set as 64-bit hashes — joins/intersections on fixed-width
+    * longs instead of strings (same results modulo ~2⁻⁶⁴ collision odds;
+    * at 100 TB the shuffle payload shrinks by ~3× and comparisons are
+    * branch-free). Fused codegen'd expression — see ShingleExprs.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    ShingleExprs.shingleHashes(text, n)
+
   /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
     * O(candidate pairs); run on bounded corpora or post-LSH candidates.
     */
+  /** Enumerate ordered (d1 < d2) pairs from a sorted id array — HOF pair
+    * expansion after a groupBy(shingle), which costs ONE shuffle of
+    * (shingle, doc_id) instead of a self-join's two.
+    */
+  private def pairsOf(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => struct(x.as("d1"), y.as("d2")))))
+
   def jaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = docs
-      .select(col(keyCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col(keyCol).as("doc_id"), explode(shingleHashes(col(textCol), n)).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val inter = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("c"))
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -63,29 +82,29 @@ object Dedup {
   val LshBands = 16
   val LshRows = 4 // 16 × 4 = 64; LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** MinHash signature: array of MinHashPerms minima of seeded xxhash64
-    * over the shingle set. One wide aggregate — map-side partial min.
+  /** MinHash signatures computed in ONE pass per document by the fused
+    * MinHashSig expression — no explode, no 64-way aggregate, no shuffle:
+    * the only bytes leaving the scan stage are 64 longs per doc.
     */
-  def minhashSignature(docsShingled: DataFrame): DataFrame = {
-    val mins = (0 until MinHashPerms).map(j =>
-      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
-    docsShingled.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until MinHashPerms).map(j => col(s"h$j")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, textCol: String, keyCol: String, n: Int): DataFrame =
+    docs.select(col(keyCol).as("doc_id"),
+        ShingleExprs.minhashSig(col(textCol), n, MinHashPerms).as("sig"))
+      .filter(col("sig").isNotNull)
 
-  /** Candidate pairs from LSH banding: equal band-hash in any band. */
+  /** Candidate pairs from LSH banding: equal band-hash in any band.
+    * Same one-shuffle groupBy+pair-expansion shape as jaccardPairs.
+    */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val bands = explode(transform(sequence(lit(0), lit(LshBands - 1)),
       b => struct(b.as("band"),
         xxhash64((0 until LshRows).map(r =>
           element_at(col("sig"), b * LshRows + r + 1)): _*).as("bucket"))))
-    val banded = signatures.select(col("doc_id"), bands.as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    signatures.select(col("doc_id"), bands.as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
 
@@ -94,9 +113,8 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, textCol: String, keyCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(keyCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = lshCandidates(minhashSignature(exploded))
+    val sh = docs.select(col(keyCol).as("doc_id"), shingleHashes(col(textCol), n).as("sh"))
+    val cands = lshCandidates(minhashSignatures(docs, textCol, keyCol, n))
     // verify candidates with exact Jaccard over the shingle arrays
     cands
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))

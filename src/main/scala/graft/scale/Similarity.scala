@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with double accumulation in array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ with double accumulation in array order — codegen'd custom
+    * expression (VectorOps.DotProduct); numerically identical to the HOF
+    * zip_with+aggregate formulation but ~an order of magnitude faster.
+    */
+  def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -82,12 +82,18 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, planeIds: Seq[Long], threshold: Double): DataFrame = {
     val sigs = lshSignature(embeddings, planeIds)
+    // precompute the norm once per vector — per-pair work is then a single
+    // dot product (the norm value is bit-identical to recomputing it per
+    // pair, so the oracle SQL may still recompute)
     val withSig = embeddings.join(sigs, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm"))
+    val den = col("a.nrm") * col("b.nrm")
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        graft.Num.r(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        graft.Num.r(when(den > 0, dot(col("a.embedding"), col("b.embedding")) / den)
+          .otherwise(0.0), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
