@@ -172,7 +172,28 @@ object ScaleQueries {
        |  md5(text) AS fingerprint
        |FROM documents""".stripMargin
 
+  /** Multimodal asset-table stats through the binary+metadata schema
+    * (graft.multimodal): proves the asset plumbing end-to-end with a SQL
+    * oracle over the source documents.
+    */
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.syntheticAssets(spark, dir).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("media"))).as("total_bytes"),
+        sum(col("meta.durationMs")).as("total_duration_ms"),
+        Num.r(avg(col("meta.width")), 4).as("avg_width"))
+
+  val multimodalStatsSql: String =
+    s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  count(*) AS n_assets,
+       |  sum(length(text)) AS total_bytes,
+       |  sum(n_chars * 10) AS total_duration_ms,
+       |  ${Num.rSql("avg(doc_id % 640 + 64)", 4)} AS avg_width
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
     "q_minhash_pairs" -> minhashPairs,
@@ -184,6 +205,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_stats" -> multimodalStatsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_cosine_topk" -> cosineTopKSql,

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the reference's streaming semantics
+  * (SURVEY.md §2.9 ST1–ST6): micro-batch ingestion, watermarked windowed
+  * aggregation (the billing/dashboard windows), and per-session hot state
+  * with TTL (the Redis hash, enhanced_kpi_consumer.py:638-673) as
+  * mapGroupsWithState.
+  *
+  * Sources are file streams over the same parquet schema so the batch and
+  * streaming paths share every transform; swapping in a Kafka source is
+  * `readStream.format("kafka")` + from_json with the same columns
+  * (S6/S7 — out of scope in the zero-egress environment).
+  */
+object Streams {
+
+  /** Raw file schema: ts is parquet TIMESTAMP(NANOS), readable only as a
+    * long (see Tables.events) — converted to a µs timestamp below.
+    */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ST1: micro-batched file source with the events schema. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** ST2/ST4: watermarked tumbling 1-minute billing aggregation (A8
+    * streaming form). Late events beyond 10 minutes are dropped exactly
+    * like the reference's monotonic checkpoint skip-late rule.
+    */
+  def billingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id") % 10 as "account_id", window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Per-session hot state — the Redis session:{id}:state hash. */
+  case class SessionState(
+      userId: Long, seq: Long, totalTurns: Long,
+      totalValue: Double, lastEventType: String, lastActivityMs: Long)
+
+  case class SessionEvent(event_id: Long, tsMs: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  /** ST3: mapGroupsWithState with a processing-time TTL — GroupState
+    * timeout resets on every update, matching Redis EXPIRE-on-write
+    * (SURVEY §7 equivalence note). The seq guard (W3: ignore events with
+    * seq ≤ current) maps to max-event_id tracking.
+    */
+  def updateSession(withTtl: Boolean)(
+      userId: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): SessionState = {
+    if (state.hasTimedOut) {
+      val expired = state.get
+      state.remove()
+      expired
+    } else {
+      val prev = state.getOption.getOrElse(
+        SessionState(userId, -1L, 0L, 0.0, null, 0L))
+      // seq guard: process in seq order, drop stale seqs (W3)
+      val fresh = events.toSeq.filter(_.event_id > prev.seq).sortBy(_.event_id)
+      val next = fresh.foldLeft(prev) { (s, e) =>
+        SessionState(userId, e.event_id, s.totalTurns + 1,
+          s.totalValue + e.value, e.event_type, math.max(s.lastActivityMs, e.tsMs))
+      }
+      state.update(next)
+      if (withTtl) state.setTimeoutDuration("1 hour") // Redis TTL 3600s, reset per write
+      next
+    }
+  }
+
+  /** `ttl=true` arms the 1h processing-time timeout (continuous serving);
+    * for finite backfills use `ttl=false` — armed timeouts keep
+    * scheduling empty micro-batches, so processAllAvailable would never
+    * settle.
+    */
+  def sessionStateStream(events: DataFrame, ttl: Boolean = true)(
+      implicit spark: SparkSession): Dataset[SessionState] = {
+    import spark.implicits._
+    val timeout =
+      if (ttl) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .select(col("event_id"), unix_millis(col("ts")).as("tsMs"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeout)(updateSession(ttl))
+  }
+
+  /** ST6: cascading session-KPI re-aggregation in update mode — the
+    * consumer's per-event session recompute becomes an incrementally
+    * maintained streaming aggregate.
+    */
+  def sessionKpiStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        max(col("ts")).as("last_activity"))
+
+  /** Run a streaming query to completion over the (finite) file source —
+    * the batch-equivalence harness used by StreamingSpec and available as
+    * a library utility for backfills.
+    */
+  def runToCompletion(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Streaming/batch equivalence (ST1–ST6): the streaming aggregations over
+  * a finite file source must produce the batch answers (SURVEY §2.9 —
+  * the reference's per-event cascading recompute is a streaming aggregate
+  * in update mode).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory; stage the single parquet file
+    * into a temp dir.
+    */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming session KPIs equal the batch aggregate") {
+    val events = Streams.eventStream(spark, eventsDir)
+    val out = Streams.runToCompletion(
+      Streams.sessionKpiStream(events), OutputMode.Update(), "kpis_stream")
+    // update mode emits one row per key per batch; last row per key wins
+    val latest = out.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("total_value")).as("total_value"))
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+    val s = latest.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = batch.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s.toSeq == b.toSeq)
+  }
+
+  test("streaming billing windows equal the batch tumbling windows") {
+    val events = Streams.eventStream(spark, eventsDir)
+    val out = Streams.runToCompletion(
+      Streams.billingStream(events), OutputMode.Update(), "billing_stream")
+    val streamTotal = out.agg(sum("n_events")).head().getLong(0)
+    val batchTotal = Tables.events(spark, sf).count()
+    assert(streamTotal == batchTotal)
+    // window keys match the batch date_trunc buckets
+    val sKeys = out.select(col("account_id"), col("window.start").as("bucket_min"))
+      .distinct().count()
+    val bKeys = Tables.events(spark, sf)
+      .groupBy(col("user_id") % 10, date_trunc("minute", col("ts"))).count().count()
+    assert(sKeys == bKeys)
+  }
+
+  test("mapGroupsWithState session state folds events with seq guard") {
+    val events = Streams.eventStream(spark, eventsDir)
+    implicit val s = spark
+    val out = Streams.runToCompletion(
+      Streams.sessionStateStream(events, ttl = false).toDF(), OutputMode.Update(), "session_state")
+    // final state per user: totalTurns equals the user's event count
+    val latest = out.groupBy("userId").agg(max("totalTurns").as("turns"))
+    val batch = Tables.events(spark, sf).groupBy("user_id").count()
+    val got = latest.orderBy("userId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = batch.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+}
