@@ -242,7 +242,40 @@ object Events {
       |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A4: session analytics summary — KPI rollup LEFT JOIN interaction
+    * analytics at the session grain plus duration minutes
+    * (enhanced_schema.sql:208-232, J1).
+    */
+  def sessionSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kpis = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("started_at"), max(col("ts")).as("ended_at"))
+    val fa = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_interactions"),
+        Num.r(avg(col("value")), 4).as("avg_interaction_value"))
+    kpis.join(fa, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_interactions"),
+        col("avg_interaction_value"),
+        Num.r((unix_micros(col("ended_at")) - unix_micros(col("started_at"))) / 60000000.0, 4)
+          .as("session_duration_min"))
+  }
+
+  val sessionSummarySql: String =
+    s"""WITH kpis AS (
+       |  SELECT user_id, count(*) AS n_events, min(ts) AS s, max(ts) AS e
+       |  FROM events GROUP BY user_id),
+       |fa AS (
+       |  SELECT user_id, count(*) AS n_interactions,
+       |         ${Num.rSql("avg(value)", 4)} AS avg_interaction_value
+       |  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id)
+       |SELECT kpis.user_id, n_events, n_interactions, avg_interaction_value,
+       |       ${Num.rSql("date_diff('microsecond', s, e) / 60000000.0", 4)} AS session_duration_min
+       |FROM kpis LEFT JOIN fa ON kpis.user_id = fa.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_summary" -> sessionSummary,
     "q_journey" -> journey,
     "q_funnel" -> funnel,
     "q_dashboard" -> dashboard,
@@ -254,6 +287,7 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_session_summary" -> sessionSummarySql,
     "q_journey" -> journeySql,
     "q_funnel" -> funnelSql,
     "q_dashboard" -> dashboardSql,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Archive
+
+/** Physical-plan quality gates — the 100 TB design checks (SURVEY §4):
+  * filters reach the parquet scan, projections prune columns, small dims
+  * broadcast, top-k avoids global sort, archive reads prune partitions.
+  * These assert on explain output so a regression in plan shape fails CI,
+  * not just a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("Q1 filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan(analytics.Relational.pricingSummary(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.contains("ReadSchema"))
+    // only the referenced columns are read, not the 11-column table
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"))
+    // codegen ids only materialize in the executed (post-AQE) plan
+    val df = analytics.Relational.pricingSummary(spark, sf)
+    df.collect()
+    // "*(n)" operator prefix marks a WholeStageCodegen stage
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("revenue-by-nation broadcasts every dimension side") {
+    val p = plan(analytics.Relational.revenueByNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins:\n$p")
+  }
+
+  test("top-k executes as TakeOrderedAndProject, not a global sort") {
+    val p = plan(analytics.Relational.topCustomers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("grouped aggregates use partial (map-side) aggregation") {
+    val p = plan(analytics.Relational.sessionKpis(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("archive layout prunes partitions on day/topic reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
+    Archive.writeArchive(Tables.events(spark, sf), tmp)
+    val day = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).head().getString(0)
+    val df = Archive.readDay(spark, tmp, day, "frontend.user.interaction")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("dt"))
+    assert(df.count() > 0)
+    // pruned read only touches one dt/topic slice
+    val full = spark.read.parquet(tmp)
+    assert(df.count() < full.count())
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Normalize, Scoring}
+import graft.stages.Upsert
+
+/** ScalaCheck properties (SURVEY §5): score clamping, normalizer
+  * idempotence, last-write-wins upsert. Driven through the engine in
+  * batched DataFrames (one Spark job per property batch, not per case).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  /** scalatestplus isn't in the offline cache; drive ScalaCheck Gens
+    * directly with fixed seeds (deterministic, batched into one Spark
+    * job per seed).
+    */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    (1L to 5L).foreach { s =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(s)))
+    }
+
+  val messyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.const(""), Gen.const("  "),
+    Gen.asciiPrintableStr.map(s => s"  $s  "),
+    Gen.oneOf("a@b.co", "X@Y.ORG  ", "not an email", "user.name+tag@host.dom"))
+
+  test("normalizers are idempotent: norm(norm(x)) == norm(x)") {
+    forAll(Gen.listOfN(50, messyString)) { xs =>
+      val df = xs.toDF("x")
+        .select(Normalize.normString(col("x")).as("n1"),
+          Normalize.normalizeEmail(col("x")).as("e1"),
+          Normalize.normalizeEventType(col("x")).as("t1"))
+        .select(col("n1"), Normalize.normString(col("n1")).as("n2"),
+          col("e1"), Normalize.normalizeEmail(col("e1")).as("e2"),
+          col("t1"), Normalize.normalizeEventType(col("t1")).as("t2"))
+      df.collect().foreach { r =>
+        assert(r.get(0) == r.get(1), s"normString not idempotent: $r")
+        assert(r.get(2) == r.get(3), s"normalizeEmail not idempotent: $r")
+        assert(r.get(4) == r.get(5), s"normalizeEventType not idempotent: $r")
+      }
+    }
+  }
+
+  test("scores clamp to [0,100] for arbitrary inputs") {
+    val gen = for {
+      text <- Gen.oneOf(Gen.const(""), Gen.asciiPrintableStr,
+        Gen.const("sorry cannot help " * 50), Gen.const("recommend here steps try solution " * 20))
+      tokens <- Gen.chooseNum(-100, 5000)
+      lat <- Gen.chooseNum(-10.0, 100000.0)
+    } yield (text, tokens, lat)
+    forAll(Gen.listOfN(50, gen)) { xs =>
+      val df = xs.toDF("text", "tokens", "lat").select(
+        Scoring.completenessScore(col("text")).as("c"),
+        Scoring.relevanceScore(col("text")).as("r"),
+        Scoring.helpfulnessScore(col("text")).as("h"),
+        Scoring.businessValueScore(col("text"), col("tokens")).as("b"),
+        Scoring.efficiencyScore(col("tokens"), col("lat")).as("e"),
+        Scoring.engagementScore(col("text"), col("tokens")).as("g"))
+      df.collect().foreach { row =>
+        (0 until row.length).foreach { i =>
+          val v = row.get(i) match {
+            case d: Double => d
+            case n: Int => n.toDouble
+            case other => fail(s"unexpected type $other")
+          }
+          assert(v >= 0 && v <= 100, s"score out of range: $row")
+        }
+      }
+    }
+  }
+
+  test("last-write-wins upsert keeps exactly the max-version row per key") {
+    val gen = for {
+      key <- Gen.chooseNum(0, 20)
+      version <- Gen.chooseNum(0, 1000)
+      payload <- Gen.alphaNumStr
+    } yield (key, version, payload)
+    forAll(Gen.listOfN(200, gen)) { rows =>
+      val df = rows.toDF("k", "v", "p")
+      val got = Upsert.lastWriteWins(df, Seq("k"), Seq(col("v").desc, col("p").desc))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      val exp = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (k, v) => assert(v == exp(k)) }
+      // idempotence: applying twice changes nothing
+      val once = Upsert.lastWriteWins(df, Seq("k"), Seq(col("v").desc, col("p").desc))
+      val twice = Upsert.lastWriteWins(once, Seq("k"), Seq(col("v").desc, col("p").desc))
+      assert(twice.count() == once.count())
+    }
+  }
+}
