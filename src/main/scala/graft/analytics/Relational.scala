@@ -288,7 +288,44 @@ object Relational {
       |         min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
       |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
 
+  /** Hierarchical rollup (G-SETS tier — absent in the reference, free in
+    * Spark/DuckDB): revenue at (region, nation), (region), and grand
+    * total grains in one pass.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(Num.r(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val rollupRevenueSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${Num.rSql("sum(o_totalprice)", 2)} AS revenue, count(*) AS n_orders
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** Approximate-distinct tier (A3/A7 at 100 TB): HLL++ sketches. No SQL
+    * oracle — sketch implementations differ across engines; accuracy is
+    * asserted against exact counts in RelationalSpec instead.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_revenue" -> rollupRevenue,
+    "q_approx_distinct" -> approxDistinct,
     "q_session_kpis" -> sessionKpis,
     "q1_pricing_summary" -> pricingSummary,
     "q_top_customers" -> topCustomers,
@@ -304,6 +341,7 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_rollup_revenue" -> rollupRevenueSql,
     "q_session_kpis" -> sessionKpisSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q_top_customers" -> topCustomersSql,

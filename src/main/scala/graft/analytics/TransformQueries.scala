@@ -526,7 +526,97 @@ object TransformQueries {
       |       user_id, value
       |FROM events""".stripMargin
 
+  /** SC15 cross-source combined score (enhanced_pipeline_demo.py:258-276,
+    * J5): lead quality × frontend engagement × agent efficiency joined at
+    * a shared grain (deterministic bucket = key % 10 here), mean-combined
+    * with the 3-band recommendation.
+    */
+  def combinedScore(spark: SparkSession, dir: String): DataFrame = {
+    val asOfMs = 1706659200000L
+    val updatedMs = lit(asOfMs) - (col("c_custkey") % 20) * 86400000L
+    val company = when(col("c_custkey") % 2 === 0, "Acme Corp").otherwise(lit(null).cast("string"))
+    val title = when(col("c_custkey") % 7 === 0, "VP").otherwise(lit(null).cast("string"))
+    val leads = Tables.customer(spark, dir)
+      .select((col("c_custkey") % 10).as("bucket"),
+        Scoring.leadScore(emailRaw, firstRaw, lastRaw, company, title, phoneRaw,
+          sourceRaw, updatedMs, lit(asOfMs)).as("ls"))
+      .groupBy(col("bucket")).agg(avg(col("ls")).as("avg_lead_score"))
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val engagement = Tables.events(spark, dir)
+      .select((col("user_id") % 10).as("bucket"),
+        Scoring.engagementScore(col("event_type"), col("value").cast("int")).as("es"),
+        Scoring.efficiencyScore(floor(col("value") * 2).cast("int"),
+          ((k + 1) * 50).cast("double")).as("qs"))
+      .groupBy(col("bucket"))
+      .agg(avg(col("es")).as("avg_engagement"), avg(col("qs")).as("avg_quality"))
+    val combined = graft.Num.r(
+      (col("avg_lead_score") + col("avg_engagement") + col("avg_quality")) / 3, 4)
+    leads.join(engagement, Seq("bucket"))
+      .select(col("bucket"),
+        graft.Num.r(col("avg_lead_score"), 4).as("avg_lead_score"),
+        graft.Num.r(col("avg_engagement"), 4).as("avg_engagement"),
+        graft.Num.r(col("avg_quality"), 4).as("avg_quality"),
+        combined.as("combined_score"),
+        when(combined >= 80, "high_priority").when(combined >= 60, "medium_priority")
+          .otherwise("low_priority").as("recommendation"))
+  }
+
+  val combinedScoreSql: String = {
+    val e = s"($emailRawSql)"
+    val leadScoreExpr =
+      s"""least(
+         |    (CASE WHEN $e IS NULL OR $e = '' THEN 0
+         |          WHEN NOT contains($e, '@') THEN 0
+         |          WHEN lower(split_part($e, '@', 2))
+         |            IN ('gmail.com','yahoo.com','hotmail.com','outlook.com') THEN 5
+         |          ELSE 20 END)
+         |    + (CASE WHEN ($firstRawSql) IS NOT NULL AND ($firstRawSql) <> '' THEN 10 ELSE 0 END)
+         |    + (CASE WHEN ($lastRawSql) IS NOT NULL AND ($lastRawSql) <> '' THEN 10 ELSE 0 END)
+         |    + (CASE WHEN c_custkey % 2 = 0 THEN 10 ELSE 0 END)
+         |    + (CASE WHEN c_custkey % 7 = 0 THEN 10 ELSE 0 END)
+         |    + (CASE WHEN ($phoneRawSql) IS NOT NULL AND ($phoneRawSql) <> '' THEN 10 ELSE 0 END)
+         |    + (CASE lower(coalesce($sourceRawSql, ''))
+         |        WHEN 'referral' THEN 25 WHEN 'webinar' THEN 20 WHEN 'trade show' THEN 20
+         |        WHEN 'organic search' THEN 15 WHEN 'website' THEN 15 WHEN 'paid search' THEN 10
+         |        WHEN 'social media' THEN 10 WHEN 'email' THEN 5 ELSE 0 END)
+         |    + (CASE WHEN c_custkey % 20 <= 1 THEN 10 WHEN c_custkey % 20 <= 7 THEN 5 ELSE 0 END),
+         |  100)""".stripMargin
+    val kSql = "CAST(json_extract_string(props,'$.k') AS INT)"
+    val tout = "CAST(floor(value * 2) AS INT)"
+    val lat = s"CAST((($kSql + 1) * 50) AS DOUBLE)"
+    val tps = s"($tout / ($lat / 1000.0))"
+    val esSql =
+      """least(
+        |  (CASE event_type WHEN 'purchase' THEN 100 WHEN 'form_submit' THEN 80
+        |        WHEN 'widget_open' THEN 60 WHEN 'message_sent' THEN 70
+        |        WHEN 'click' THEN 20 WHEN 'scroll' THEN 10 WHEN 'page_view' THEN 15 ELSE 5 END)
+        |  + (CASE WHEN CAST(floor(value) AS INT) > 300 THEN 20 WHEN CAST(floor(value) AS INT) > 120 THEN 10
+        |          WHEN CAST(floor(value) AS INT) > 30 THEN 5 ELSE 0 END), 100)""".stripMargin
+    val qsSql =
+      s"""CASE WHEN $lat <= 0 THEN 0
+         |     WHEN $tps > 50 THEN 100 WHEN $tps > 25 THEN 80 WHEN $tps > 10 THEN 60
+         |     WHEN $tps > 5 THEN 40 WHEN $tps > 1 THEN 20 ELSE 10 END""".stripMargin
+    val comb = Num.rSql("(avg_lead_score + avg_engagement + avg_quality) / 3", 4)
+    s"""WITH leads AS (
+       |  SELECT c_custkey % 10 AS bucket, avg($leadScoreExpr) AS avg_lead_score
+       |  FROM customer GROUP BY 1),
+       |eng AS (
+       |  SELECT user_id % 10 AS bucket, avg($esSql) AS avg_engagement,
+       |         avg($qsSql) AS avg_quality
+       |  FROM events GROUP BY 1)
+       |SELECT leads.bucket,
+       |  ${Num.rSql("avg_lead_score", 4)} AS avg_lead_score,
+       |  ${Num.rSql("avg_engagement", 4)} AS avg_engagement,
+       |  ${Num.rSql("avg_quality", 4)} AS avg_quality,
+       |  $comb AS combined_score,
+       |  CASE WHEN $comb >= 80 THEN 'high_priority'
+       |       WHEN $comb >= 60 THEN 'medium_priority'
+       |       ELSE 'low_priority' END AS recommendation
+       |FROM leads JOIN eng ON leads.bucket = eng.bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_combined_score" -> combinedScore,
     "q_normalize_contacts" -> normalizeContacts,
     "q_lead_scores" -> leadScores,
     "q_device_parse" -> deviceParse,
@@ -539,6 +629,7 @@ object TransformQueries {
     "q_envelope_flatten" -> envelopeFlatten)
 
   val oracles: Map[String, String] = Map(
+    "q_combined_score" -> combinedScoreSql,
     "q_normalize_contacts" -> normalizeContactsSql,
     "q_lead_scores" -> leadScoresSql,
     "q_device_parse" -> deviceParseSql,

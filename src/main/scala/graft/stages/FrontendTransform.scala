@@ -15,6 +15,29 @@ object FrontendTransform {
   def isValid(df: DataFrame): Column =
     RequiredFields.map(f => col(f).isNotNull).reduce(_ && _)
 
+  /** Optional input column: resolve if present, else typed null — event
+    * payloads are sparse and heterogeneous (F20).
+    */
+  private def optCol(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+
+  /** F20 extract_event_specific_data — event-type-dependent payload kept
+    * as a JSON string column (heterogeneous shapes; SURVEY §7 risk
+    * register). Note: to_json drops null fields, so absent attributes
+    * disappear rather than serializing as JSON nulls — same information,
+    * tighter storage.
+    */
+  def eventData(df: DataFrame): Column = {
+    val et = lower(coalesce(col("event_type"), lit("")))
+    def js(names: String*) =
+      to_json(struct(names.map(n => optCol(df, n).as(n)): _*))
+    when(et === "click", js("element_id", "element_class", "element_text", "click_coordinates"))
+      .when(et === "scroll", js("scroll_depth", "scroll_direction", "max_scroll_depth"))
+      .when(et === "form_submit", js("form_id", "form_fields", "form_completion_time"))
+      .when(et.contains("widget"), js("widget_position", "widget_size", "widget_config"))
+      .otherwise(coalesce(optCol(df, "event_data"), lit("{}")))
+  }
+
   def enrich(raw: DataFrame, asOfMs: Long): DataFrame = {
     val u = col("page_url")
     val hasUrl = u.isNotNull && u =!= ""
@@ -41,6 +64,7 @@ object FrontendTransform {
       // F19 timing_info lift
       struct(col("load_time_ms"), col("time_on_page"), col("time_since_last_event"),
         col("session_duration"), col("page_load_complete")).as("timing_info"),
+      eventData(raw).as("event_data"),
       Scoring.userSegment(col("page_url"), col("event_type"), col("referrer")).as("user_segment"),
       Scoring.engagementScore(col("event_type"), col("time_on_page")).as("engagement_score"),
       Scoring.conversionStage(col("event_type"), col("page_url")).as("conversion_stage"),

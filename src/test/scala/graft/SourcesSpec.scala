@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+import graft.stages.Validation
+
+/** Source-side operators: CSV parse with dead-letter column (S1),
+  * incremental checkpoint scan (S2), validation split + error rate
+  * (P1–P3), and approx-distinct accuracy.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("CSV round-trip parses with schema; corrupt rows go to the dead-letter column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val f = java.nio.file.Paths.get(dir, "leads.csv")
+    java.nio.file.Files.writeString(f,
+      "id,email,score\n1,a@b.com,10\n2,c@d.org,20\nnot_a_number,x,y\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("email", StringType), StructField("score", IntegerType)))
+    val df = Sources.readCsv(spark, f.toString, schema).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_corrupt_record").startsWith("not_a_number"))
+  }
+
+  test("incremental checkpoint scan advances monotonically and is exactly-once") {
+    val ev = Tables.events(spark, sf).withColumn("w", unix_millis(col("ts")))
+    val (b1, ck1) = Sources.incrementalScan(ev, "w", 0L)
+    assert(b1.count() == ev.count())
+    // re-scan from the new checkpoint: empty batch, checkpoint unchanged
+    val (b2, ck2) = Sources.incrementalScan(ev, "w", ck1)
+    assert(b2.count() == 0 && ck2 == ck1)
+    // mid-stream checkpoint: batch strictly after it, union is complete
+    val mid = ev.agg(expr("percentile_approx(w, 0.5)")).head().get(0)
+      .asInstanceOf[Number].longValue()
+    val (b3, ck3) = Sources.incrementalScan(ev, "w", mid)
+    assert(b3.count() == ev.filter(col("w") > mid).count())
+    assert(ck3 == ck1)
+  }
+
+  test("validation split partitions rows and reports the error rate (P1-P3)") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), (null, "y"), ("c", null), ("d", "z"))
+      .toDF("id", "payload")
+    val (ok, dead) = Validation.split(df, Seq("id", "payload"))
+    assert(ok.count() == 2 && dead.count() == 2)
+    assert(Validation.errorRate(df, dead) == 0.5)
+    // P2 whitelist
+    val wl = Validation.whitelist(Seq("click", "page_view", "bogus").toDF("event_type"),
+      "event_type", Validation.AllowedEventTypes)
+    assert(wl.collect().map(_.getString(0)).toSet == Set("click", "page_view"))
+  }
+
+  test("approx_count_distinct tracks exact counts within rsd") {
+    val approx = analytics.Relational.approxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+}
