@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.scale.{DotProduct, MinHashSig, ShingleHashes, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's custom codegen
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text) …")`
+  * works next to the Column API. Activate with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * (the config form is what a cluster deployment would ship).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot product of float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct hashed word n-grams"),
+      (args: Seq[Expression]) => ShingleHashes(args.head, GraftExtensions.intArg(args, 1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, n, perms) - MinHash signature array"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, GraftExtensions.intArg(args, 1), GraftExtensions.intArg(args, 2))))
+  }
+}
+
+object GraftExtensions {
+  /** Literal-int argument extraction for function-registry builders. */
+  private[graft] def intArg(args: Seq[Expression], i: Int): Int =
+    args(i).eval(null) match {
+      case n: Int => n
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"argument $i must be an integer literal, got $other")
+    }
+}
