@@ -145,6 +145,27 @@ object ScaleQueries {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroidSimilarity(Tables.embeddings(spark, dir))
 
+  /** IVF search: probe the nearest label centroid, exact top-5 inside
+    * that inverted list only.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), 0L, 5)
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, label, $dblEmb AS v FROM embeddings),
+       |expl AS (
+       |  SELECT label, i, avg(v[i]) AS cx
+       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+       |cent AS (SELECT label, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY label),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cent.label FROM cent CROSS JOIN q
+       |  ORDER BY ${cosSql("cent.c", "qv")} DESC, cent.label ASC LIMIT 1)
+       |SELECT e.vec_id, e.label, ${Num.rSql(cosSql("e.v", "qv"), 6)} AS cos_sim
+       |FROM e JOIN probe ON e.label = probe.label CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
   val labelCentroidsSql: String =
     s"""WITH e AS (SELECT vec_id, label, $dblEmb AS v FROM embeddings),
        |expl AS (
@@ -202,10 +223,12 @@ object ScaleQueries {
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
     "q_label_centroids" -> labelCentroids,
+    "q_ivf_topk" -> ivfTopK,
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_stats" -> multimodalStatsSql,
+    "q_ivf_topk" -> ivfTopKSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_cosine_topk" -> cosineTopKSql,

@@ -97,20 +97,43 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Per-label centroid distance — the IVF building block: centroids via
-    * positional explode + mean, then each vector's cosine to its label
-    * centroid.
+  /** IVF top-k: coarse quantization by label centroid — probe the single
+    * nearest centroid to the query, then run exact cosine only within
+    * that partition (nprobe=1). At scale the centroid table is tiny and
+    * broadcast; the candidate scan reads one inverted list (~n/k vectors)
+    * instead of the corpus.
     */
-  def labelCentroidSimilarity(embeddings: DataFrame): DataFrame = {
-    val centroids = embeddings
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val centroids = labelCentroids(embeddings)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val probe = centroids.crossJoin(broadcast(qVec))
+      .select(col("label"), cosine(col("centroid"), col("q_embedding")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("label").asc)
+      .limit(1)
+      .select(col("label"))
+    embeddings.join(broadcast(probe), Seq("label"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .select(col("vec_id"), col("label"),
+        graft.Num.r(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Per-label centroids as arrays (coarse codebook). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("x").cast("double")).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
-    embeddings.join(broadcast(centroids), Seq("label"))
+
+  /** Per-label centroid distance — centroid assignment quality view. */
+  def labelCentroidSimilarity(embeddings: DataFrame): DataFrame =
+    embeddings.join(broadcast(labelCentroids(embeddings)), Seq("label"))
       .select(col("vec_id"), col("label"),
         graft.Num.r(cosine(col("embedding"), col("centroid")), 6).as("centroid_sim"))
-  }
 }
