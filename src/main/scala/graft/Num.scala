@@ -24,4 +24,27 @@ object Num {
     val pow = p(s)
     s"floor(($e) * $pow + 0.5) / $pow"
   }
+
+  /** Grid-snapped average: SUM of double data differs between engines by
+    * an ulp (different partial-aggregation order), which can flip the
+    * rounding of sum-derived values landing exactly on a rounding
+    * boundary. When the input data lives on a decimal grid (prices at 2
+    * decimals, price×discount products at 4), the accumulated fp error
+    * (~1e-6 at these scales) is far below half a grid step — so snapping
+    * the sum to the grid FIRST yields the identical double in both
+    * engines, and every downstream division/round is then bit-identical
+    * by construction.
+    */
+  def savg(sumExpr: Column, countExpr: Column, grid: Int, display: Int): Column =
+    r(r(sumExpr, grid) / countExpr, display)
+
+  def savgSql(sumExpr: String, countExpr: String, grid: Int, display: Int): String =
+    rSql(s"${rSql(sumExpr, grid)} / ($countExpr)", display)
+
+  /** Grid-snapped sum rounded for display. */
+  def ssum(sumExpr: Column, grid: Int, display: Int): Column =
+    r(r(sumExpr, grid), display)
+
+  def ssumSql(sumExpr: String, grid: Int, display: Int): String =
+    rSql(rSql(sumExpr, grid), display)
 }

@@ -34,7 +34,7 @@ object Events {
     perUser.groupBy(col("event_sequence"))
       .agg(count(lit(1)).as("frequency"),
         Num.r(avg(col("n_events")), 4).as("avg_events"),
-        Num.r(avg(col("duration_sec")), 3).as("avg_duration_sec"))
+        Num.savg(sum(col("duration_sec")), count(col("duration_sec")), 6, 3).as("avg_duration_sec"))
   }
 
   val journeySql: String =
@@ -46,7 +46,7 @@ object Events {
       |  FROM events GROUP BY user_id)
       |SELECT event_sequence, count(*) AS frequency,
       |       floor((avg(n_events)) * 10000.0 + 0.5) / 10000.0 AS avg_events,
-      |       floor((avg(duration_sec)) * 1000.0 + 0.5) / 1000.0 AS avg_duration_sec
+      |       floor((floor((sum(duration_sec)) * 1000000.0 + 0.5) / 1000000.0 / (count(duration_sec))) * 1000.0 + 0.5) / 1000.0 AS avg_duration_sec
       |FROM per_user GROUP BY event_sequence""".stripMargin
 
   /** A7: conversion funnel — stage map, per-stage distinct users,
@@ -101,7 +101,7 @@ object Events {
       count(when(lastDay && col("event_type") === "purchase", 1)).as("purchases_last_day"),
       Num.r(sum(when(lastDay && col("event_type") === "purchase", col("value"))
         .otherwise(lit(0.0))), 2).as("purchase_value_last_day"),
-      Num.r(avg(when(lastDay, col("value"))), 4).as("avg_value_last_day"),
+      Num.savg(sum(when(lastDay, col("value"))), count(when(lastDay, 1)), 2, 4).as("avg_value_last_day"),
       count(lit(1)).as("total_events"),
       countDistinct(col("user_id")).as("total_users"))
   }
@@ -114,7 +114,7 @@ object Events {
       |  count(DISTINCT CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN user_id END) AS users_last_day,
       |  count(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS AND event_type = 'purchase' THEN 1 END) AS purchases_last_day,
       |  floor((sum(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS AND event_type = 'purchase' THEN value ELSE 0 END)) * 100.0 + 0.5) / 100.0 AS purchase_value_last_day,
-      |  floor((avg(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN value END)) * 10000.0 + 0.5) / 10000.0 AS avg_value_last_day,
+      |  floor((floor((sum(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN value END)) * 100.0 + 0.5) / 100.0 / (count(CASE WHEN ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 24 HOURS THEN 1 END))) * 10000.0 + 0.5) / 10000.0 AS avg_value_last_day,
       |  count(*) AS total_events,
       |  count(DISTINCT user_id) AS total_users
       |FROM events""".stripMargin
@@ -206,12 +206,12 @@ object Events {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
-        Num.r(avg(col("value")), 4).as("avg_value"),
+        Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_value"),
         max(col("k")).as("max_k"))
 
   val jsonPropsSql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-      |       count(*) AS n_events, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+      |       count(*) AS n_events, floor((floor((sum(value)) * 100.0 + 0.5) / 100.0 / (count(value))) * 10000.0 + 0.5) / 10000.0 AS avg_value,
       |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
@@ -254,7 +254,7 @@ object Events {
     val fa = ev.filter(col("event_type").isin("view", "click"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_interactions"),
-        Num.r(avg(col("value")), 4).as("avg_interaction_value"))
+        Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_interaction_value"))
     kpis.join(fa, Seq("user_id"), "left")
       .select(col("user_id"), col("n_events"), col("n_interactions"),
         col("avg_interaction_value"),
@@ -268,7 +268,7 @@ object Events {
        |  FROM events GROUP BY user_id),
        |fa AS (
        |  SELECT user_id, count(*) AS n_interactions,
-       |         ${Num.rSql("avg(value)", 4)} AS avg_interaction_value
+       |         ${Num.savgSql("sum(value)", "count(value)", 2, 4)} AS avg_interaction_value
        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id)
        |SELECT kpis.user_id, n_events, n_interactions, avg_interaction_value,
        |       ${Num.rSql("date_diff('microsecond', s, e) / 60000000.0", 4)} AS session_duration_min

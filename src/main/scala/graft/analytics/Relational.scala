@@ -31,7 +31,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         Num.r(sum(col("value")), 2).as("total_value"),
-        Num.r(avg(col("value")), 4).as("avg_value"),
+        Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_value"),
         min(col("ts")).as("started_at"),
         max(col("ts")).as("ended_at"),
         countDistinct(col("event_type")).as("n_event_types"))
@@ -40,7 +40,7 @@ object Relational {
     """SELECT user_id,
       |       count(*) AS n_events,
       |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
-      |       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+      |       floor((floor((sum(value)) * 100.0 + 0.5) / 100.0 / (count(value))) * 10000.0 + 0.5) / 10000.0 AS avg_value,
       |       min(ts) AS started_at,
       |       max(ts) AS ended_at,
       |       count(DISTINCT event_type) AS n_event_types
@@ -54,18 +54,18 @@ object Relational {
       .agg(
         Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
         Num.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        Num.r(avg(col("l_quantity")), 4).as("avg_qty"),
-        Num.r(avg(col("l_discount")), 4).as("avg_disc"),
+        Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2).as("sum_disc_price"),
+        Num.savg(sum(col("l_quantity")), count(col("l_quantity")), 2, 4).as("avg_qty"),
+        Num.savg(sum(col("l_discount")), count(col("l_discount")), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
       |       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
       |       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-      |       floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-      |       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      |       floor((floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+      |       floor((floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 / (count(l_quantity))) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |       floor((floor((sum(l_discount)) * 100.0 + 0.5) / 100.0 / (count(l_discount))) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -103,11 +103,11 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("order_date"))
       .agg(count(lit(1)).as("n_orders"),
-        Num.r(avg(col("o_totalprice")), 2).as("avg_price"))
+        Num.savg(sum(col("o_totalprice")), count(col("o_totalprice")), 2, 2).as("avg_price"))
 
   val dailyOrdersSql: String =
     """SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders,
-      |       floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+      |       floor((floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 / (count(o_totalprice))) * 100.0 + 0.5) / 100.0 AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
 
   /** A3-analog: daily performance summary — two daily aggregates LEFT
@@ -118,11 +118,11 @@ object Relational {
       .groupBy(to_date(col("l_shipdate")).as("d"))
       .agg(count(lit(1)).as("n_lineitems"),
         Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
-        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2).as("revenue"))
     val ord = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n_orders"),
-        Num.r(avg(col("o_totalprice")), 2).as("avg_order_price"))
+        Num.savg(sum(col("o_totalprice")), count(col("o_totalprice")), 2, 2).as("avg_order_price"))
     li.join(ord, Seq("d"), "left")
   }
 
@@ -130,11 +130,11 @@ object Relational {
     """WITH li AS (
       |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_lineitems,
       |         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-      |         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+      |         floor((floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
       |  FROM lineitem GROUP BY 1),
       |ord AS (
       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
-      |         floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_order_price
+      |         floor((floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 / (count(o_totalprice))) * 100.0 + 0.5) / 100.0 AS avg_order_price
       |  FROM orders GROUP BY 1)
       |SELECT li.d, li.n_lineitems, li.sum_qty, li.revenue,
       |       ord.n_orders, ord.avg_order_price
@@ -156,13 +156,13 @@ object Relational {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2).as("revenue"),
         count(lit(1)).as("n_lineitems"))
   }
 
   val revenueByNationSql: String =
     """SELECT r_name, n_name,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+      |       floor((floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue,
       |       count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -179,13 +179,13 @@ object Relational {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit("1996-01-01"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
   val shippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+      |       floor((floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
@@ -202,18 +202,19 @@ object Relational {
     val seg = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(sum(col("o_totalprice")).as("seg_rev"), count(lit(1)).as("n_orders"))
+      .agg(Num.r(sum(col("o_totalprice")), 2).as("seg_rev"), count(lit(1)).as("n_orders"))
+    // seg_rev is grid-snapped in the aggregate, so the share division is
+    // bit-identical across engines
     seg.withColumn("rev_share",
         Num.r(col("seg_rev") / sum(col("seg_rev")).over(Window.partitionBy()), 6))
-      .withColumn("seg_rev", Num.r(col("seg_rev"), 2))
   }
 
   val mktsegShareSql: String =
     """WITH seg AS (
-      |  SELECT c_mktsegment, sum(o_totalprice) AS seg_rev, count(*) AS n_orders
+      |  SELECT c_mktsegment, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS seg_rev, count(*) AS n_orders
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY c_mktsegment)
-      |SELECT c_mktsegment, floor((seg_rev) * 100.0 + 0.5) / 100.0 AS seg_rev, n_orders,
+      |SELECT c_mktsegment, seg_rev, n_orders,
       |       floor((seg_rev / sum(seg_rev) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS rev_share
       |FROM seg""".stripMargin
 
@@ -266,8 +267,8 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"),
         Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
-        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        Num.r(avg(col("l_discount")), 4).as("avg_discount"),
+        Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2).as("revenue"),
+        Num.savg(sum(col("l_discount")), count(col("l_discount")), 2, 4).as("avg_discount"),
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"))
     Tables.orders(spark, dir)
@@ -283,8 +284,8 @@ object Relational {
       |FROM orders LEFT JOIN (
       |  SELECT l_orderkey, count(*) AS n_lines,
       |         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-      |         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
-      |         floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_discount,
+      |         floor((floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue,
+      |         floor((floor((sum(l_discount)) * 100.0 + 0.5) / 100.0 / (count(l_discount))) * 10000.0 + 0.5) / 10000.0 AS avg_discount,
       |         min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
       |  FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey""".stripMargin
 

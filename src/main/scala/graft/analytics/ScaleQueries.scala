@@ -176,13 +176,17 @@ object ScaleQueries {
        |SELECT e.vec_id, e.label, ${Num.rSql(cosSql("e.v", "cent.c"), 6)} AS centroid_sim
        |FROM e JOIN cent ON e.label = cent.label""".stripMargin
 
-  /** Token counting + document fingerprinting (md5). */
+  /** Token counting + document fingerprinting (md5 digest and the
+    * polynomial rolling hash — graft.scale.PolyHash, codegen'd, mirrored
+    * arithmetically in the oracle).
+    */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       TextAnalysis.wordCount(col("text")).as("ws_tokens"),
       TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
-      md5(col("text").cast("binary")).as("fingerprint"))
+      md5(col("text").cast("binary")).as("fingerprint"),
+      graft.scale.PolyHash.polyHash(col("text")).as("poly_fingerprint"))
 
   val tokenCountsSql: String =
     s"""SELECT doc_id,
@@ -190,7 +194,8 @@ object ScaleQueries {
        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
        |  CASE WHEN text IS NULL THEN 0
        |       ELSE len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) END AS bpe_tokens,
-       |  md5(text) AS fingerprint
+       |  md5(text) AS fingerprint,
+       |  ${graft.scale.PolyHash.sql("text")} AS poly_fingerprint
        |FROM documents""".stripMargin
 
   /** Multimodal asset-table stats through the binary+metadata schema
