@@ -218,7 +218,28 @@ object ScaleQueries {
        |  ${Num.rSql("avg(doc_id % 640 + 64)", 4)} AS avg_width
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Grouped top-k via the bounded TypedImperativeAggregate (TopKAgg):
+    * top-3 events by value per user — O(keys·k) shuffle instead of the
+    * window formulation's full per-group sort. Oracle = the window
+    * formulation in DuckDB (identical results, different physical plan).
+    */
+  def topkPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(graft.scale.TopK.topK(col("value"), col("event_id"), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("rank", "e")))
+      .select(col("user_id"), (col("rank") + 1).as("rank"),
+        col("e.score").as("value"), col("e.id").as("event_id"))
+
+  val topkPerUserSql: String =
+    """SELECT user_id, rank, value, event_id FROM (
+      |  SELECT user_id, value, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id ASC) AS rank
+      |  FROM events) WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_user" -> topkPerUser,
     "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
@@ -232,6 +253,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_user" -> topkPerUserSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_ivf_topk" -> ivfTopKSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -51,6 +51,22 @@ class ScaleSpec extends AnyFunSuite {
 
   private def directedEval(s: String): Long = SimHash64.compute(s)
 
+  test("TopKAgg equals the window formulation, including under many partitions") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, "/root/testdata/sf0.01").repartition(17)
+    val viaAgg = ev.groupBy(col("user_id"))
+      .agg(graft.scale.TopK.topK(col("value"), col("event_id"), 5).as("top"))
+      .select(col("user_id"), explode(col("top")).as("e"))
+      .select(col("user_id"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("brute-force and LSH top-k agree on shared candidates") {
     val brute = ScaleQueries.cosineTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
