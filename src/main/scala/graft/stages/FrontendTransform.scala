@@ -61,9 +61,12 @@ object FrontendTransform {
       DeviceInfo.deviceInfo(col("user_agent"), col("screen_resolution"),
         col("viewport_size")).as("device_info"),
       Normalize.standardizeTsNum(col("timestamp")).as("timestamp"),
-      // F19 timing_info lift
-      struct(col("load_time_ms"), col("time_on_page"), col("time_since_last_event"),
-        col("session_duration"), col("page_load_complete")).as("timing_info"),
+      // F19 timing_info lift (optional fields)
+      struct(optCol(raw, "load_time_ms").as("load_time_ms"),
+        optCol(raw, "time_on_page").as("time_on_page"),
+        optCol(raw, "time_since_last_event").as("time_since_last_event"),
+        optCol(raw, "session_duration").as("session_duration"),
+        optCol(raw, "page_load_complete").as("page_load_complete")).as("timing_info"),
       eventData(raw).as("event_data"),
       Scoring.userSegment(col("page_url"), col("event_type"), col("referrer")).as("user_segment"),
       Scoring.engagementScore(col("event_type"), col("time_on_page")).as("engagement_score"),

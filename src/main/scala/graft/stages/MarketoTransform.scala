@@ -19,11 +19,16 @@ object MarketoTransform {
   def isValid(df: DataFrame): Column =
     RequiredFields.map(f => col(f).isNotNull).reduce(_ && _)
 
+  /** Optional input column — sparse lead payloads may omit fields. */
+  private def optCol(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+
   /** Enrich raw leads; `asOfMs` pins SC1 recency and F1 parse fallback
     * (reference uses wall-clock now()).
     */
   def enrich(raw: DataFrame, asOfMs: Long): DataFrame = {
     val asOf = lit(asOfMs)
+    def oc(n: String) = optCol(raw, n)
     raw.filter(isValid(raw)).select(
       col("id").cast("long").as("lead_id"),
       Normalize.normalizeEmail(col("email")).as("email"),
@@ -43,10 +48,10 @@ object MarketoTransform {
         col("company"), col("title"), col("phone"), col("leadSource"),
         Normalize.standardizeTsStr(col("updatedAt"), asOf), asOf).as("lead_quality_score"),
       struct(
-        Normalize.normString(col("country")).as("country"),
-        Normalize.normString(col("state")).as("state"),
-        Normalize.normString(col("city")).as("city"),
-        Normalize.normString(col("postalCode")).as("postal_code"),
-        Normalize.normString(col("timezone")).as("timezone")).as("geographic_info"))
+        Normalize.normString(oc("country")).as("country"),
+        Normalize.normString(oc("state")).as("state"),
+        Normalize.normString(oc("city")).as("city"),
+        Normalize.normString(oc("postalCode")).as("postal_code"),
+        Normalize.normString(oc("timezone")).as("timezone")).as("geographic_info"))
   }
 }

@@ -36,7 +36,11 @@ object TextAgentTransform {
       Normalize.normString(col("session_id")).as("session_id"),
       Normalize.normString(col("turn_id")).as("turn_id"),
       Normalize.normString(col("user_id")).as("user_id"),
-      coalesce(Normalize.normString(col("channel")), lit("text")).as("channel"),
+      // default-then-normalize, matching the reference's
+      // normalize_string(raw.get('channel', 'text')): an absent channel
+      // (null column) defaults to "text"; an explicit empty string
+      // normalizes to NULL
+      Normalize.normString(coalesce(col("channel"), lit("text"))).as("channel"),
       struct(
         m.as("model_name"),
         ModelInfo.modelFamily(m).as("model_family"),
