@@ -108,6 +108,32 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
         max(col("ts")).as("last_activity"))
 
+  /** S8 streaming form: keyed upsert sink via foreachBatch — each
+    * micro-batch is merged last-write-wins into the managed state table
+    * (SURVEY §7 risk register: batch parity uses window dedup; streaming
+    * parity needs a foreachBatch merge — this is that merge, against a
+    * parquet-backed table since Delta is outside the zero-egress
+    * toolchain). Idempotent per batch: re-merging a batch is a no-op.
+    */
+  def upsertSink(df: DataFrame, stateDir: String, keys: Seq[String],
+      versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(stateDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = graft.stages.Upsert.lastWriteWins(
+          existing.unionByName(batch), keys,
+          Seq(org.apache.spark.sql.functions.col(versionCol).desc))
+        // write to a temp location then swap — the state table is also an
+        // input of this batch
+        val tmp = stateDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+    }.start()
+
   /** Run a streaming query to completion over the (finite) file source —
     * the batch-equivalence harness used by StreamingSpec and available as
     * a library utility for backfills.

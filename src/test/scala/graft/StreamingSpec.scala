@@ -55,6 +55,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sKeys == bKeys)
   }
 
+  test("foreachBatch upsert sink converges to the batch last-write-wins state") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val events = Streams.eventStream(spark, eventsDir)
+    val q = Streams.upsertSink(events, stateDir, Seq("user_id"), "event_id")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(stateDir)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = Tables.events(spark, sf)
+      .groupBy("user_id").agg(max("event_id").as("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
   test("mapGroupsWithState session state folds events with seq guard") {
     val events = Streams.eventStream(spark, eventsDir)
     implicit val s = spark
