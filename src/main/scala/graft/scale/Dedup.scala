@@ -21,15 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle array (distinct), null-safe. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    val raw = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    when(text.isNull || size(w) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(raw))
-  }
-
   /** Exact dedup: group on digest, keep canonical min key.
     * Returns (key_col_name kept as `canonical_doc_id`, n_copies).
     */
@@ -47,9 +38,6 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     ShingleExprs.shingleHashes(text, n)
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
-    * O(candidate pairs); run on bounded corpora or post-LSH candidates.
-    */
   /** Enumerate ordered (d1 < d2) pairs from a sorted id array — HOF pair
     * expansion after a groupBy(shingle), which costs ONE shuffle of
     * (shingle, doc_id) instead of a self-join's two.
@@ -59,6 +47,9 @@ object Dedup {
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("d1"), y.as("d2")))))
 
+  /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
+    * O(candidate pairs); run on bounded corpora or post-LSH candidates.
+    */
   def jaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = docs

@@ -47,17 +47,24 @@ object Similarity {
   /** Random-hyperplane signature: one bit per plane = sign(v·plane).
     * Planes come from the data itself (vec_id in [1, 1+bits)) so the
     * construction is deterministic and oracle-expressible.
+    *
+    * The plane set is tiny and fixed, so it is collected once and inlined
+    * as array literals — the signature becomes a pure projection (no
+    * crossJoin, no groupBy): zero shuffles before the bucket join itself.
     */
   def lshSignature(embeddings: DataFrame, planeIds: Seq[Long]): DataFrame = {
-    val planes = embeddings
+    val planes: Seq[(Long, Seq[Double])] = embeddings
       .filter(col("vec_id").isInCollection(planeIds))
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    embeddings.crossJoin(broadcast(planes))
-      .groupBy(col("vec_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pid"),
-          when(dot(col("embedding"), col("pe")) >= 0, "1").otherwise("0").as("bit")))),
-        x => x.getField("bit")), "").as("bucket"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+    val bits = planes.map { case (_, pe) =>
+      when(dot(col("embedding"), typedLit(pe)) >= 0, "1").otherwise("0")
+    }
+    embeddings.select(col("vec_id"),
+      concat(bits: _*).as("bucket"))
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket. */
