@@ -615,7 +615,33 @@ object TransformQueries {
        |FROM leads JOIN eng ON leads.bucket = eng.bucket""".stripMargin
   }
 
+  /** SC3-extended [spec-only] engagement with scroll/form bonuses
+    * (TRANSFORM_LAYER_BENEFITS.md:113-124).
+    */
+  def engagementExtended(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(spark, dir)
+      .groupBy(Scoring.engagementScoreExtended(
+        col("event_type"), floor(col("value")).cast("int"), k,
+        col("event_type") === "signup").as("engagement_score"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val engagementExtendedSql: String = {
+    val k = "CAST(json_extract_string(props,'$.k') AS INT)"
+    s"""SELECT least(
+       |  (CASE event_type WHEN 'purchase' THEN 100 WHEN 'form_submit' THEN 80
+       |        WHEN 'widget_open' THEN 60 WHEN 'message_sent' THEN 70
+       |        WHEN 'click' THEN 20 WHEN 'scroll' THEN 10 WHEN 'page_view' THEN 15 ELSE 5 END)
+       |  + (CASE WHEN CAST(floor(value) AS INT) > 300 THEN 20 ELSE 0 END)
+       |  + (CASE WHEN $k > 75 THEN 15 ELSE 0 END)
+       |  + (CASE WHEN event_type = 'signup' THEN 25 ELSE 0 END), 100) AS engagement_score,
+       |  count(*) AS n
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_engagement_extended" -> engagementExtended,
     "q_combined_score" -> combinedScore,
     "q_normalize_contacts" -> normalizeContacts,
     "q_lead_scores" -> leadScores,
@@ -629,6 +655,7 @@ object TransformQueries {
     "q_envelope_flatten" -> envelopeFlatten)
 
   val oracles: Map[String, String] = Map(
+    "q_engagement_extended" -> engagementExtendedSql,
     "q_combined_score" -> combinedScoreSql,
     "q_normalize_contacts" -> normalizeContactsSql,
     "q_lead_scores" -> leadScoresSql,

@@ -64,6 +64,21 @@ object Scoring {
     least(base + bonus, lit(100))
   }
 
+  /** SC3 [spec-only] extended engagement score
+    * (docs/TRANSFORM_LAYER_BENEFITS.md:113-124): the documented-but-
+    * unimplemented scroll-depth and form-interaction bonuses layered on
+    * the same base map; cap 100.
+    */
+  def engagementScoreExtended(eventType: Column, timeOnPage: Column,
+      scrollDepth: Column, formInteraction: Column): Column = {
+    val base = coalesce(element_at(typedLit(EventScores), eventType), lit(5))
+    val bonus =
+      when(coalesce(timeOnPage, lit(0)) > 300, 20).otherwise(0) +
+        when(coalesce(scrollDepth, lit(0)) > 75, 15).otherwise(0) +
+        when(coalesce(formInteraction, lit(false)), 25).otherwise(0)
+    least(base + bonus, lit(100))
+  }
+
   /** SC4 determine_user_segment (frontend_transformer.py:353-369). */
   def userSegment(pageUrl: Column, eventType: Column, referrer: Column): Column = {
     val u = lower(coalesce(pageUrl, lit("")))
