@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("driver entry point returns rows (smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every registered oracle has a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("cosine top-k broadcasts the query vector and avoids a global sort") {
+    val p = plan(analytics.ScaleQueries.cosineTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
