@@ -43,26 +43,54 @@ object ScaleQueries {
     Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
 
+  /** Shared shingle/intersection CTEs for the Jaccard-family oracles. */
+  private val jaccardCtesSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |        ELSE [] END) AS s
+      |    FROM toks) t),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   val jaccardPairsSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-       |        ELSE [] END) AS s
-       |    FROM toks) t),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+    s"""WITH $jaccardCtesSql
        |SELECT d1, d2,
        |       ${Num.rSql("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 6)} AS jaccard
        |FROM inter
        |JOIN sizes s1 ON d1 = s1.doc_id
        |JOIN sizes s2 ON d2 = s2.doc_id
        |WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5""".stripMargin
+
+  /** Dedup clusters: connected components over the exact near-dup pairs
+    * (keep min doc_id per cluster as canonical). Oracle: recursive-CTE
+    * transitive closure with min-reachable labels.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5))
+
+  val dupClustersSql: String = {
+    s"""WITH RECURSIVE $jaccardCtesSql,
+       |pairs AS (SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+       |SELECT node AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
+  }
 
   /** MinHash+LSH near-dup pairs — the linear-ish scale path. xxhash64
     * seeding is engine-specific, so no SQL oracle (rows-only); ScaleSpec
@@ -243,6 +271,7 @@ object ScaleQueries {
     "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
+    "q_dup_clusters" -> dupClusters,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_cosine_topk" -> cosineTopK,
@@ -258,6 +287,7 @@ object ScaleQueries {
     "q_ivf_topk" -> ivfTopKSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_embed_neardup" -> embedNearDupSql,

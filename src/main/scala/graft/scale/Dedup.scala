@@ -99,6 +99,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise similarity into dedup GROUPS (keep one canonical doc per
+    * cluster). Iterative min-label propagation: each node adopts the
+    * minimum label among itself and its neighbors until fixpoint.
+    * Converges in O(component diameter) Spark jobs; near-dup clusters
+    * are shallow (dup fan-outs, not long chains), so the loop is short.
+    * Labels are checkpointed via localCheckpoint each round to keep the
+    * plan from growing linearly with iterations.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val neigh = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neigh, labels("node") === neigh("a"), "left")
+        .select(labels("node"),
+          labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.filter(col("label") =!= col("old_label")).count()
+      labels = updated.select(col("node"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidates →
     * exact-verify Jaccard on candidates only.
     */

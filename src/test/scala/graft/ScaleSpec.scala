@@ -51,6 +51,20 @@ class ScaleSpec extends AnyFunSuite {
 
   private def directedEval(s: String): Long = SimHash64.compute(s)
 
+  test("dedup clusters are consistent: every pair co-clustered, id = min member") {
+    val pairs = ScaleQueries.jaccardPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = ScaleQueries.dupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both endpoints of every near-dup pair share a cluster
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b), s"($a,$b) split") }
+    // the cluster id is the minimum member of the cluster
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+    }
+    assert(clusters.nonEmpty)
+  }
+
   test("TopKAgg equals the window formulation, including under many partitions") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, "/root/testdata/sf0.01").repartition(17)
