@@ -176,8 +176,8 @@ if __name__ == "__main__":
     import os
     os.makedirs(outdir, exist_ok=True)
     run("marketo", gen_marketo, MarketoTransformer(), MARKETO_FIELDS,
-        400, f"{outdir}/marketo")
+        800, f"{outdir}/marketo")
     run("frontend", gen_frontend, FrontendTransformer(), FRONTEND_FIELDS,
-        400, f"{outdir}/frontend")
+        800, f"{outdir}/frontend")
     run("textagent", gen_textagent, TextAgentTransformer(), TEXTAGENT_FIELDS,
-        400, f"{outdir}/textagent")
+        800, f"{outdir}/textagent")

@@ -58,7 +58,7 @@ class GoldenFuzzSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"\n${errs.take(20).mkString("\n")}")
   }
 
-  test("marketo stage matches the reference over 308 fuzz records") {
+  test("marketo stage matches the reference over 618 fuzz records") {
     val in = spark.read.json(s"$dir/marketo_inputs.jsonl")
     val got = MarketoTransform.enrich(in, AsOfMs)
     val fields = Seq(
@@ -73,7 +73,7 @@ class GoldenFuzzSpec extends AnyFunSuite {
     check(got, exp, "lead_id", fields, Map.empty)
   }
 
-  test("frontend stage matches the reference over 252 fuzz records") {
+  test("frontend stage matches the reference over 514 fuzz records") {
     val in = spark.read.json(s"$dir/frontend_inputs.jsonl")
     val got = FrontendTransform.enrich(in, AsOfMs)
     val fields = Seq(
@@ -95,7 +95,7 @@ class GoldenFuzzSpec extends AnyFunSuite {
     check(got, exp, "user_id", fields, Map.empty)
   }
 
-  test("text-agent stage matches the reference over 258 fuzz records") {
+  test("text-agent stage matches the reference over 534 fuzz records") {
     import org.apache.spark.sql.types.{StructType => ST}
     val inSchema = new ST()
       .add("__id", LongType).add("session_id", StringType).add("turn_id", StringType)
