@@ -25,7 +25,9 @@ WORDS = ["the", "and", "help", "sorry", "product", "price", "recommend",
          "payment", "warranty", "tracking", "suggest", "info", "details"]
 
 def maybe(v, p=0.8):
-    return v if rng.random() < p else rng.choice([None, "", "  "])
+    # include non-space whitespace: Python .strip() removes \t/\n, Spark
+    # trim() would not — the round-1 advice gap
+    return v if rng.random() < p else rng.choice([None, "", "  ", "\n", "\t"])
 
 def text(n):
     parts = [rng.choice(WORDS) for _ in range(n)]
@@ -39,11 +41,13 @@ def text(n):
 
 def gen_marketo(i):
     emails = [f"user{i}@Example.COM", f"  USER{i}@test.org  ", "bad email",
-              f"user{i}@gmail.com", None, "", f"a+b_{i}@x-y.co"]
+              f"user{i}@gmail.com", None, "", f"a+b_{i}@x-y.co",
+              f"\nuser{i}@tabbed.io\t"]
     phones = [f"{rng.randrange(10**9, 10**10)}", f"1{rng.randrange(10**9, 10**10)}",
               "(555) 987-6543 ext 123", "+44 20 7946 0958", None, "", "12345"]
     sources = ["web", "WEBSITE", " referral ", "fax machine", "Paid Search",
-               "organic search", None, "", "direct mail", "trade show"]
+               "organic search", None, "", "direct mail", "trade show",
+               "\torganic search\n"]
     return {
         "id": i,
         "email": rng.choice(emails),
@@ -57,8 +61,11 @@ def gen_marketo(i):
         "leadStatus": maybe("New"),
         "createdAt": rng.choice(["2024-01-15T10:30:00Z", "2024-02-01 08:00:00",
                                  None, "", "not-a-date"]),
+        # all parseable-aware values are >7 days old at any run time, naive
+        # datetimes raise TypeError and garbage raises ValueError in the
+        # reference's recency try/except — every branch is deterministic
         "updatedAt": rng.choice(["2024-01-20T14:22:00Z", "2023-06-01T00:00:00Z",
-                                 None, ""]),
+                                 None, "", "2024-02-01 08:00:00", "not-a-date"]),
         "country": maybe("US"), "state": maybe("CA"),
         "city": maybe("SF"), "postalCode": maybe("94105"),
     }
@@ -79,7 +86,9 @@ def gen_frontend(i):
             "https://a.b/cart/checkout", "https://a.b/", "", None,
             f"https://news.example.org/article/{i}"]
     refs = ["https://google.com/search?q=x", "https://facebook.com/p",
-            "https://partner.io/a", "", None, "https://mail.google.com/u/0"]
+            "https://partner.io/a", "", None, "https://mail.google.com/u/0",
+            "https://partner.io:8080/a",      # netloc keeps the port
+            "www.google.com/search?q=x"]      # scheme-less: netloc = ''
     events = ["widget_open", "click", "page_view", "form_submit", "scroll",
               "Widget-Open", "PURCHASE", "hover"]
     return {
@@ -121,7 +130,9 @@ def gen_textagent(i):
         "tokens_in": rng.choice([0, 5, 150, 900]),
         "tokens_out": rng.choice([0, 8, 60, 342, 800, 1500]),
         "latency_ms": rng.choice([0, 40, 1250, 30000]),
-        "response_text": rng.choice([text(rng.randrange(0, 120)), "", None]),
+        "response_text": rng.choice([text(rng.randrange(0, 120)), "", None,
+                                     "\n" + text(rng.randrange(1, 40)),
+                                     " \t" + text(rng.randrange(1, 40)) + " \n"]),
         "tools_used": rng.choice(tools),
         "tool_results": rng.choice([{}, {"a": {"success": True}},
                                     {"a": {"success": True}, "b": {"success": False}},

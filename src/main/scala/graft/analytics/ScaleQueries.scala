@@ -241,8 +241,8 @@ object ScaleQueries {
   val multimodalStatsSql: String =
     s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |  count(*) AS n_assets,
-       |  sum(length(text)) AS total_bytes,
-       |  sum(n_chars * 10) AS total_duration_ms,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       |  CAST(sum(n_chars * 10) AS BIGINT) AS total_duration_ms,
        |  ${Num.rSql("avg(doc_id % 640 + 64)", 4)} AS avg_width
        |FROM documents GROUP BY 1""".stripMargin
 

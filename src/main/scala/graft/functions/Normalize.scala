@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  /** F3 normalize_string — cast→trim→empty⇒NULL (base_transformer.py:85-95). */
-  def normString(c: Column): Column = nullif(trim(c), lit(""))
+  /** Python str.strip()/str.split() whitespace semantics: strip ALL
+    * whitespace characters. Spark's trim() strips only space (0x20), so a
+    * leading \n or \t (common in LLM response text) would survive and
+    * diverge from the reference.
+    */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** F3 normalize_string — cast→strip→empty⇒NULL (base_transformer.py:85-95). */
+  def normString(c: Column): Column = nullif(wsTrim(c), lit(""))
 
   /** F1 standardize_timestamp, numeric input: >1e12 ⇒ already ms, else
     * seconds⇒ms; 0/null ⇒ null (Python falsy guard, base_transformer.py:43-63).
@@ -34,12 +41,24 @@ object Normalize {
       .otherwise(coalesce(
         unix_millis(to_timestamp(regexp_replace(c, "Z$", "+00:00"))), asOfMs))
 
+  /** SC1 recency input — the reference computes
+    * `(datetime.now(timezone.utc) - fromisoformat(s)).days` inside
+    * try/except (marketo_transformer.py:181-191): unparseable strings raise
+    * ValueError and NAIVE datetimes (no UTC offset) raise TypeError on the
+    * aware-minus-naive subtraction, both swallowed ⇒ no recency bonus. So
+    * epoch ms only for offset-bearing parseable strings, NULL otherwise —
+    * unlike standardizeTsStr there is deliberately no asOf fallback.
+    */
+  def recencyTsStr(c: Column): Column =
+    when(c.rlike("(Z|[+-]\\d{2}:\\d{2})$"),
+      unix_millis(to_timestamp(regexp_replace(c, "Z$", "+00:00"))))
+
   /** F5 normalize_email — trim+lower then regex-validate, invalid ⇒ NULL
     * (marketo_transformer.py:64-78).
     */
   val EmailRe = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$"
   def normalizeEmail(c: Column): Column = {
-    val e = lower(trim(c))
+    val e = lower(wsTrim(c))
     when(e.rlike(EmailRe), e)
   }
 
@@ -55,7 +74,7 @@ object Normalize {
           format_string("(%s) %s-%s", substring(d, 1, 3), substring(d, 4, 3), substring(d, 7, 4)))
         .when(length(d) === 11 && d.startsWith("1"),
           format_string("1-(%s) %s-%s", substring(d, 2, 3), substring(d, 5, 3), substring(d, 8, 4)))
-        .otherwise(trim(c)))
+        .otherwise(wsTrim(c)))
   }
 
   /** F7 normalize_lead_source — canonical 10-entry map on trim+lower, else
@@ -71,7 +90,7 @@ object Normalize {
   def normalizeLeadSource(c: Column): Column = {
     val m = typedLit(LeadSourceMap)
     when(c.isNull || c === "", lit(null).cast("string"))
-      .otherwise(coalesce(element_at(m, lower(trim(c))), initcap(c)))
+      .otherwise(coalesce(element_at(m, lower(wsTrim(c))), initcap(c)))
   }
 
   /** F8 create_full_name — "first last" with null-tolerant fallback

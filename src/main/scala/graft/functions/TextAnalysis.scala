@@ -18,10 +18,13 @@ object TextAnalysis {
   def responseLength(t: Column): Column =
     when(t.isNull, 0).otherwise(length(t))
 
-  /** F26 word_count — len(text.split()): whitespace runs, no empties. */
+  /** F26 word_count — len(text.split()): whitespace runs, no empties.
+    * Python .split() discards leading/trailing whitespace of ANY kind,
+    * so strip with Normalize.wsTrim, not Spark trim() (space-only).
+    */
   def wordCount(t: Column): Column =
-    when(t.isNull || length(trim(t)) === 0, 0)
-      .otherwise(size(split(trim(t), "\\s+")))
+    when(t.isNull || length(Normalize.wsTrim(t)) === 0, 0)
+      .otherwise(size(split(Normalize.wsTrim(t), "\\s+")))
 
   /** F26 sentence_count — occurrences of '.', '!', '?'. */
   def sentenceCount(t: Column): Column =
@@ -52,7 +55,7 @@ object TextAnalysis {
     * (text_agent_transformer.py:200-224).
     */
   def language(t: Column): Column = {
-    val words = slice(split(lower(trim(t)), "\\s+"), 1, 50)
+    val words = slice(split(lower(Normalize.wsTrim(t)), "\\s+"), 1, 50)
     val en = tokenMatches(words, EnglishWords)
     val es = tokenMatches(words, SpanishWords)
     val fr = tokenMatches(words, FrenchWords)

@@ -24,6 +24,20 @@ object UrlInfo {
   def urlParam(u: Column, key: String): Column =
     nullif(regexp_extract(u, s"[?&]${java.util.regex.Pattern.quote(key)}=([^&#]*)", 1), lit(""))
 
+  /** F15 query_params — the full first-value map
+    * (frontend_transformer.py:117-120): parse_qs drops blank values
+    * (keep_blank_values=False) and bare keys without '=', so filter
+    * empty/null values out of str_to_map's output. Two documented gaps vs
+    * parse_qs, neither reachable from the event surface: %-escapes are not
+    * decoded, and duplicate keys (Python keeps the first) follow the
+    * session's mapKeyDedupPolicy instead.
+    */
+  def queryParams(u: Column): Column = {
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    map_filter(str_to_map(q, lit("&"), lit("=")),
+      (_, v) => v.isNotNull && v =!= "")
+  }
+
   /** F16 categorize_page — keyword buckets over the lowered path
     * (frontend_transformer.py:144-169). Order of the when-chain matches
     * the Python elif order.
@@ -64,7 +78,11 @@ object UrlInfo {
       .otherwise("referral")
 
   /** F17 assembled: referrer string ⇒ {referrer, referrer_domain,
-    * referrer_type} struct (frontend_transformer.py:171-201).
+    * referrer_type} struct (frontend_transformer.py:171-201). The domain is
+    * urlparse().netloc.lower() — netloc KEEPS port/userinfo (parse_url's
+    * HOST would strip them) and is '' (not NULL) for scheme-less referrers,
+    * so reuse the netloc-preserving urlDomain regex with an empty-string
+    * fallback.
     */
   def referrerInfo(r: Column): Column =
     when(r.isNull || r === "",
@@ -72,7 +90,7 @@ object UrlInfo {
         lit(null).cast("string").as("referrer_domain"),
         lit("direct").as("referrer_type")))
     .otherwise {
-      val d = lower(parse_url(r, lit("HOST")))
+      val d = coalesce(lower(urlDomain(r)), lit(""))
       struct(r.as("referrer"), d.as("referrer_domain"),
         referrerType(d).as("referrer_type"))
     }

@@ -44,9 +44,13 @@ object MarketoTransform {
       Normalize.standardizeTsStr(col("updatedAt"), asOf).as("updated_at"),
       Normalize.fullName(col("firstName"), col("lastName")).as("full_name"),
       Normalize.emailDomain(col("email")).as("email_domain"),
+      // recency uses recencyTsStr (NULL on naive/unparseable updatedAt — the
+      // reference's try/except awards no bonus there), while the updated_at
+      // OUTPUT column above keeps standardizeTsStr's asOf fallback mirroring
+      // the reference's now() fallback.
       Scoring.leadScore(col("email"), col("firstName"), col("lastName"),
         col("company"), col("title"), col("phone"), col("leadSource"),
-        Normalize.standardizeTsStr(col("updatedAt"), asOf), asOf).as("lead_quality_score"),
+        Normalize.recencyTsStr(col("updatedAt")), asOf).as("lead_quality_score"),
       struct(
         Normalize.normString(oc("country")).as("country"),
         Normalize.normString(oc("state")).as("state"),
