@@ -85,6 +85,59 @@ object Events {
       |             lag(n_users) OVER (ORDER BY funnel_stage)) * 10000.0 + 0.5) / 10000.0 AS conversion_rate
       |FROM counts""".stripMargin
 
+  /** A7 reference-parity funnel (snowflake_loader.py:225-254): the exact
+    * query shape — 5-stage widget event map, trailing-7-day filter pinned
+    * to asOf, GROUP BY (funnel_stage, event_type), previous_stage_sessions
+    * kept as an output column, NULL-guarded conversion rate. The testdata
+    * event types are bijectively renamed onto the widget vocabulary so
+    * every stage is populated. `funnel` above stays as the 4-stage analog.
+    */
+  def funnelRef(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(Tables.AsOf).cast("timestamp")
+    val staged = Tables.events(spark, dir)
+      .filter(col("ts") >= asOf - expr("INTERVAL 7 DAYS"))
+      .withColumn("event_type",
+        when(col("event_type") === "view", "page_view")
+          .when(col("event_type") === "click", "widget_open")
+          .when(col("event_type") === "signup", "user_message")
+          .when(col("event_type") === "purchase", "product_interest")
+          .otherwise("conversion"))
+      .withColumn("funnel_stage",
+        when(col("event_type") === "page_view", 1)
+          .when(col("event_type") === "widget_open", 2)
+          .when(col("event_type") === "user_message", 3)
+          .when(col("event_type") === "product_interest", 4)
+          .otherwise(5))
+    val counts = staged.groupBy(col("funnel_stage"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_sessions"))
+    val w = Window.orderBy(col("funnel_stage"))
+    counts
+      .withColumn("previous_stage_sessions", lag(col("unique_sessions"), 1).over(w))
+      .withColumn("conversion_rate",
+        when(col("previous_stage_sessions") > 0,
+          Num.r(col("unique_sessions").cast("double") / col("previous_stage_sessions"), 6)))
+  }
+
+  val funnelRefSql: String =
+    s"""WITH staged AS (
+       |  SELECT user_id,
+       |         CASE event_type WHEN 'view' THEN 'page_view' WHEN 'click' THEN 'widget_open'
+       |              WHEN 'signup' THEN 'user_message' WHEN 'purchase' THEN 'product_interest'
+       |              ELSE 'conversion' END AS event_type,
+       |         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+       |              WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 ELSE 5 END AS funnel_stage
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 7 DAYS),
+       |counts AS (
+       |  SELECT funnel_stage, event_type, count(DISTINCT user_id) AS unique_sessions
+       |  FROM staged GROUP BY 1, 2)
+       |SELECT funnel_stage, event_type, unique_sessions,
+       |       lag(unique_sessions) OVER (ORDER BY funnel_stage) AS previous_stage_sessions,
+       |       CASE WHEN lag(unique_sessions) OVER (ORDER BY funnel_stage) > 0
+       |            THEN ${Num.rSql("CAST(unique_sessions AS DOUBLE) / lag(unique_sessions) OVER (ORDER BY funnel_stage)", 6)}
+       |            END AS conversion_rate
+       |FROM counts""".stripMargin
+
   /** A5: real-time KPI dashboard — single-row filtered conditional
     * aggregation over hour/day windows relative to a fixed asOf
     * (enhanced_schema.sql:254-281).
@@ -278,6 +331,7 @@ object Events {
     "q_session_summary" -> sessionSummary,
     "q_journey" -> journey,
     "q_funnel" -> funnel,
+    "q_funnel_ref" -> funnelRef,
     "q_dashboard" -> dashboard,
     "q_last_event_per_user" -> lastEventPerUser,
     "q_billing_usage" -> billingUsage,
@@ -290,6 +344,7 @@ object Events {
     "q_session_summary" -> sessionSummarySql,
     "q_journey" -> journeySql,
     "q_funnel" -> funnelSql,
+    "q_funnel_ref" -> funnelRefSql,
     "q_dashboard" -> dashboardSql,
     "q_last_event_per_user" -> lastEventPerUserSql,
     "q_billing_usage" -> billingUsageSql,

@@ -1,0 +1,367 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, Tables}
+import graft.functions._
+import graft.stages.{MarketoTransform, TextAgentTransform, FrontendTransform}
+
+/** Round-2 oracle coverage for the function operators that were previously
+  * verified only by golden fixtures (VERDICT round 1, "What's missing" #1):
+  * F1/F10/F12 (q_lead_geo_ts), F15 query_params map (q_query_params),
+  * F19/F20/F30 + SC6/SC13/SC14 (q_event_payload), and
+  * F23/F29/F31/F33/F34 (q_turn_enrich).
+  *
+  * Same construction as TransformQueries: deterministic messy inputs
+  * synthesized FROM the testdata tables, the graft.functions/stages library
+  * on the Spark side, equivalent SQL (or expected-value constants for
+  * synthesized-name lookups) on the DuckDB side.
+  */
+object ParityQueries {
+
+  private def anyKwSql(lt: String, kws: Seq[String]): String =
+    kws.map(w => s"contains($lt, '$w')").mkString("(", " OR ", ")")
+
+  // ---- q_turn_enrich: F23 capabilities, F29 topics, F31 tool stats,
+  // ---- F33 conversion indicators, F34 support resolution ----
+
+  /** Suffix phrases drive every F29/F33/F34 keyword branch
+    * (text_agent_transformer.py:245-267, 468-505).
+    */
+  private def turnSuffix: Column = {
+    val k = col("doc_id") % 8
+    when(k === 0, " please buy this item now")
+      .when(k === 1, " contact us to speak soon")
+      .when(k === 2, " want a demo trial preview")
+      .when(k === 3, " need more info on pricing details")
+      .when(k === 4, " problem solved and working")
+      .when(k === 5, " please try and check again")
+      .when(k === 6, " sorry we cannot do that")
+      .otherwise("")
+  }
+  private val turnSuffixSql: String =
+    """CASE doc_id % 8
+      | WHEN 0 THEN ' please buy this item now'
+      | WHEN 1 THEN ' contact us to speak soon'
+      | WHEN 2 THEN ' want a demo trial preview'
+      | WHEN 3 THEN ' need more info on pricing details'
+      | WHEN 4 THEN ' problem solved and working'
+      | WHEN 5 THEN ' please try and check again'
+      | WHEN 6 THEN ' sorry we cannot do that'
+      | ELSE '' END""".stripMargin.replace("\n", " ")
+
+  /** Model names picked so each F23 capability branch fires exactly once
+    * (text_agent_transformer.py:116-130).
+    */
+  private def turnModel: Column = {
+    val k = col("doc_id") % 5
+    when(k === 0, "gpt-4-code-interpreter")
+      .when(k === 1, "claude-3-opus-chat")
+      .when(k === 2, "gemini-pro-vision")
+      .when(k === 3, "llama-2-70b")
+      .otherwise("mistral-large-function-calling")
+  }
+
+  private def turnTools: Column = {
+    val k = col("doc_id") % 4
+    when(k === 0, array(lit("web_search"), lit("calc_tool")))
+      .when(k === 1, array(lit("db_query_runner")))
+      .when(k === 2, array().cast("array<string>"))
+      .otherwise(array(lit("api_request"), lit("find_docs"), lit("misc_tool")))
+  }
+
+  private def turnToolResults: Column = {
+    val k = col("doc_id") % 4
+    val s1 = struct((col("doc_id") % 2 === 0).as("success"))
+    val s2 = struct((col("doc_id") % 3 === 0).as("success"))
+    val sT = struct(lit(true).as("success"))
+    when(k === 0, map(lit("web_search"), s1, lit("calc_tool"), s2))
+      .when(k === 1, map(lit("db_query_runner"), s1))
+      .when(k === 3, map(lit("api_request"), s1, lit("find_docs"), s2, lit("misc_tool"), sT))
+    // k == 2 falls through to NULL: toolSuccessRate treats missing results
+    // as 1.0, matching the reference's empty-dict default
+  }
+
+  def turnEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"), turnSuffix)
+    val conv = TextAnalysis.conversionIndicators(t2)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_join(ModelInfo.modelCapabilities(turnModel), ",").as("capabilities"),
+      TextAnalysis.topicsJoined(t2).as("topics"),
+      array_join(conv, ",").as("conversion_indicators"),
+      (size(conv) > 0).as("has_conversion_indicators"),
+      TextAnalysis.supportResolution(t2).as("support_resolution_type"),
+      size(turnTools).as("tools_count"),
+      TextAgentTransform.toolSuccessRate(turnToolResults).as("tool_success_rate"),
+      array_join(TextAgentTransform.toolCategories(turnTools), ",").as("tool_categories"))
+  }
+
+  val turnEnrichSql: String = {
+    val lt = "lower(t2)"
+    val topicCases = TextAnalysis.TopicKeywords.map { case (topic, kws) =>
+      s"CASE WHEN ${anyKwSql(lt, kws)} THEN '$topic' END"
+    }.mkString(", ")
+    val convCases = TextAnalysis.ConversionPatterns.map { case (p, kws) =>
+      s"CASE WHEN ${anyKwSql(lt, kws)} THEN '$p' END"
+    }.mkString(", ")
+    val anyConv = TextAnalysis.ConversionPatterns
+      .map { case (_, kws) => anyKwSql(lt, kws) }.mkString(" OR ")
+    val d2 = "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+    val d3 = "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+    s"""WITH t AS (SELECT doc_id, text || ($turnSuffixSql) AS t2 FROM documents)
+       |SELECT doc_id,
+       |  CASE doc_id % 5 WHEN 0 THEN 'code_generation' WHEN 1 THEN 'instruction_following'
+       |       WHEN 2 THEN 'vision' WHEN 3 THEN 'text_generation' ELSE 'tool_use' END AS capabilities,
+       |  coalesce(nullif(concat_ws(',', $topicCases), ''), 'general') AS topics,
+       |  concat_ws(',', $convCases) AS conversion_indicators,
+       |  ($anyConv) AS has_conversion_indicators,
+       |  CASE WHEN ${anyKwSql(lt, Seq("solved", "fixed", "resolved", "working"))} THEN 'resolved'
+       |       WHEN ${anyKwSql(lt, Seq("try", "attempt", "check"))} THEN 'troubleshooting'
+       |       WHEN ${anyKwSql(lt, Seq("contact", "escalate", "specialist"))} THEN 'escalation'
+       |       WHEN ${anyKwSql(lt, Seq("sorry", "cannot", "unable"))} THEN 'unresolved'
+       |       ELSE 'informational' END AS support_resolution_type,
+       |  CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 3 END AS tools_count,
+       |  CASE doc_id % 4
+       |       WHEN 0 THEN (($d2) + ($d3)) / 2.0
+       |       WHEN 1 THEN CAST($d2 AS DOUBLE)
+       |       WHEN 2 THEN 1.0
+       |       ELSE (($d2) + ($d3) + 1) / 3.0 END AS tool_success_rate,
+       |  CASE doc_id % 4 WHEN 0 THEN 'calculation,search' WHEN 1 THEN 'data_access'
+       |       WHEN 2 THEN '' ELSE 'api_call,other,search' END AS tool_categories
+       |FROM t""".stripMargin
+  }
+
+  // ---- q_lead_geo_ts: F1 standardize_timestamp (string + numeric),
+  // ---- F10 geographic_info struct, F12 activity attributes map, through
+  // ---- the full MarketoTransform stage ----
+
+  private val AsOfMs = 1706659200000L // 2024-01-31T00:00:00Z, = Tables.AsOf
+
+  def leadGeoTs(spark: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val created = when(ck % 5 === 0, "2024-01-15T10:30:00Z")
+      .when(ck % 5 === 1, "2024-01-20 08:00:00") // naive: parses, no offset
+      .when(ck % 5 === 2, "not-a-date")          // unparseable ⇒ asOf fallback
+      .when(ck % 5 === 3, "")
+      .otherwise(lit(null).cast("string"))
+    val updated = when(ck % 4 === 0, "2024-01-30T12:00:00Z")      // 0 days ⇒ +10
+      .when(ck % 4 === 1, "2024-01-27T00:00:00+00:00")            // 4 days ⇒ +5
+      .when(ck % 4 === 2, "2024-02-01 08:00:00")                  // naive ⇒ no bonus
+      .otherwise("not-a-date")                                    // ⇒ no bonus
+    val raw = Tables.customer(spark, dir).select(
+      ck.as("id"),
+      concat(lit("user"), ck.cast("string"), lit("@corp.example")).as("email"),
+      concat(lit("F"), ck.cast("string")).as("firstName"),
+      when(ck % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("L"), ck.cast("string"))).as("lastName"),
+      when(ck % 2 === 0, "Acme Corp").otherwise(lit(null).cast("string")).as("company"),
+      lit(null).cast("string").as("title"),
+      lit("5551234567").as("phone"),
+      when(ck % 2 === 0, "referral").otherwise(lit(null).cast("string")).as("leadSource"),
+      lit(null).cast("string").as("originalSourceType"),
+      lit(null).cast("string").as("leadStatus"),
+      created.as("createdAt"),
+      updated.as("updatedAt"),
+      when(ck % 3 === 0, "  USA\t").when(ck % 3 === 1, "").otherwise(lit(null).cast("string")).as("country"),
+      lit("").as("state"),
+      when(ck % 2 === 0, " San  Francisco ").otherwise("\n").as("city"),
+      lit("94105").as("postalCode"),
+      (ck * 7919).as("raw_num_ts"),
+      array(
+        struct(lit("Lead Score").as("name"),
+          concat(lit("  "), (ck % 100).cast("string")).as("value")),
+        struct(lit("Form Name").as("name"),
+          when(ck % 4 === 0, "").otherwise("signup form").as("value"))).as("attrs"))
+    MarketoTransform.enrich(raw, AsOfMs)
+      // re-join the columns MarketoTransform does not project (numeric F1
+      // input, F12 attrs) — the stage output is the object under test
+      .join(raw.select(col("id").as("lead_id"), col("raw_num_ts"), col("attrs")), Seq("lead_id"))
+      .select(
+        col("lead_id"), col("created_at"), col("updated_at"),
+        Normalize.standardizeTsNum(
+          when(col("lead_id") % 3 === 0, 0L)
+            .when(col("lead_id") % 3 === 1, col("raw_num_ts") % 1000000000L + 1700000000L)      // seconds
+            .otherwise(col("raw_num_ts") % 1000000000L + 1700000000000L)).as("ts_ms_num"),      // ms
+        col("lead_quality_score"),
+        col("geographic_info.country").as("country"),
+        col("geographic_info.state").as("state"),
+        col("geographic_info.city").as("city"),
+        col("geographic_info.postal_code").as("postal_code"),
+        col("geographic_info.timezone").as("timezone"),
+        element_at(Normalize.activityAttributes(col("attrs")), "lead_score").as("attr_lead_score"),
+        element_at(Normalize.activityAttributes(col("attrs")), "form_name").as("attr_form_name"))
+  }
+
+  val leadGeoTsSql: String =
+    s"""SELECT c_custkey AS lead_id,
+       |  CAST(CASE c_custkey % 5
+       |    WHEN 0 THEN 1705314600000    -- 2024-01-15T10:30:00Z
+       |    WHEN 1 THEN 1705737600000    -- naive 2024-01-20 08:00:00 parsed as UTC
+       |    WHEN 2 THEN $AsOfMs          -- unparseable ⇒ asOf fallback
+       |    END AS BIGINT) AS created_at,
+       |  CAST(CASE c_custkey % 4
+       |    WHEN 0 THEN 1706616000000    -- 2024-01-30T12:00:00Z
+       |    WHEN 1 THEN 1706313600000    -- 2024-01-27T00:00:00+00:00
+       |    WHEN 2 THEN 1706774400000    -- naive parsed (output keeps the value)
+       |    ELSE $AsOfMs END AS BIGINT) AS updated_at,
+       |  CAST(CASE c_custkey % 3
+       |    WHEN 0 THEN NULL
+       |    WHEN 1 THEN ((c_custkey * 7919) % 1000000000 + 1700000000) * 1000
+       |    ELSE (c_custkey * 7919) % 1000000000 + 1700000000000 END AS BIGINT) AS ts_ms_num,
+       |  least(20 + 10
+       |    + (CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 10 END)
+       |    + (CASE WHEN c_custkey % 2 = 0 THEN 10 ELSE 0 END)
+       |    + 10
+       |    + (CASE WHEN c_custkey % 2 = 0 THEN 25 ELSE 0 END)
+       |    + (CASE c_custkey % 4 WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 0 END), 100) AS lead_quality_score,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'USA' END AS country,
+       |  CAST(NULL AS VARCHAR) AS state,
+       |  CASE WHEN c_custkey % 2 = 0 THEN 'San  Francisco' END AS city,
+       |  '94105' AS postal_code,
+       |  CAST(NULL AS VARCHAR) AS timezone,
+       |  CAST(c_custkey % 100 AS VARCHAR) AS attr_lead_score,
+       |  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE 'signup form' END AS attr_form_name
+       |FROM customer""".stripMargin
+
+  // ---- q_event_payload: F19/F30 timing lift, F20 event payload JSON,
+  // ---- SC6 quality, SC13 business value, SC14 cost per token ----
+
+  def eventPayload(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val raw = Tables.events(spark, dir)
+      .withColumn("k", k)
+      .withColumn("orig_type", col("event_type"))
+      .withColumn("event_type",
+        when(col("orig_type") === "view", "scroll")
+          .when(col("orig_type") === "click", "click")
+          .when(col("orig_type") === "purchase", "form_submit")
+          .when(col("orig_type") === "signup", "widget_open")
+          .otherwise("plain"))
+      .withColumn("timestamp", unix_millis(col("ts")))
+      .withColumn("session_id",
+        when(col("user_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("sess-"), col("user_id").cast("string"))))
+      .withColumn("user_agent",
+        when(col("user_id") % 5 === 0, lit(null).cast("string"))
+          .when(col("orig_type") === "error", "EvilBot/1.0 (bot)")
+          .otherwise("Mozilla/5.0 Chrome/120"))
+      .withColumn("page_url", when(col("user_id") % 11 === 0, "").otherwise("https://x.io/p"))
+      .withColumn("element_id", concat(lit("el"), col("k").cast("string")))
+      .withColumn("element_class", lit(null).cast("string"))
+      .withColumn("element_text", lit("Buy"))
+      .withColumn("click_coordinates", lit("10,20"))
+      .withColumn("scroll_depth", col("k"))
+      .withColumn("scroll_direction", lit("down"))
+      .withColumn("max_scroll_depth", col("k") + 5)
+      .withColumn("form_id", lit("f1"))
+      .withColumn("form_fields", lit(3))
+      .withColumn("form_completion_time", col("k") * 2)
+      .withColumn("widget_position", lit("br"))
+      .withColumn("widget_size", lit("lg"))
+      .withColumn("widget_config", lit(null).cast("string"))
+      .withColumn("load_time_ms", (col("k") + 1) * 10)
+      .withColumn("time_on_page", floor(col("value")).cast("int"))
+    val text = when(col("orig_type") === "view", "i recommend you consider this option")
+      .when(col("orig_type") === "click", "sorry we cannot help you purchase that")
+      .when(col("orig_type") === "purchase", "please order now to buy")
+      .when(col("orig_type") === "signup", "hello there")
+      .otherwise("")
+    val tin = (col("k") + 1) * 3
+    val tout = floor(col("value") * 2).cast("int")
+    val cost = CostModel.estimateCost(tin, tout, lit("claude-3-opus"))
+    // F19/F30 struct lift, then flatten back out — the stage shape
+    val timing = struct(col("load_time_ms"), col("time_on_page"))
+    raw.select(
+      col("event_id"),
+      FrontendTransform.eventData(raw).as("event_data"),
+      timing.getField("load_time_ms").as("load_time_ms"),
+      timing.getField("time_on_page").as("time_on_page"),
+      Scoring.eventQualityScore(col("session_id"), col("user_agent"),
+        col("page_url"), col("timestamp")).as("quality_score"),
+      Scoring.businessValueScore(text, tout).as("business_value_score"),
+      Num.r(Scoring.costPerToken(cost, tin, tout), 8).as("cost_per_token"))
+  }
+
+  val eventPayloadSql: String = {
+    val k = "CAST(json_extract_string(props,'$.k') AS INT)"
+    val lt = """CASE event_type
+      | WHEN 'view' THEN 'i recommend you consider this option'
+      | WHEN 'click' THEN 'sorry we cannot help you purchase that'
+      | WHEN 'purchase' THEN 'please order now to buy'
+      | WHEN 'signup' THEN 'hello there'
+      | ELSE '' END""".stripMargin.replace("\n", " ")
+    val anyConv = TextAnalysis.ConversionPatterns
+      .map { case (_, kws) => anyKwSql(s"($lt)", kws) }.mkString(" OR ")
+    val tin = s"(($k + 1) * 3)"
+    val tout = "CAST(floor(value * 2) AS INT)"
+    val cost = Num.rSql(s"$tin / 1000.0 * 0.008 + $tout / 1000.0 * 0.024", 6)
+    s"""SELECT event_id,
+       |  CASE event_type
+       |    WHEN 'view' THEN '{"scroll_depth":' || $k || ',"scroll_direction":"down","max_scroll_depth":' || ($k + 5) || '}'
+       |    WHEN 'click' THEN '{"element_id":"el' || $k || '","element_text":"Buy","click_coordinates":"10,20"}'
+       |    WHEN 'purchase' THEN '{"form_id":"f1","form_fields":3,"form_completion_time":' || ($k * 2) || '}'
+       |    WHEN 'signup' THEN '{"widget_position":"br","widget_size":"lg"}'
+       |    ELSE '{}' END AS event_data,
+       |  ($k + 1) * 10 AS load_time_ms,
+       |  CAST(floor(value) AS INT) AS time_on_page,
+       |  greatest(100
+       |    - (CASE WHEN user_id % 7 = 0 THEN 10 ELSE 0 END)
+       |    - (CASE WHEN user_id % 5 = 0 THEN 10 ELSE 0 END)
+       |    - (CASE WHEN user_id % 11 = 0 THEN 10 ELSE 0 END)
+       |    - (CASE WHEN user_id % 5 <> 0 AND event_type = 'error' THEN 50 ELSE 0 END), 0) AS quality_score,
+       |  greatest(least(50
+       |    + (CASE WHEN $anyConv THEN 30 ELSE 0 END)
+       |    + (CASE WHEN $tout > 100 THEN 10 ELSE 0 END)
+       |    + (CASE WHEN contains(($lt), 'recommend') THEN 15 ELSE 0 END)
+       |    + (CASE WHEN contains(($lt), 'sorry') THEN -10 ELSE 0 END)
+       |    + (CASE WHEN $tout < 20 THEN -15 ELSE 0 END), 100), 0) AS business_value_score,
+       |  ${Num.rSql(s"($cost) / ($tin + $tout)", 8)} AS cost_per_token
+       |FROM events""".stripMargin
+  }
+
+  // ---- q_query_params: F15 full first-value query_params map ----
+
+  def queryParamsQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = concat(lit("https://shop.example.com"),
+      when(col("event_type") === "view",
+        concat(lit("/p?a=1&b=&utm_source=google&utm_campaign=spr_"), (col("user_id") % 3).cast("string")))
+        .when(col("event_type") === "click", "/s?q=crm+tool&empty=")
+        .when(col("event_type") === "purchase", "/checkout?step=2&ref=x#frag")
+        .when(col("event_type") === "signup", "/account")
+        .otherwise("/?"))
+    Tables.events(spark, dir)
+      .withColumn("qp", UrlInfo.queryParams(u))
+      .select(
+        col("event_id"),
+        size(col("qp")).as("n_params"),
+        element_at(col("qp"), "a").as("p_a"),
+        element_at(col("qp"), "utm_source").as("p_utm_source"),
+        element_at(col("qp"), "utm_campaign").as("p_utm_campaign"),
+        element_at(col("qp"), "q").as("p_q"),
+        element_at(col("qp"), "step").as("p_step"))
+  }
+
+  val queryParamsSql: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'view' THEN 3 WHEN 'click' THEN 1
+      |       WHEN 'purchase' THEN 2 ELSE 0 END AS n_params,
+      |  CASE event_type WHEN 'view' THEN '1' END AS p_a,
+      |  CASE event_type WHEN 'view' THEN 'google' END AS p_utm_source,
+      |  CASE event_type WHEN 'view' THEN 'spr_' || CAST(user_id % 3 AS VARCHAR) END AS p_utm_campaign,
+      |  CASE event_type WHEN 'click' THEN 'crm+tool' END AS p_q,
+      |  CASE event_type WHEN 'purchase' THEN '2' END AS p_step
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_turn_enrich" -> turnEnrich,
+    "q_lead_geo_ts" -> leadGeoTs,
+    "q_event_payload" -> eventPayload,
+    "q_query_params" -> queryParamsQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_turn_enrich" -> turnEnrichSql,
+    "q_lead_geo_ts" -> leadGeoTsSql,
+    "q_event_payload" -> eventPayloadSql,
+    "q_query_params" -> queryParamsSql)
+}

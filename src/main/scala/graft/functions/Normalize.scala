@@ -39,7 +39,7 @@ object Normalize {
   def standardizeTsStr(c: Column, asOfMs: Column): Column =
     when(c.isNull || c === "", lit(null).cast("long"))
       .otherwise(coalesce(
-        unix_millis(to_timestamp(regexp_replace(c, "Z$", "+00:00"))), asOfMs))
+        unix_millis(try_to_timestamp(regexp_replace(c, "Z$", "+00:00"))), asOfMs))
 
   /** SC1 recency input — the reference computes
     * `(datetime.now(timezone.utc) - fromisoformat(s)).days` inside
@@ -51,7 +51,7 @@ object Normalize {
     */
   def recencyTsStr(c: Column): Column =
     when(c.rlike("(Z|[+-]\\d{2}:\\d{2})$"),
-      unix_millis(to_timestamp(regexp_replace(c, "Z$", "+00:00"))))
+      unix_millis(try_to_timestamp(regexp_replace(c, "Z$", "+00:00"))))
 
   /** F5 normalize_email — trim+lower then regex-validate, invalid ⇒ NULL
     * (marketo_transformer.py:64-78).
