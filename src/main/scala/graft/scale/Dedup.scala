@@ -47,17 +47,34 @@ object Dedup {
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("d1"), y.as("d2")))))
 
+  /** Default document-frequency / bucket-size cap: far above any organic
+    * shingle df (testdata max df is 25 at sf0.1; natural-language shingle
+    * df distributions are heavy-tailed but their hot tail is exactly the
+    * boilerplate a dedup pipeline WANTS to ignore), yet it bounds the
+    * worst-case single-task pair expansion to maxDf²/2 ≈ 5·10⁵ structs
+    * (~8 MB) instead of O(corpus²).
+    */
+  val MaxGroup = 1000
+
   /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
     * O(candidate pairs); run on bounded corpora or post-LSH candidates.
+    *
+    * `maxDf` guards the scale-killer: one ubiquitous shingle (a stop-word
+    * trigram, a boilerplate header) shared by k docs expands to a single
+    * O(k²) array in ONE task. Shingles with df > maxDf are dropped from
+    * candidate generation — pairs whose overlap consists ONLY of such
+    * boilerplate shingles are not reported, and a reported pair's jaccard
+    * can be under-counted by the dropped shingles' contribution. With the
+    * default cap no organic corpus is affected (see MaxGroup).
     */
   def jaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame = {
     val sh = docs
       .select(col(keyCol).as("doc_id"), explode(shingleHashes(col(textCol), n)).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -83,9 +100,13 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
   /** Candidate pairs from LSH banding: equal band-hash in any band.
-    * Same one-shuffle groupBy+pair-expansion shape as jaccardPairs.
+    * Same one-shuffle groupBy+pair-expansion shape as jaccardPairs, with
+    * the same hot-group guard: a bucket larger than `maxBucket` signals
+    * mass near-identical duplication (every member pair-verifies against
+    * every other), which belongs to exactDupGroups upstream, not an O(k²)
+    * expansion in one task. Oversized buckets are dropped.
     */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
+  def lshCandidates(signatures: DataFrame, maxBucket: Int = MaxGroup): DataFrame = {
     val bands = explode(transform(sequence(lit(0), lit(LshBands - 1)),
       b => struct(b.as("band"),
         xxhash64((0 until LshRows).map(r =>
@@ -93,7 +114,7 @@ object Dedup {
     signatures.select(col("doc_id"), bands.as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
@@ -105,8 +126,13 @@ object Dedup {
     * minimum label among itself and its neighbors until fixpoint.
     * Converges in O(component diameter) Spark jobs; near-dup clusters
     * are shallow (dup fan-outs, not long chains), so the loop is short.
-    * Labels are checkpointed via localCheckpoint each round to keep the
-    * plan from growing linearly with iterations.
+    *
+    * Driver-barrier economy: each materialization cycle runs TWO
+    * propagation steps fused into one job before the localCheckpoint +
+    * convergence count, halving the per-iteration driver barriers that
+    * dominate wall-clock at scale (the two joins pipeline inside a single
+    * job; shuffle volume is unchanged). Labels are checkpointed per cycle
+    * to keep the plan from growing with iterations.
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
@@ -115,19 +141,24 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    def propagate(ls: DataFrame): DataFrame = {
+      val neigh = edges.join(ls, edges("b") === ls("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      ls.join(neigh, ls("node") === neigh("a"), "left")
+        .select(ls("node"), least(ls("label"), coalesce(col("nl"), ls("label"))).as("label"))
+    }
+    val stepsPerCheck = 2
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      val neigh = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(col("a")).agg(min(col("label")).as("nl"))
-      val updated = labels.join(neigh, labels("node") === neigh("a"), "left")
-        .select(labels("node"),
-          labels("label").as("old_label"),
-          least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
+      val next = propagate(propagate(labels))
+      val updated = labels.select(col("node"), col("label").as("old_label"))
+        .join(next.withColumnRenamed("label", "new_label"), Seq("node"))
+        .select(col("node"), col("old_label"), col("new_label").as("label"))
         .localCheckpoint()
       changed = updated.filter(col("label") =!= col("old_label")).count()
       labels = updated.select(col("node"), col("label"))
-      iter += 1
+      iter += stepsPerCheck
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

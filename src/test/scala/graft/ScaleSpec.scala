@@ -81,6 +81,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaAgg.nonEmpty)
   }
 
+  test("hot-group caps bound pair expansion on an adversarial all-same-text corpus") {
+    import spark.implicits._
+    val n = 60
+    // 60 identical docs: every shingle has df = 60, every LSH bucket holds
+    // all 60 signatures — the worst case for single-task pair expansion
+    val docs = (0 until n).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // cap below the group size ⇒ zero pairs, and crucially no O(n²) array
+    val capped = graft.scale.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5, maxDf = 10)
+    assert(capped.count() == 0)
+    val sigs = graft.scale.Dedup.minhashSignatures(docs, "text", "doc_id", 3)
+    assert(graft.scale.Dedup.lshCandidates(sigs, maxBucket = 10).count() == 0)
+    // default caps (chosen above any organic df) leave results untouched
+    val full = graft.scale.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+    assert(full.count() == n.toLong * (n - 1) / 2)
+    assert(graft.scale.Dedup.lshCandidates(sigs).count() == n.toLong * (n - 1) / 2)
+  }
+
   test("brute-force and LSH top-k agree on shared candidates") {
     val brute = ScaleQueries.cosineTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
