@@ -100,22 +100,40 @@ object ScaleQueries {
     Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
 
-  /** SimHash near-dup pairs via 16-bit chunk LSH + Hamming verification
+  /** SimHash near-dup pairs via disjoint-chunk LSH + Hamming verification
     * (custom codegen'd expression; rows-only).
+    *
+    * Banding matches the distance contract by pigeonhole: a radius-k
+    * filter needs k+1 disjoint chunks so that k differing bits always
+    * leave at least one chunk clean. For Hamming ≤ 6 the 64-bit signature
+    * is split into 7 chunks (10+9×6 bits) — 4×16-bit banding would
+    * silently miss distance-4..6 pairs whose errors spread across all
+    * four chunks. The coarser ~9-bit buckets are the price of the
+    * guarantee; at corpus scale, raise the chunk count only together with
+    * the verify-filter radius, and lean on the hot-bucket cap upstream
+    * (Dedup.MaxGroup) for mass-duplicate buckets.
     */
+  val SimHamming = 6
+  private val SimChunks: Seq[(Int, Int)] = // (bit offset, width): 7 chunks / 64 bits
+    Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("chunk_idx"))
-      .withColumn("chunk", expr("(sig >> (chunk_idx * 16)) & 65535"))
+    val chunkArr = array(SimChunks.zipWithIndex.map { case ((off, w), i) =>
+      struct(lit(i).as("chunk_idx"),
+        expr(s"(sig >> $off) & ${(1L << w) - 1}").as("chunk"))
+    }: _*)
+    val chunks = sigs.select(col("doc_id"), col("sig"), explode(chunkArr).as("c"))
+      .select(col("doc_id"), col("sig"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimHamming)
   }
 
   /** Exact cosine top-10 against vec 0 (brute-force baseline). */
