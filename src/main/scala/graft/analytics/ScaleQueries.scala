@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Num, Tables}
 import graft.scale.{Dedup, Similarity, SimHash64}
@@ -117,6 +117,17 @@ object ScaleQueries {
   private val SimChunks: Seq[(Int, Int)] = // (bit offset, width): 7 chunks / 64 bits
     Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
 
+  /** Pairs (d1 < d2, hamming) from a sorted array of (doc_id, sig) structs —
+    * the Hamming distance is computed INSIDE the bucket expansion so the
+    * radius filter applies before the distinct shuffle (the ~9-bit buckets
+    * are coarse; most co-bucketed pairs are far apart and die here).
+    */
+  private def sigPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + 2, size(ds)), y =>
+        struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
@@ -124,16 +135,18 @@ object ScaleQueries {
       struct(lit(i).as("chunk_idx"),
         expr(s"(sig >> $off) & ${(1L << w) - 1}").as("chunk"))
     }: _*)
-    val chunks = sigs.select(col("doc_id"), col("sig"), explode(chunkArr).as("c"))
-      .select(col("doc_id"), col("sig"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    // one shuffle of (chunk, doc_id, sig) + in-bucket pair expansion with
+    // the same hot-bucket guard as lshCandidates — not a self-join (which
+    // would shuffle the chunk table twice and explode candidates before
+    // any distance check)
+    sigs.select(explode(chunkArr).as("c"), col("doc_id"), col("sig"))
+      .groupBy(col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= Dedup.MaxGroup)
+      .select(explode(sigPairs(col("ds"))).as("p"))
+      .filter(col("p.hamming") <= SimHamming)
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= SimHamming)
   }
 
   /** Exact cosine top-10 against vec 0 (brute-force baseline). */

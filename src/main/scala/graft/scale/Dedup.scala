@@ -135,9 +135,17 @@ object Dedup {
     * to keep the plan from growing with iterations.
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // symmetrize via explode, NOT a self-union: a union would execute the
+    // (possibly very expensive) upstream pair plan twice
+    val edges = pairs.select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
+    // materialize once — the fused two-step propagation below references
+    // `edges` twice per job, and an unpopulated lazy cache could recompute
+    // the pair plan per branch
+    edges.count()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
