@@ -297,7 +297,133 @@ object ScaleQueries {
       |                            ORDER BY value DESC, event_id ASC) AS rank
       |  FROM events) WHERE rank <= 3""".stripMargin
 
+  // ---- corpus curation / mixing — the end-to-end training-data shape ----
+
+  private def langSql(t: String): String = {
+    def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+    def cnt(words: Seq[String]) =
+      s"len(list_filter((string_split_regex(trim(lower($t)), '\\s+'))[1:50], x -> x IN ${inList(words)}))"
+    val (en, es, fr) = (cnt(TextAnalysis.EnglishWords), cnt(TextAnalysis.SpanishWords),
+      cnt(TextAnalysis.FrenchWords))
+    s"""CASE WHEN $t IS NULL OR $t = '' THEN 'unknown'
+       | WHEN $en >= $es AND $en >= $fr THEN 'english'
+       | WHEN $es > $fr THEN 'spanish'
+       | WHEN $fr > 0 THEN 'french'
+       | ELSE 'unknown' END""".stripMargin.replace("\n", " ")
+  }
+
+  private def completenessSql(t: String): String = {
+    val lt = s"lower($t)"
+    s"""CASE WHEN $t IS NULL OR $t = '' THEN 0.0 ELSE least(50.0
+       | + (CASE WHEN length($t) > 100 THEN 20 ELSE 0 END)
+       | + (CASE WHEN length($t) > 500 THEN 10 ELSE 0 END)
+       | + (CASE WHEN contains($t, '.') THEN 10 ELSE 0 END)
+       | + (CASE WHEN contains($t, chr(10)) THEN 5 ELSE 0 END)
+       | + (CASE WHEN contains($lt,'however') OR contains($lt,'additionally') OR contains($lt,'furthermore') THEN 5 ELSE 0 END),
+       | 100.0) END""".stripMargin.replace("\n", " ")
+  }
+
+  /** Corpus curation — the canonical training-data filter stack composed
+    * end-to-end: language-ID filter → quality threshold → exact dedup
+    * (keep min doc_id per digest) → per-source accounting. One narrow
+    * projection, one window shuffle on the 128-bit digest, one partial
+    * aggregation — the whole pipeline is 2 shuffles regardless of corpus
+    * size, and the dedup window never moves document text.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.language(t).as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      TextAnalysis.bpeTokenCount(t).as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored.filter(col("language") === "english" && col("quality") >= 60.0)
+    val canonical = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    canonical.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      Num.savg(sum(col("quality")), count(lit(1)), 0, 4).as("avg_quality"),
+      min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val corpusCurationSql: String = {
+    val re = TextAnalysis.BpeTokenRe // DuckDB strings are raw: no re-escaping
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |         ${langSql("text")} AS language,
+       |         ${completenessSql("text")} AS quality,
+       |         len(regexp_extract_all(text, '$re')) AS n_tokens,
+       |         md5(text) AS digest
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored WHERE language = 'english' AND quality >= 60.0),
+       |canonical AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+       |                 FROM kept) WHERE rn = 1)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       ${Num.savgSql("sum(quality)", "count(*)", 0, 4)} AS avg_quality,
+       |       min(doc_id) AS min_doc_id
+       |FROM canonical GROUP BY source""".stripMargin
+  }
+
+  /** Deterministic stratified sampling (data mixing): docs are assigned a
+    * stable [0,100) bucket from the md5 of their TEXT (not their id — so
+    * exact duplicates always sample identically and re-runs are
+    * reproducible across engines and cluster sizes), then kept according
+    * to a per-source rate. The standard "mixture weights" operator of a
+    * training-data pipeline; embarrassingly parallel, no shuffle before
+    * the final accounting aggregate.
+    */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val rate = (srcNum % 4) * 20 + 20 // src*0→20% … src*3→80%
+    Tables.documents(spark, dir)
+      .filter(bucket < rate)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val corpusSampleSql: String =
+    """SELECT source, count(*) AS n_sampled,
+      |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+      |       min(doc_id) AS min_doc_id
+      |FROM documents
+      |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+      |      < (CAST(substr(source, 4) AS INT) % 4) * 20 + 20
+      |GROUP BY source""".stripMargin
+
+  /** Exact interpolated percentiles of corpus length per source — the
+    * distribution profile a curation pipeline reports. Spark percentile()
+    * and DuckDB quantile_cont share the type-7 linear-interpolation
+    * definition, so the doubles are comparable bit-wise after grid
+    * rounding.
+    */
+  def corpusQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(
+        Num.r(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        Num.r(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        Num.r(expr("percentile(n_chars, 0.99)"), 4).as("p99_chars"))
+
+  val corpusQuantilesSql: String =
+    s"""SELECT source,
+       |  ${Num.rSql("quantile_cont(n_chars, 0.5)", 4)} AS p50_chars,
+       |  ${Num.rSql("quantile_cont(n_chars, 0.9)", 4)} AS p90_chars,
+       |  ${Num.rSql("quantile_cont(n_chars, 0.99)", 4)} AS p99_chars
+       |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_curation" -> corpusCuration,
+    "q_corpus_sample" -> corpusSample,
+    "q_corpus_quantiles" -> corpusQuantiles,
     "q_topk_per_user" -> topkPerUser,
     "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
@@ -313,6 +439,9 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_curation" -> corpusCurationSql,
+    "q_corpus_sample" -> corpusSampleSql,
+    "q_corpus_quantiles" -> corpusQuantilesSql,
     "q_topk_per_user" -> topkPerUserSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_ivf_topk" -> ivfTopKSql,
