@@ -63,6 +63,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("funnel_ref pushes the 7-day window filter to the parquet scan") {
+    val p = plan(analytics.Events.funnelRef(spark, sf))
+    // the ts >= asOf - 7d predicate must reach PushedFilters, not sit in
+    // a post-scan Filter — at 100 TB this is the difference between
+    // reading a week and reading the archive
+    assert(p.contains("PushedFilters") && p.contains("ts"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("IsNotNull") || pushed.contains("GreaterThanOrEqual"), pushed)
+  }
+
+  // each physical node appears once in the formatted tree as "Name (id)"
+  private def nodeCount(p: String, name: String): Int =
+    (name + " \\(\\d+\\)").r.findAllIn(p).size
+
+  test("corpus curation is two shuffles: dedup window + final aggregate") {
+    val p = plan(analytics.ScaleQueries.corpusCuration(spark, sf))
+    assert(nodeCount(p, "Exchange") <= 2,
+      s"curation pipeline grew extra shuffles:\n$p")
+  }
+
+  test("corpus sampling filters before any shuffle (map-side mixing)") {
+    val p = plan(analytics.ScaleQueries.corpusSample(spark, sf))
+    // the bucket filter is a scan-stage Filter; the only exchange is the
+    // final per-source aggregate
+    assert(nodeCount(p, "Exchange") <= 1, s"sampling should not shuffle docs:\n$p")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
