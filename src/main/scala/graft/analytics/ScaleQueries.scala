@@ -167,6 +167,25 @@ object ScaleQueries {
        |FROM e CROSS JOIN q WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Batch kNN join: top-3 neighbors for each of 5 query vectors in one
+    * corpus scan (broadcast queries + bounded TopKAgg — no window, no
+    * per-group sort).
+    */
+  val KnnQueryIds: Seq[Long] = Seq(0L, 10L, 20L, 30L, 40L)
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(Tables.embeddings(spark, dir), KnnQueryIds, 3)
+
+  val knnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id IN (${KnnQueryIds.mkString(",")})),
+       |s AS (SELECT q.q_id, e.vec_id, ${Num.rSql(cosSql("e.v", "qv"), 6)} AS cos_sim
+       |      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
   val PlaneIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
   private val planesSql =
     s"SELECT vec_id AS pid, $dblEmb AS pe FROM embeddings WHERE vec_id IN (1,2,3,4)"
@@ -424,6 +443,7 @@ object ScaleQueries {
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
     "q_corpus_quantiles" -> corpusQuantiles,
+    "q_knn_join" -> knnJoin,
     "q_topk_per_user" -> topkPerUser,
     "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
@@ -442,6 +462,7 @@ object ScaleQueries {
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,
     "q_corpus_quantiles" -> corpusQuantilesSql,
+    "q_knn_join" -> knnJoinSql,
     "q_topk_per_user" -> topkPerUserSql,
     "q_multimodal_stats" -> multimodalStatsSql,
     "q_ivf_topk" -> ivfTopKSql,

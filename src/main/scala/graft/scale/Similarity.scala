@@ -44,6 +44,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN join: top-k neighbors for EVERY query vector in one pass —
+    * broadcast the (small) query set, one corpus scan computing
+    * per-(query, candidate) cosine, then the bounded TopKAgg per query:
+    * O(queries·k) aggregation state, no per-group sort, no window. This
+    * is the bulk-scoring shape of a retrieval pipeline; at 100 TB the
+    * corpus is scanned once regardless of how many queries ride the
+    * broadcast.
+    */
+  def knnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.Num.r(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos_sim"))
+  }
+
   /** Random-hyperplane signature: one bit per plane = sign(v·plane).
     * Planes come from the data itself (vec_id in [1, 1+bits)) so the
     * construction is deterministic and oracle-expressible.
