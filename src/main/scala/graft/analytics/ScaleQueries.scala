@@ -439,7 +439,29 @@ object ScaleQueries {
        |  ${Num.rSql("quantile_cont(n_chars, 0.99)", 4)} AS p99_chars
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Frame sampling through the multimodal asset pipeline: video assets →
+    * every-5th-frame rows (graft.multimodal.Multimodal.sampleFrames) →
+    * per-asset accounting. Frame BYTES are the documented codec stub; the
+    * index arithmetic (25 fps from duration, stride, last index) is exact
+    * and oracle-checked.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.multimodal.Multimodal
+      .sampleFrames(graft.multimodal.Multimodal.syntheticAssets(spark, dir), everyNth = 5)
+      .groupBy(col("assetId"))
+      .agg(count(lit(1)).as("n_frames"), max(col("frameIdx")).cast("long").as("last_idx"))
+      .select(col("assetId").as("asset_id"), col("n_frames"), col("last_idx"))
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id AS asset_id,
+      |       (((n_chars * 10) // 40) + 4) // 5 AS n_frames,
+      |       ((((n_chars * 10) // 40) - 1) // 5) * 5 AS last_idx
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frame_sample" -> frameSample,
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
     "q_corpus_quantiles" -> corpusQuantiles,
@@ -459,6 +481,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_frame_sample" -> frameSampleSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,
     "q_corpus_quantiles" -> corpusQuantilesSql,
