@@ -353,13 +353,58 @@ object ParityQueries {
       |  CASE event_type WHEN 'purchase' THEN '2' END AS p_step
       |FROM events""".stripMargin
 
+  // ---- q_validation_split: P1 required-field split, P2 whitelist,
+  // ---- P3 error-rate accounting as one oracle-checked accounting row ----
+
+  /** The consumer's batch accounting (P1 base_transformer.py:34-41, P2
+    * frontend_events_extractor.py:48-57, P3 enhanced_kpi_consumer.py:
+    * 252-307) over events with deterministically injected null fields:
+    * valid/dead-letter/whitelisted counts plus the circuit-breaker error
+    * fraction, computed set-at-a-time in one aggregate.
+    */
+  def validationSplit(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val raw = Tables.events(spark, dir)
+      .withColumn("session_id",
+        when(col("user_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("user_id").cast("string"))))
+      .withColumn("event_type",
+        when(k % 11 === 0, lit(null).cast("string")).otherwise(col("event_type")))
+    val (ok, dead) = graft.stages.Validation.split(raw, Seq("session_id", "event_type"))
+    val whitelisted = graft.stages.Validation.whitelist(
+      ok, "event_type", Seq("view", "click", "signup", "purchase"))
+    val counts = ok.select(lit(1).as("valid"))
+      .unionByName(dead.select(lit(0).as("valid")))
+      .agg(count(when(col("valid") === 1, 1)).as("n_valid"),
+        count(when(col("valid") === 0, 1)).as("n_dead"))
+    counts.crossJoin(whitelisted.agg(count(lit(1)).as("n_whitelisted")))
+      .select(col("n_valid"), col("n_dead"), col("n_whitelisted"),
+        Num.r(col("n_dead").cast("double") / (col("n_valid") + col("n_dead")), 6)
+          .as("error_rate"))
+  }
+
+  val validationSplitSql: String = {
+    val k = "CAST(json_extract_string(props,'$.k') AS INT)"
+    val invalid = s"(user_id % 7 = 0 OR $k % 11 = 0)"
+    s"""SELECT
+       |  count(CASE WHEN NOT $invalid THEN 1 END) AS n_valid,
+       |  count(CASE WHEN $invalid THEN 1 END) AS n_dead,
+       |  count(CASE WHEN NOT $invalid
+       |             AND event_type IN ('view','click','signup','purchase')
+       |             THEN 1 END) AS n_whitelisted,
+       |  ${Num.rSql(s"CAST(count(CASE WHEN $invalid THEN 1 END) AS DOUBLE) / count(*)", 6)} AS error_rate
+       |FROM events""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validation_split" -> validationSplit,
     "q_turn_enrich" -> turnEnrich,
     "q_lead_geo_ts" -> leadGeoTs,
     "q_event_payload" -> eventPayload,
     "q_query_params" -> queryParamsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_validation_split" -> validationSplitSql,
     "q_turn_enrich" -> turnEnrichSql,
     "q_lead_geo_ts" -> leadGeoTsSql,
     "q_event_payload" -> eventPayloadSql,
