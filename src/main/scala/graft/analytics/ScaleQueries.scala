@@ -460,7 +460,48 @@ object ScaleQueries {
       |       ((((n_chars * 10) // 40) - 1) // 5) * 5 AS last_idx
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
+  /** Deterministic k-means (graft.scale.KMeans): one Lloyd iteration from
+    * the k-lowest-vec_id seeds, then the final assignment. The oracle
+    * unrolls the same iteration as CTEs — seeds → assign → per-dimension
+    * means → reassign — over the identical v·v − 2·v·c + c·c double
+    * arithmetic, so the engines agree bit-wise before the display
+    * rounding.
+    */
+  val KmeansK = 8
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    graft.scale.KMeans.assign(emb, trained)
+      .select(col("vec_id"), col("cluster"), Num.r(col("dist2"), 6).as("dist2"))
+  }
+
+  private def d2Sql(v: String, c: String): String =
+    s"(list_dot_product($v,$v) - 2.0 * list_dot_product($v,$c) + list_dot_product($c,$c))"
+
+  val kmeansAssignSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cid, v AS c
+       |  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT $KmeansK)),
+       |a1 AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, seeds.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "seeds.c")} ASC, seeds.cid ASC) AS rn
+       |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+       |expl AS (
+       |  SELECT cid, i, avg(v[i]) AS cx
+       |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+       |cent AS (SELECT cid, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY cid)
+       |SELECT vec_id, cluster, dist2 FROM (
+       |  SELECT e.vec_id, cent.cid AS cluster,
+       |         ${Num.rSql(d2Sql("e.v", "cent.c"), 6)} AS dist2,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_assign" -> kmeansAssign,
     "q_frame_sample" -> frameSample,
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
@@ -481,6 +522,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans_assign" -> kmeansAssignSql,
     "q_frame_sample" -> frameSampleSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,

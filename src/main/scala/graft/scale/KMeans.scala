@@ -1,0 +1,110 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over `embeddings(vec_id, embedding
+  * array<float>, label)` — the codebook trainer behind IVF coarse
+  * quantization (the reference's similarity tier has no trainer; label
+  * centroids stood in for one).
+  *
+  * Spark-first shape, mirroring how MLlib's KMeans drives the loop:
+  *  - centroids live on the driver (k×dim doubles — tiny) and are inlined
+  *    into the plan as foldable array literals, so ASSIGNMENT is a pure
+  *    projection: zero shuffles, whole-stage codegen'd DotProduct per
+  *    candidate, and the corpus is scanned exactly once per iteration;
+  *  - the UPDATE step is one hash aggregate on (cluster, pos) after
+  *    posexplode — partial aggregation makes the shuffle k×dim rows per
+  *    partition regardless of corpus size. (At extreme scale the 64× row
+  *    expansion of posexplode could be avoided with a vector-sum
+  *    TypedImperativeAggregate like TopKAgg; at k·dim ≪ corpus the
+  *    map-side combine already reduces identically.)
+  *
+  * Determinism (no RNG): seeds are the k lowest vec_ids in id order, so
+  * the whole fit is a pure function of the table and is oracle-expressible
+  * by unrolling iterations as SQL CTEs. Distance is squared L2 expanded as
+  * v·v − 2·v·c + c·c over the same left-to-right double accumulation as
+  * the DuckDB oracle's list_dot_product, and Lloyd's WCSS monotonicity
+  * (asserted in KMeansSpec) holds for L2.
+  */
+object KMeans {
+
+  type Centroids = Seq[(Int, Seq[Double])]
+
+  /** Seed codebook: the k lowest vec_ids, cluster ids 0..k-1 in id order. */
+  def seeds(embeddings: DataFrame, k: Int): Centroids =
+    embeddings.orderBy(col("vec_id").asc).limit(k)
+      .select(col("embedding")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toSeq }
+
+  /** v·v − 2·v·c + c·c; `vv` is the hoisted v·v column so k candidates
+    * share one self-dot. The c·c term is a dot over foldable literals —
+    * constant-folded by Catalyst with the same accumulation order the
+    * oracle's list_dot_product(c,c) uses.
+    */
+  private def d2(vv: Column, v: Column, c: Seq[Double]): Column = {
+    val cl = typedLit(c)
+    vv - lit(2.0) * VectorOps.dot(v, cl) + VectorOps.dot(cl, cl)
+  }
+
+  /** Nearest-centroid assignment: (vec_id, embedding, cluster, dist2).
+    * array_min over struct(dist, cid) gives argmin with the smallest-id
+    * tiebreak in one expression — no join, no shuffle.
+    */
+  def assign(embeddings: DataFrame, centroids: Centroids): DataFrame = {
+    val cands = centroids.sortBy(_._1).map { case (cid, c) =>
+      struct(d2(col("__vv"), col("embedding"), c).as("d"), lit(cid).as("c"))
+    }
+    embeddings
+      .withColumn("__vv", VectorOps.dot(col("embedding"), col("embedding")))
+      .withColumn("__best", array_min(array(cands: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("__best.c").as("cluster"), col("__best.d").as("dist2"))
+  }
+
+  /** One Lloyd update: per-cluster per-dimension mean of the assigned
+    * vectors. Empty clusters drop out (both engines agree: no rows, no
+    * centroid). Collects k×dim doubles to the driver.
+    */
+  def step(embeddings: DataFrame, centroids: Centroids): Centroids = {
+    val rows = assign(embeddings, centroids)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+  }
+
+  /** `iters` Lloyd iterations from the deterministic seeds. */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): Centroids =
+    (0 until iters).foldLeft(seeds(embeddings, k))((cs, _) => step(embeddings, cs))
+
+  /** Within-cluster sum of squares under a given codebook (convergence
+    * metric; strictly non-increasing across Lloyd iterations).
+    */
+  def wcss(embeddings: DataFrame, centroids: Centroids): Double =
+    assign(embeddings, centroids).agg(sum(col("dist2"))).collect()(0).getDouble(0)
+
+  /** IVF top-k over a TRAINED codebook instead of label partitions:
+    * probe the nearest centroid to the query, exact cosine only inside
+    * that inverted list. Same broadcast-probe shape as Similarity.ivfTopK.
+    */
+  def ivfTopKTrained(embeddings: DataFrame, centroids: Centroids,
+                     queryId: Long, k: Int): DataFrame = {
+    val assigned = assign(embeddings, centroids)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val probe = assigned.filter(col("vec_id") === queryId)
+      .select(col("cluster"))
+    assigned.join(broadcast(probe), Seq("cluster"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .select(col("vec_id"), col("cluster"),
+        graft.Num.r(Similarity.cosine(col("embedding"), col("q_embedding")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}
