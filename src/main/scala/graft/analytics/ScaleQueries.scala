@@ -92,6 +92,49 @@ object ScaleQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** Canonical-document selection per near-dup cluster: keep the
+    * highest-quality member, smallest doc_id on ties
+    * (Dedup.canonicalPerCluster — single hash aggregate, argmax as
+    * max(struct), no window). Oracle: the recursive-CTE clusters joined
+    * back to documents with the same completeness scoring, argmax via
+    * row_number.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5))
+    Dedup.canonicalPerCluster(docs, clusters, "doc_id",
+        graft.functions.Scoring.completenessScore(col("text")))
+      .select(col("cluster_id"), col("canonical_doc_id"), col("n_members"),
+        Num.r(col("quality"), 4).as("quality"))
+  }
+
+  val canonicalDocsSql: String =
+    s"""WITH RECURSIVE $jaccardCtesSql,
+       |pairs AS (SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+       |clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+       |             FROM reach GROUP BY node),
+       |scored AS (
+       |  SELECT c.cluster_id, d.doc_id, ${completenessSql("d.text")} AS q
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster_id, doc_id AS canonical_doc_id, n_members,
+       |       ${Num.rSql("q", 4)} AS quality
+       |FROM (SELECT *,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY q DESC, doc_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |      FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** MinHash+LSH near-dup pairs — the linear-ish scale path. xxhash64
     * seeding is engine-specific, so no SQL oracle (rows-only); ScaleSpec
     * asserts it finds exactly the exact-Jaccard pairs on testdata.
@@ -502,6 +545,7 @@ object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_assign" -> kmeansAssign,
+    "q_canonical_docs" -> canonicalDocs,
     "q_frame_sample" -> frameSample,
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
@@ -523,6 +567,7 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_canonical_docs" -> canonicalDocsSql,
     "q_frame_sample" -> frameSampleSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,

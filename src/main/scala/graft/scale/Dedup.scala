@@ -172,6 +172,43 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-document selection — the step after clustering that a
+    * curation pipeline actually ships: per near-dup cluster keep the
+    * highest-quality member (smallest doc_id on quality ties, so the
+    * choice is deterministic). One hash aggregate with an argmax encoded
+    * as max(struct(quality, −id)) — no window, no per-cluster sort; the
+    * quality column is evaluated in the scan projection so only
+    * (cluster_id, quality, id) reaches the shuffle.
+    *
+    * `clusters` is dupClusters output (doc_id, cluster_id) and holds only
+    * clustered docs — typically a small fraction of the corpus — so the
+    * join prunes the corpus scan to cluster members before scoring; AQE
+    * picks broadcast vs shuffle join by its actual size.
+    */
+  def canonicalPerCluster(docs: DataFrame, clusters: DataFrame,
+      keyCol: String, quality: Column): DataFrame =
+    docs.select(col(keyCol).as("doc_id"), quality.as("q"))
+      .join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.nid")).as("canonical_doc_id"),
+        col("n_members"), col("best.q").as("quality"))
+
+  /** The deduped corpus: all unclustered docs plus each cluster's
+    * canonical member — a left anti join on the non-canonical id set, so
+    * document text is never shuffled (only ids move).
+    */
+  def dedupedCorpus(docs: DataFrame, clusters: DataFrame,
+      keyCol: String, quality: Column): DataFrame = {
+    val canonical = canonicalPerCluster(docs, clusters, keyCol, quality)
+    val dropIds = clusters.join(canonical,
+        clusters("cluster_id") === canonical("cluster_id") &&
+          clusters("doc_id") === canonical("canonical_doc_id"), "left_anti")
+      .select(col("doc_id"))
+    docs.join(dropIds, docs(keyCol) === dropIds("doc_id"), "left_anti")
+  }
+
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidates →
     * exact-verify Jaccard on candidates only.
     */

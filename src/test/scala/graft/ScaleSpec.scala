@@ -99,6 +99,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(graft.scale.Dedup.lshCandidates(sigs).count() == n.toLong * (n - 1) / 2)
   }
 
+  test("deduped corpus keeps exactly one canonical doc per cluster") {
+    import graft.scale.Dedup
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)).cache()
+    val quality = graft.functions.Scoring.completenessScore(col("text"))
+    val canonical = Dedup.canonicalPerCluster(docs, clusters, "doc_id", quality)
+    val kept = Dedup.dedupedCorpus(docs, clusters, "doc_id", quality)
+    val total = docs.count()
+    val members = clusters.count()
+    val nClusters = canonical.count()
+    // every cluster sheds all members but its canonical
+    assert(kept.count() == total - (members - nClusters))
+    // the canonical really is a member of its own cluster
+    val bad = canonical.join(clusters,
+      canonical("canonical_doc_id") === clusters("doc_id") &&
+        canonical("cluster_id") === clusters("cluster_id")).count()
+    assert(bad == nClusters)
+    clusters.unpersist()
+  }
+
   test("brute-force and LSH top-k agree on shared candidates") {
     val brute = ScaleQueries.cosineTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
