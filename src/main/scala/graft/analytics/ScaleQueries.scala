@@ -319,6 +319,49 @@ object ScaleQueries {
        |  ${graft.scale.PolyHash.sql("text")} AS poly_fingerprint
        |FROM documents""".stripMargin
 
+  /** Top bigrams per detected language — the corpus-profiling shape
+    * (top terms per stratum) via the string-keyed bounded TopKStrAgg:
+    * per-map-task state is O(languages·k) (score, term) pairs, so the
+    * final shuffle carries k terms per language instead of every bigram
+    * count, and no per-group sort materializes. Oracle: the window
+    * formulation; tie order (count desc, bigram asc binary) matches
+    * UTF8String.compareTo vs DuckDB binary collation.
+    */
+  def ngramTopK(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val bigrams = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(TextAnalysis.language(col("text")).as("language"),
+        explode(bigrams).as("bigram"))
+      .groupBy(col("language"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("language"))
+      .agg(graft.scale.TopK.topKStr(col("c").cast("double"), col("bigram"), 5).as("top"))
+      .select(col("language"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("language"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("bigram"), col("e.score").cast("long").as("n"))
+  }
+
+  val ngramTopKSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${langSql("text")} AS language,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT language, unnest(CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |      ELSE [] END) AS bigram
+       |  FROM toks),
+       |counts AS (SELECT language, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+       |SELECT language, rank, bigram, n FROM (
+       |  SELECT language, bigram, c AS n,
+       |         row_number() OVER (PARTITION BY language
+       |                            ORDER BY c DESC, bigram ASC) AS rank
+       |  FROM counts) WHERE rank <= 5""".stripMargin
+
   /** Multimodal asset-table stats through the binary+metadata schema
     * (graft.multimodal): proves the asset plumbing end-to-end with a SQL
     * oracle over the source documents.
@@ -546,6 +589,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_assign" -> kmeansAssign,
     "q_canonical_docs" -> canonicalDocs,
+    "q_ngram_topk" -> ngramTopK,
     "q_frame_sample" -> frameSample,
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
@@ -568,6 +612,7 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_canonical_docs" -> canonicalDocsSql,
+    "q_ngram_topk" -> ngramTopKSql,
     "q_frame_sample" -> frameSampleSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,

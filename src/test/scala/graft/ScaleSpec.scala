@@ -99,6 +99,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(graft.scale.Dedup.lshCandidates(sigs).count() == n.toLong * (n - 1) / 2)
   }
 
+  test("TopKStrAgg matches the window formulation, ties broken by id asc") {
+    import spark.implicits._
+    val rows = for (g <- 0 until 5; i <- 0 until 40)
+      yield (g, (i % 7).toDouble, s"w${(i * 31 + g) % 13}")
+    val df = rows.toDF("g", "s", "id").repartition(13)
+    val agg = df.groupBy("g")
+      .agg(graft.scale.TopK.topKStr(col("s"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r0", "e")))
+      .select(col("g"), (col("r0") + 1).as("r"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    val win = df.withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("s").desc, col("id").asc)))
+      .filter(col("r") <= 3)
+      .select("g", "r", "s", "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    assert(agg == win)
+  }
+
   test("deduped corpus keeps exactly one canonical doc per cluster") {
     import graft.scale.Dedup
     val docs = Tables.documents(spark, sf)
