@@ -328,14 +328,20 @@ object ScaleQueries {
     * UTF8String.compareTo vs DuckDB binary collation.
     */
   def ngramTopK(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    val bigrams = when(size(toks) >= 2,
-      transform(slice(toks, lit(1), size(toks) - 1),
-        (x, i) => concat(x, lit(" "), element_at(toks, i + 2))))
+    // tokenize ONCE into a materialized column: an expression referenced
+    // inside a HOF lambda is re-evaluated per element, so building
+    // bigrams with element_at(split(...), i) would pay O(words²) regex
+    // splits per document. zip_with over two slices of the attribute is
+    // one split + O(words) concats per row.
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     Tables.documents(spark, dir)
       .select(TextAnalysis.language(col("text")).as("language"),
-        explode(bigrams).as("bigram"))
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("language"), explode(bigrams).as("bigram"))
       .groupBy(col("language"), col("bigram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("language"))
