@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.scale.{DotProduct, MinHashSig, ShingleHashes, SimHash64}
+import graft.scale.{DotProduct, MinHashSig, PolyHash, ShingleHashes, SimHash64, TopKAgg, TopKStrAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text) …")`
@@ -42,6 +42,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(text, n, perms) - MinHash signature array"),
       (args: Seq[Expression]) =>
         MinHashSig(args.head, GraftExtensions.intArg(args, 1), GraftExtensions.intArg(args, 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(text) - polynomial rolling-hash fingerprint"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
+
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression, so these work directly in SQL GROUP BY queries
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      info("top_k", "top_k(score, id, k) - bounded top-k (score desc, id asc) per group"),
+      (args: Seq[Expression]) =>
+        TopKAgg(args(0), args(1), GraftExtensions.intArg(args, 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_k_str"),
+      info("top_k_str", "top_k_str(score, id, k) - bounded top-k with string ids"),
+      (args: Seq[Expression]) =>
+        TopKStrAgg(args(0), args(1), GraftExtensions.intArg(args, 2))))
   }
 }
 

@@ -21,7 +21,13 @@ class ExtensionsSpec extends AnyFunSuite {
       ("shingle_hashes", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.scale.ShingleHashes(e.head, GraftExtensions.intArg(e, 1))),
       ("minhash_sig", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.scale.MinHashSig(e.head, GraftExtensions.intArg(e, 1), GraftExtensions.intArg(e, 2)))
+        graft.scale.MinHashSig(e.head, GraftExtensions.intArg(e, 1), GraftExtensions.intArg(e, 2))),
+      ("poly_hash", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.scale.PolyHash(e.head)),
+      ("top_k", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.scale.TopKAgg(e(0), e(1), GraftExtensions.intArg(e, 2))),
+      ("top_k_str", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.scale.TopKStrAgg(e(0), e(1), GraftExtensions.intArg(e, 2)))
     ).foreach { case (name, builder) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
@@ -39,6 +45,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Int]("ns") == 2)
     assert(r.getAs[Int]("sig_len") == 16)
+  }
+
+  test("top-k aggregates work in SQL GROUP BY") {
+    val rows = spark.sql(
+      """SELECT g, top_k(s, id, 2) AS t, top_k_str(s, w, 2) AS ts
+        |FROM VALUES (1, 3.0D, 10L, 'c'), (1, 5.0D, 11L, 'a'),
+        |            (1, 4.0D, 12L, 'b'), (2, 1.0D, 13L, 'z')
+        |       AS v(g, s, id, w)
+        |GROUP BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val t1 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(t1.map(e => (e.getDouble(0), e.getLong(1))) == Seq((5.0, 11L), (4.0, 12L)))
+    val ts1 = rows(1).getSeq[org.apache.spark.sql.Row](2)
+    assert(ts1.map(e => (e.getDouble(0), e.getString(1))) == Seq((5.0, "a"), (4.0, "b")))
+    assert(rows(2).getSeq[org.apache.spark.sql.Row](1).size == 1)
+  }
+
+  test("poly_hash in SQL matches the Column API") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    docs.createOrReplaceTempView("docs_ph")
+    val viaSql = spark.sql("SELECT doc_id, poly_hash(text) h FROM docs_ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select(col("doc_id"), graft.scale.PolyHash.polyHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
   }
 
   test("SQL and Column API produce identical values over documents") {
