@@ -97,6 +97,33 @@ object Streams {
       .mapGroupsWithState(timeout)(updateSession(ttl))
   }
 
+  /** ST5 streaming form: gap sessionization via the native session_window
+    * — a per-user session closes after 30 idle minutes, and the watermark
+    * both bounds the merge state and decides when a session is final. The
+    * batch form (Events.sessionize) is the lag()-window equivalent; both
+    * use the same 30-minute gap. At volume this is one shuffle on user_id
+    * with state eviction — no unbounded window sort.
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** D4/D5 streaming form: exactly-once delivery by event_id.
+    * `dropDuplicatesWithinWatermark` keeps dedup state only within the
+    * watermark horizon, so state size is bounded by ingest-rate ×
+    * watermark instead of growing with the whole stream — the property
+    * that keeps event-id dedup feasible on an unbounded feed. Duplicates
+    * that arrive inside the horizon are suppressed; beyond it the
+    * upstream idempotent-produce flag (SURVEY §2.8 D5) is the guarantee,
+    * exactly the reference's two-layer contract.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** ST6: cascading session-KPI re-aggregation in update mode — the
     * consumer's per-event session recompute becomes an incrementally
     * maintained streaming aggregate.

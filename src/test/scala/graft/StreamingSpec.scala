@@ -70,6 +70,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("watermarked streaming dedup suppresses in-horizon duplicates") {
+    // stage the same file twice: every event arrives exactly twice
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("b.parquet"))
+    val events = Streams.eventStream(spark, d.toString)
+    val out = Streams.runToCompletion(
+      Streams.dedupStream(events), OutputMode.Append(), "dedup_stream")
+    val expected = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(out.count() == expected)
+    assert(out.select("event_id").distinct().count() == expected)
+  }
+
+  test("session_window streaming sessionization matches the batch lag() form") {
+    val events = Streams.eventStream(spark, eventsDir)
+    // session windows support append/complete only; append withholds
+    // sessions newer than the final watermark on a finite source, so the
+    // equivalence harness uses complete (production runs append)
+    val out = Streams.runToCompletion(
+      Streams.sessionizeStream(events), OutputMode.Complete(), "sessionize_stream")
+    // one output row per (user, session); all events are accounted for
+    assert(out.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    val got = out.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = graft.analytics.Events.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
   test("mapGroupsWithState session state folds events with seq guard") {
     val events = Streams.eventStream(spark, eventsDir)
     implicit val s = spark
