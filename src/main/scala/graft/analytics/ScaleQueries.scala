@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Num, Tables}
-import graft.scale.{Dedup, Similarity, SimHash64}
+import graft.scale.{Dedup, Partitioning, Similarity, SimHash64}
 import graft.functions.TextAnalysis
 
 /** Scale-tier queries: deduplication, similarity search, token/fingerprint
@@ -592,7 +592,32 @@ object ScaleQueries {
        |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
 
+  /** Skew-safe per-user event stats via salted two-stage aggregation.
+    * `events.user_id` has only ~15 distinct values at every SF — a plain
+    * groupBy funnels all 100 TB through ≤15 final tasks for the distinct
+    * count. Salting on hash(event_id) spreads stage 1 over user×8 groups;
+    * the per-bucket exact distinct counts sum to the true value because
+    * each event_id hashes into exactly one bucket.
+    */
+  val SaltBuckets = 8
+  def saltedUserStats(spark: SparkSession, dir: String): DataFrame =
+    Partitioning.saltedTwoStage(
+      Tables.events(spark, dir), Seq("user_id"), col("event_id"), SaltBuckets)(
+      Seq(count(lit(1)).as("__c"), sum(col("value")).as("__s"),
+        countDistinct(col("event_id")).as("__d")),
+      Seq(sum(col("__c")).as("n_events"),
+        sum(col("__d")).as("distinct_events"),
+        Num.ssum(sum(col("__s")), 2, 2).as("sum_value")))
+
+  val saltedUserStatsSql: String =
+    s"""SELECT user_id,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_events,
+       |       ${Num.ssumSql("sum(value)", 2, 2)} AS sum_value
+       |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
     "q_canonical_docs" -> canonicalDocs,
     "q_ngram_topk" -> ngramTopK,
@@ -616,6 +641,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_canonical_docs" -> canonicalDocsSql,
     "q_ngram_topk" -> ngramTopKSql,

@@ -56,4 +56,19 @@ class PartitioningSpec extends AnyFunSuite {
     val sSum = salted.agg(sum(col("l_quantity") * col("o_totalprice"))).head().getDouble(0)
     assert(math.abs(pSum - sSum) < 1e-6 * math.abs(pSum))
   }
+
+  test("salted two-stage aggregation equals the plain groupBy") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val salted = Partitioning.saltedTwoStage(ev, Seq("user_id"), col("event_id"), 8)(
+      Seq(count(lit(1)).as("__c"), countDistinct(col("event_id")).as("__d")),
+      Seq(sum(col("__c")).as("n"), sum(col("__d")).as("d")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+    val cd = Partitioning.saltedCountDistinct(ev, Seq("user_id"), "event_id", 8, "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cd == plain.map { case (k, (_, d)) => k -> d })
+  }
 }
