@@ -616,7 +616,32 @@ object ScaleQueries {
        |       ${Num.ssumSql("sum(value)", 2, 2)} AS sum_value
        |FROM events GROUP BY user_id""".stripMargin
 
+  /** As-of join: every event picks up the user's most recent purchase
+    * at-or-before its own timestamp (inclusive — a purchase event matches
+    * itself). Runs the bucketed scale path (weekly buckets) so no task
+    * ever sorts one user's full history. (user_id, ts) is unique in
+    * events, satisfying the right-side uniqueness contract.
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("last_purchase_ts"),
+        col("value").as("last_purchase_value"))
+    graft.scale.AsofJoin.asofBucketed(
+      ev.select("event_id", "user_id", "ts"), right, Seq("user_id"),
+      col("ts"), col("last_purchase_ts"), t => date_trunc("week", t))
+      .select("event_id", "user_id", "last_purchase_ts", "last_purchase_value")
+  }
+
+  val asofPurchaseSql: String =
+    """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts,
+      |       p.value AS last_purchase_value
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
     "q_canonical_docs" -> canonicalDocs,
@@ -641,6 +666,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_canonical_docs" -> canonicalDocsSql,
