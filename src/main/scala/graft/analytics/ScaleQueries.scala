@@ -640,7 +640,43 @@ object ScaleQueries {
       |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
       |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
+  /** Range join: per purchase, the user's click activity in the trailing
+    * 24 h, window `[ts-24h, ts)`. Bucketed equi-join (RangeJoin) — the
+    * left side fans out exactly 2×; no nested-loop, no row explosion.
+    * Left-outer semantics recovered by re-joining the grouped pairs onto
+    * the purchase set.
+    */
+  def rangeClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+    val pairs = graft.scale.RangeJoin.rangeJoin(
+      purchases, clicks, Seq("user_id"), col("ts"), col("c_ts"), 24L * 3600 * 1000000)
+    val stats = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("n_prior_clicks"),
+        Num.ssum(sum(col("c_value")), 2, 2).as("sum_click_value"))
+    purchases.select("event_id", "user_id")
+      .join(stats, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"),
+        col("sum_click_value"))
+  }
+
+  val rangeClicksSql: String =
+    s"""SELECT p.event_id, p.user_id,
+       |       CAST(count(c.c_ts) AS BIGINT) AS n_prior_clicks,
+       |       ${Num.ssumSql("sum(c.c_value)", 2, 2)} AS sum_click_value
+       |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT user_id, ts AS c_ts, value AS c_value
+       |           FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.c_ts >= p.ts - INTERVAL 24 HOURS AND c.c_ts < p.ts
+       |GROUP BY p.event_id, p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_clicks" -> rangeClicks,
     "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
@@ -666,6 +702,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_range_clicks" -> rangeClicksSql,
     "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
