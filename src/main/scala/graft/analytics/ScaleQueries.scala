@@ -675,7 +675,50 @@ object ScaleQueries {
        | AND c.c_ts >= p.ts - INTERVAL 24 HOURS AND c.c_ts < p.ts
        |GROUP BY p.event_id, p.user_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document. All plan stages stay bounded: tf is
+    * one (doc, term) aggregate, df one (term) aggregate, the corpus size
+    * joins in as a broadcast single-row, and the per-doc ranking uses the
+    * bounded TopKStrAgg heap (O(docs·k) shuffle, no per-doc full sort).
+    * tfidf is rounded BEFORE ranking so the rank-order is identical in
+    * both engines even if their ln() differs by an ulp.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf",
+        Num.r(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .groupBy("doc_id")
+      .agg(graft.scale.TopK.topKStr(col("tfidf"), col("term"), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("doc_id"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("term"), col("e.score").as("tfidf"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |         ${Num.rSql("tf * ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, tfidf FROM (
+       |  SELECT doc_id, term, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tfidf DESC, term ASC) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_topterms" -> tfidfTopTerms,
     "q_range_clicks" -> rangeClicks,
     "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
@@ -702,6 +745,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_range_clicks" -> rangeClicksSql,
     "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
