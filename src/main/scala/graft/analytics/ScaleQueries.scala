@@ -717,7 +717,59 @@ object ScaleQueries {
        |                            ORDER BY tfidf DESC, term ASC) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
+  /** BM25 ranked retrieval for a fixed query-term set (k1=1.2, b=0.75).
+    * Only rows whose term is in the query survive the first filter, so
+    * the scoring join touches |Q|·docs rows, never the full posting list;
+    * corpus stats (Σdl, N) ride in as one broadcast row. The score is
+    * rounded before ranking and ties break on doc_id, so top-10 is
+    * deterministic cross-engine. Every fp constant is written as the
+    * same literal in both expressions — 2.2, not k1+1, since
+    * `1.2 + 1.0` and the literal `2.2` are different doubles.
+    */
+  val Bm25Terms = Seq("spark", "hash", "merge")
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = broadcast(dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("nd")))
+    val qdf = tf.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(Bm25Terms: _*))
+      .join(broadcast(qdf), "term").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("s",
+        log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("sdl").cast("double") / col("nd")))))
+      .groupBy("doc_id").agg(Num.r(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+  }
+
+  val bm25SearchSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS sdl, count(*) AS nd FROM dl),
+       |qdf AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         ln((nd - df + 0.5) / (df + 0.5) + 1.0) *
+       |         (t.tf * 2.2) /
+       |         (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / (sdl / nd))) AS s
+       |  FROM tf t JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE t.term IN ('spark', 'hash', 'merge'))
+       |SELECT doc_id, ${Num.rSql("sum(s)", 6)} AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_search" -> bm25Search,
     "q_tfidf_topterms" -> tfidfTopTerms,
     "q_range_clicks" -> rangeClicks,
     "q_asof_purchase" -> asofPurchase,
@@ -745,6 +797,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_bm25_search" -> bm25SearchSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_range_clicks" -> rangeClicksSql,
     "q_asof_purchase" -> asofPurchaseSql,
