@@ -90,6 +90,27 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 1, s"sampling should not shuffle docs:\n$p")
   }
 
+  test("as-of join plans no nested loop and a bounded shuffle count") {
+    val p = plan(analytics.ScaleQueries.asofPurchase(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // markers + latest-per-bucket + carry window + local window, all on
+    // key or (key, bucket) — anything beyond ~8 exchanges means a stage
+    // stopped reusing the partitioning
+    assert(nodeCount(p, "Exchange") <= 8, s"as-of grew extra shuffles:\n$p")
+  }
+
+  test("tfidf ranks through the bounded top-k aggregate, not a window sort") {
+    val p = plan(analytics.ScaleQueries.tfidfTopTerms(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"expected TopKStrAgg:\n$p")
+    assert(!p.contains("Window"), s"per-doc ranking must not window-sort:\n$p")
+  }
+
+  test("bm25 broadcasts stats and takes top-10 without a global sort") {
+    val p = plan(analytics.ScaleQueries.bm25Search(spark, sf))
+    assert(p.contains("BroadcastExchange"), s"corpus stats should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"limit should not global-sort:\n$p")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
