@@ -768,7 +768,38 @@ object ScaleQueries {
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** int8 scalar quantization round-trip summary per vector. Integer
+    * outputs (sum/min/max of the codes) keep the oracle compare exact —
+    * the fp quantization formula is written identically in both engines
+    * and floor() snaps it before any cross-engine drift can matter;
+    * reconstruction-error bounds are asserted in QuantizeSpec.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.Quantize.quantize(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"),
+        expr("CAST(aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)").as("q_sum"),
+        expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"))
+
+  val embedQuantizeSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY i),
+       |stats AS (SELECT array_agg(mn ORDER BY i) AS mins,
+       |                 array_agg(mx ORDER BY i) AS maxs FROM dims),
+       |q AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+       |    CASE WHEN maxs[i] > mins[i]
+       |      THEN CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0 + 0.5) AS INT) - 128
+       |      ELSE 0 END) AS q
+       |  FROM e CROSS JOIN stats)
+       |SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum,
+       |       CAST(list_min(q) AS INT) AS q_min, CAST(list_max(q) AS INT) AS q_max
+       |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_bm25_search" -> bm25Search,
     "q_tfidf_topterms" -> tfidfTopTerms,
     "q_range_clicks" -> rangeClicks,
@@ -797,6 +828,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_range_clicks" -> rangeClicksSql,
