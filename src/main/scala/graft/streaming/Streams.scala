@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -160,6 +160,16 @@ object Streams {
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
     }.start()
+
+  /** Stream-static dimension enrichment. The static side is explicitly
+    * broadcast, so every micro-batch is enriched map-side — no
+    * stream-side shuffle, no state store. At ingest volume this is the
+    * only join shape that keeps the hot path stateless; anything
+    * bigger than broadcastable belongs in a post-hoc batch join.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      streamKey: Column, dimKey: Column): DataFrame =
+    stream.join(broadcast(dim), streamKey === dimKey, "left")
 
   /** Run a streaming query to completion over the (finite) file source —
     * the batch-equivalence harness used by StreamingSpec and available as

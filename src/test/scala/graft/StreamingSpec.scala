@@ -114,4 +114,25 @@ class StreamingSpec extends AnyFunSuite {
     val exp = batch.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == exp)
   }
+
+  test("stream-static broadcast enrichment equals the batch dimension join") {
+    val events = Streams.eventStream(spark, eventsDir)
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val out = Streams.runToCompletion(
+      Streams.enrichStream(events, dim, col("user_id"), col("c_custkey")),
+      OutputMode.Append(), "enriched_stream")
+    val batch = Tables.events(spark, sf)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+    assert(out.count() == batch.count())
+    val got = out.groupBy("c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exp = batch.groupBy("c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exp)
+    // the static side must broadcast — no stream-side shuffle
+    val plan = Streams.enrichStream(
+      Tables.events(spark, sf), dim, col("user_id"), col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
