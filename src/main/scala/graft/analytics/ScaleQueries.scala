@@ -798,7 +798,69 @@ object ScaleQueries {
        |       CAST(list_min(q) AS INT) AS q_min, CAST(list_max(q) AS INT) AS q_max
        |FROM q""".stripMargin
 
+  /** Sliding-window document chunking: 32-token windows every 24 tokens
+    * (8-token overlap), tail windows retained. Pure map-side HOFs — the
+    * only shuffle anywhere downstream is whatever consumes the chunks.
+    * chunk_md5 stands in for chunk text so the oracle rows stay narrow.
+    */
+  val ChunkSize = 32
+  val ChunkStep = 24
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w), $ChunkStep), s -> slice(w, s, $ChunkSize))"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("c")).as("n_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_md5"))
+
+  val docChunksSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+       |SELECT doc_id, CAST((s - 1) // $ChunkStep AS INT) AS chunk_idx,
+       |       CAST(len(w[s : s + ${ChunkSize - 1}]) AS INT) AS n_tokens,
+       |       md5(array_to_string(w[s : s + ${ChunkSize - 1}], ' ')) AS chunk_md5
+       |FROM toks CROSS JOIN unnest(range(1, len(w) + 1, $ChunkStep)) AS t(s)""".stripMargin
+
+  /** Deterministic sequence packing: greedy running-sum binning of docs
+    * into ~256-token context windows, per source (bin = exclusive
+    * cumulative length div capacity — the streaming-pack approximation;
+    * a bin may overflow by at most one doc). The window partitions by
+    * source, so max task = one source's catalog, not the corpus.
+    */
+  val PackCap = 256
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .withColumn("cumx", sum(col("n_tok")).over(w) - col("n_tok"))
+      .selectExpr("source", s"cumx div $PackCap AS bin", "n_tok")
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+  }
+
+  val seqPackingSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cumx
+       |  FROM d)
+       |SELECT source, CAST(cumx // $PackCap AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks" -> docChunks,
+    "q_seq_packing" -> seqPacking,
     "q_embed_quantize" -> embedQuantize,
     "q_bm25_search" -> bm25Search,
     "q_tfidf_topterms" -> tfidfTopTerms,
@@ -828,6 +890,8 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunks" -> docChunksSql,
+    "q_seq_packing" -> seqPackingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
