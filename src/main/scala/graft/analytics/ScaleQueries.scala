@@ -858,7 +858,54 @@ object ScaleQueries {
        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Benchmark decontamination: flag corpus docs sharing word-3-gram
+    * shingles with an "eval set" (here: every 25th doc, standing in for
+    * a benchmark suite). The eval shingle set broadcasts — real
+    * benchmarks are tiny next to a training corpus — so contamination
+    * detection is a map-side join; the only corpus-wide shuffle is the
+    * per-doc distinct-shingle aggregate. Shingle definition matches the
+    * Jaccard tier (trim + whitespace split, 3-word windows).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val tri = when(size(w) >= 3,
+      zip_with(slice(w, lit(1), size(w) - 2),
+        zip_with(slice(w, lit(2), size(w) - 2), slice(w, lit(3), size(w) - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc)))
+      .otherwise(array().cast("array<string>"))
+    val shd = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(tri).as("s"))
+      .distinct()
+    val ev = broadcast(
+      shd.filter(col("doc_id") % 25 === 0).select(col("s").as("ev_s")).distinct())
+    shd.join(ev, col("s") === col("ev_s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("ev_s")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        Num.r(col("n_overlap").cast("double") / col("n_shingles"), 6).as("ratio"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |        ELSE [] END) AS s
+       |    FROM toks) t),
+       |ev AS (SELECT DISTINCT s AS ev_s FROM sh WHERE doc_id % 25 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(count(ev_s) AS BIGINT) AS n_overlap,
+       |       ${Num.rSql("CAST(count(ev_s) AS DOUBLE) / count(*)", 6)} AS ratio
+       |FROM sh LEFT JOIN ev ON sh.s = ev.ev_s
+       |GROUP BY doc_id HAVING count(ev_s) > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate,
     "q_doc_chunks" -> docChunks,
     "q_seq_packing" -> seqPacking,
     "q_embed_quantize" -> embedQuantize,
@@ -890,6 +937,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
     "q_doc_chunks" -> docChunksSql,
     "q_seq_packing" -> seqPackingSql,
     "q_embed_quantize" -> embedQuantizeSql,
