@@ -904,7 +904,64 @@ object ScaleQueries {
        |FROM sh LEFT JOIN ev ON sh.s = ev.ev_s
        |GROUP BY doc_id HAVING count(ev_s) > 0""".stripMargin
 
+  /** Domain-mixture rebalancing: per-source sampling weight that would
+    * equalize the corpus mix by token volume (target share =
+    * 1/n_sources of total chars). Corpus totals ride as one broadcast
+    * row; one aggregate shuffle.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("src_chars"))
+    val totals = broadcast(bySrc.agg(
+      sum(col("src_chars")).as("total_chars"), count(lit(1)).as("n_sources")))
+    bySrc.crossJoin(totals)
+      .select(col("source"), col("n_docs"), col("src_chars"),
+        Num.r(col("src_chars").cast("double") / col("total_chars"), 6).as("actual_share"),
+        Num.r((col("total_chars").cast("double") / col("n_sources")) / col("src_chars"), 6)
+          .as("weight"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH bys AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS src_chars
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(src_chars) AS BIGINT) AS total_chars,
+       |               count(*) AS n_sources FROM bys)
+       |SELECT source, n_docs, src_chars,
+       |       ${Num.rSql("CAST(src_chars AS DOUBLE) / total_chars", 6)} AS actual_share,
+       |       ${Num.rSql("(CAST(total_chars AS DOUBLE) / n_sources) / src_chars", 6)} AS weight
+       |FROM bys CROSS JOIN tot""".stripMargin
+
+  /** Quality quartiles: ntile(4) of doc length within each source —
+    * the curriculum-binning profile. Total order (n_chars, doc_id)
+    * makes the tile assignment engine-stable.
+    */
+  def qualityQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("source", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+  }
+
+  val qualityQuartilesSql: String =
+    """SELECT source, quartile, CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |         CAST(ntile(4) OVER (PARTITION BY source
+      |                             ORDER BY n_chars, doc_id) AS INT) AS quartile
+      |  FROM documents)
+      |GROUP BY source, quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_weights" -> mixtureWeights,
+    "q_quality_quartiles" -> qualityQuartiles,
     "q_decontaminate" -> decontaminate,
     "q_doc_chunks" -> docChunks,
     "q_seq_packing" -> seqPacking,
@@ -937,6 +994,8 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_weights" -> mixtureWeightsSql,
+    "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,
     "q_doc_chunks" -> docChunksSql,
     "q_seq_packing" -> seqPackingSql,
