@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.scale.{DotProduct, MinHashSig, PolyHash, ShingleHashes, SimHash64, TopKAgg, TopKStrAgg}
+import graft.scale.{DotProduct, MinHashSig, MisraGriesAgg, PolyHash, ShingleHashes, SimHash64, TopKAgg, TopKStrAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text) …")`
@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k_str", "top_k_str(score, id, k) - bounded top-k with string ids"),
       (args: Seq[Expression]) =>
         TopKStrAgg(args(0), args(1), GraftExtensions.intArg(args, 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, k) - bounded heavy-hitter counters (Misra-Gries sketch)"),
+      (args: Seq[Expression]) =>
+        MisraGriesAgg(args(0), GraftExtensions.intArg(args, 1))))
   }
 }
 

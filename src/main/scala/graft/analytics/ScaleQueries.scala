@@ -959,7 +959,26 @@ object ScaleQueries {
       |  FROM documents)
       |GROUP BY source, quartile""".stripMargin
 
+  /** Heavy hitters per event type via the Misra–Gries sketch. k=256
+    * exceeds the key cardinality here, so the sketch runs in its exact
+    * regime and the oracle is a plain grouped count — the lossy regime's
+    * n/(k+1) error bound is property-tested in MisraGriesSpec. At
+    * volume the win is the bound: O(groups·k) state independent of key
+    * skew or cardinality.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.scale.MisraGries.heavyHitters(col("user_id"), 256).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.id").as("user_id"), col("e.est").as("n_events"))
+
+  val heavyHittersSql: String =
+    """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> heavyHitters,
     "q_mixture_weights" -> mixtureWeights,
     "q_quality_quartiles" -> qualityQuartiles,
     "q_decontaminate" -> decontaminate,
@@ -994,6 +1013,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,
