@@ -977,7 +977,63 @@ object ScaleQueries {
     """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Rolling 7-day per-user features (trailing event count + value sum
+    * per event) — the feature-engineering window shape. Spark ranges
+    * over unix micros, DuckDB over an INTERVAL frame; with no sub-µs
+    * timestamps the frames select identical row sets, and the sliding
+    * sum is grid-snapped (both engines accumulate the frame in
+    * different orders).
+    */
+  def rollingUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-7L * 86400 * 1000000, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        Num.ssum(sum(col("value")).over(w), 2, 2).as("value_7d"))
+  }
+
+  val rollingUserFeaturesSql: String =
+    s"""SELECT event_id, user_id,
+       |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       |       ${Num.ssumSql("sum(value) OVER w", 2, 2)} AS value_7d
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+       |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Inter-event gap profile per user: lag()-based gap seconds,
+    * aggregated to avg/max. Gaps are exact integer µs converted with
+    * integer div, so no fp drift enters before the final division.
+    */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"))
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_s", (col("us") - lag(col("us"), 1).over(w)) / lit(1000000L))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        Num.r(avg(col("gap_s")), 4).as("avg_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+  }
+
+  val eventGapsSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |         CAST(epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER
+       |           (PARTITION BY user_id ORDER BY ts) AS DOUBLE) / 1000000 AS gap_s
+       |  FROM events)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |       ${Num.rSql("avg(gap_s)", 4)} AS avg_gap_s,
+       |       max(gap_s) AS max_gap_s
+       |FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_user_features" -> rollingUserFeatures,
+    "q_event_gaps" -> eventGaps,
     "q_heavy_hitters" -> heavyHitters,
     "q_mixture_weights" -> mixtureWeights,
     "q_quality_quartiles" -> qualityQuartiles,
@@ -1013,6 +1069,8 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_user_features" -> rollingUserFeaturesSql,
+    "q_event_gaps" -> eventGapsSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
