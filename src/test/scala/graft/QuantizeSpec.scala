@@ -25,4 +25,23 @@ class QuantizeSpec extends AnyFunSuite {
           |    (maxs[i] - mins[i]) / 255.0 * 0.5 + 1e-9), b -> b)""".stripMargin))
     assert(violations.isEmpty)
   }
+
+  test("quantized cosine top-10 recalls the exact top-10") {
+    import graft.scale.Similarity
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def topIds(df: org.apache.spark.sql.DataFrame, vecCol: String): Set[Long] = {
+      val q = df.filter(col("vec_id") === 1).select(col(vecCol).as("qv"))
+      df.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
+        .select(col("vec_id"), Similarity.cosine(col(vecCol), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val exact = topIds(emb, "embedding")
+    val stats = Quantize.dimStats(emb, "embedding")
+    val dq = Quantize.dequantize(Quantize.quantize(emb, "embedding"), stats)
+      .select(col("vec_id"), col("deq"))
+    val approx = topIds(dq, "deq")
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+  }
 }

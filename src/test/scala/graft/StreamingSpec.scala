@@ -135,4 +135,19 @@ class StreamingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("misra-gries heavy hitters run as a streaming update aggregate") {
+    val events = Streams.eventStream(spark, eventsDir)
+    val out = Streams.runToCompletion(
+      events.groupBy("event_type")
+        .agg(graft.scale.MisraGries.heavyHitters(col("user_id"), 1024).as("hh")),
+      OutputMode.Update(), "mg_stream")
+    // exact regime (k > cardinality): the final sketch equals the counts
+    val got = out.select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.id"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = Tables.events(spark, sf).groupBy("event_type", "user_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+  }
 }
