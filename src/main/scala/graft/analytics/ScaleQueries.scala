@@ -978,22 +978,21 @@ object ScaleQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Rolling 7-day per-user features (trailing event count + value sum
-    * per event) — the feature-engineering window shape. Spark ranges
-    * over unix micros, DuckDB over an INTERVAL frame; with no sub-µs
-    * timestamps the frames select identical row sets, and the sliding
-    * sum is grid-snapped (both engines accumulate the frame in
-    * different orders).
+    * per event) — the feature-engineering window shape, run through the
+    * overlapping-panes scale path (SlidingAgg): no task ever sorts more
+    * than two week-panes of one user, vs a naive per-user window that
+    * funnels each key's full history into one task. DuckDB mirrors with
+    * an INTERVAL range frame; with no sub-µs timestamps the frames
+    * select identical row sets, and the sliding sum is grid-snapped
+    * (the engines accumulate frames in different orders).
     */
-  def rollingUserFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("us"))
-      .rangeBetween(-7L * 86400 * 1000000, 0)
-    Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
-      .select(col("event_id"), col("user_id"),
-        count(lit(1)).over(w).as("n_7d"),
-        Num.ssum(sum(col("value")).over(w), 2, 2).as("value_7d"))
-  }
+  def rollingUserFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.SlidingAgg.trailingCountSum(
+      Tables.events(spark, dir).select("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), col("ts"), col("value"),
+      7L * 86400 * 1000000, "n_7d", "raw_7d")
+      .select(col("event_id"), col("user_id"), col("n_7d"),
+        Num.ssum(col("raw_7d"), 2, 2).as("value_7d"))
 
   val rollingUserFeaturesSql: String =
     s"""SELECT event_id, user_id,

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.scale.SlidingAgg
+
+/** Overlapping-panes trailing aggregation must equal the naive per-key
+  * range window exactly — same frames, same counts, same sums.
+  */
+class SlidingAggSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+  val WeekMicros = 7L * 86400 * 1000000
+
+  test("paned trailing count/sum equals the naive range window") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    val paned = SlidingAgg.trailingCountSum(
+      ev, Seq("user_id"), col("ts"), col("value"), WeekMicros, "n", "s")
+      .select("event_id", "n", "s")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-WeekMicros, 0)
+    val naive = ev.withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), count(lit(1)).over(w).as("n"), sum(col("value")).over(w).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(paned.keySet == naive.keySet)
+    paned.foreach { case (id, (n, s)) =>
+      val (en, es) = naive(id)
+      assert(n == en, s"count mismatch for $id")
+      assert(math.abs(s - es) < 1e-9, s"sum mismatch for $id")
+    }
+  }
+}
