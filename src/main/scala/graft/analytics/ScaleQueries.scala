@@ -1002,33 +1002,31 @@ object ScaleQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""".stripMargin
 
-  /** Inter-event gap profile per user: lag()-based gap seconds,
-    * aggregated to avg/max. Gaps are exact integer µs converted with
-    * integer div, so no fp drift enters before the final division.
+  /** Inter-event gap profile per user via the two-level pane
+    * decomposition (SlidingAgg.gapStats) — pane-local lag windows plus
+    * boundary gaps over the tiny per-(key, pane) relation, so no task
+    * sorts one user's full history. Gaps stay integer µs until the
+    * final division, so both engines divide the identical numbers.
     */
-  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("us"))
-    Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("gap_s", (col("us") - lag(col("us"), 1).over(w)) / lit(1000000L))
-      .filter(col("gap_s").isNotNull)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_gaps"),
-        Num.r(avg(col("gap_s")), 4).as("avg_gap_s"),
-        max(col("gap_s")).as("max_gap_s"))
-  }
+  def eventGaps(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.SlidingAgg.gapStats(
+      Tables.events(spark, dir).select("user_id", "ts"), Seq("user_id"), col("ts"),
+      7L * 86400 * 1000000)
+      .select(col("user_id"), col("n_gaps"),
+        Num.r(col("sum_gap_us").cast("double") / lit(1000000.0) / col("n_gaps"), 4)
+          .as("avg_gap_s"),
+        (col("max_gap_us").cast("double") / lit(1000000.0)).as("max_gap_s"))
 
   val eventGapsSql: String =
     s"""WITH g AS (
        |  SELECT user_id,
-       |         CAST(epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER
-       |           (PARTITION BY user_id ORDER BY ts) AS DOUBLE) / 1000000 AS gap_s
+       |         epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER
+       |           (PARTITION BY user_id ORDER BY ts) AS gap_us
        |  FROM events)
        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-       |       ${Num.rSql("avg(gap_s)", 4)} AS avg_gap_s,
-       |       max(gap_s) AS max_gap_s
-       |FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""".stripMargin
+       |       ${Num.rSql("CAST(sum(gap_us) AS DOUBLE) / 1000000 / count(*)", 4)} AS avg_gap_s,
+       |       CAST(max(gap_us) AS DOUBLE) / 1000000 AS max_gap_s
+       |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_user_features" -> rollingUserFeatures,

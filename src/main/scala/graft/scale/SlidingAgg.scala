@@ -39,4 +39,39 @@ object SlidingAgg {
       .filter(col("__ctx") === 0)
       .drop("__us", "__v", "__b", "__ctx")
   }
+
+  /** Inter-event gap statistics per key, decomposed so no task sorts one
+    * key's full history: gaps WITHIN a (key, pane) come from a pane-local
+    * lag window; gaps ACROSS panes are the next pane's first timestamp
+    * minus this pane's last, computed on the tiny one-row-per-(key, pane)
+    * relation (empty panes simply never appear — the lag over present
+    * panes bridges them). Everything stays integer µs until the caller
+    * divides, so there is no fp drift to snap.
+    *
+    * Returns per key: n_gaps, sum_gap_us, max_gap_us (gaps between
+    * consecutive events in time order; keys with one event drop out).
+    */
+  def gapStats(df: DataFrame, keys: Seq[String], time: Column,
+      paneMicros: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col("__us"))
+    val intra = base
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w1))
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(count(col("__g")).as("n_intra"),
+        coalesce(sum(col("__g")), lit(0L)).as("s_intra"),
+        max(col("__g")).as("m_intra"),
+        min(col("__us")).as("lo"), max(col("__us")).as("hi"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+    intra
+      .withColumn("__bg", col("lo") - lag(col("hi"), 1).over(w2))
+      .groupBy(keyCols: _*)
+      .agg((sum(col("n_intra")) + count(col("__bg"))).as("n_gaps"),
+        (sum(col("s_intra")) + coalesce(sum(col("__bg")), lit(0L))).as("sum_gap_us"),
+        greatest(max(col("m_intra")), max(col("__bg"))).as("max_gap_us"))
+      .filter(col("n_gaps") > 0)
+  }
 }

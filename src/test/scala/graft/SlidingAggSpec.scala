@@ -31,4 +31,18 @@ class SlidingAggSpec extends AnyFunSuite {
       assert(math.abs(s - es) < 1e-9, s"sum mismatch for $id")
     }
   }
+
+  test("paned gap stats equal the naive per-key lag window") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts")
+    val paned = SlidingAgg.gapStats(ev, Seq("user_id"), col("ts"), WeekMicros)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+    val naive = ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("s"), max(col("g")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(paned == naive)
+  }
 }
