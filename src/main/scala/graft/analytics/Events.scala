@@ -173,16 +173,21 @@ object Events {
       |FROM events""".stripMargin
 
   /** W3/S9-analog: last event per key — the Redis seq-guard hot-state
-    * materialization (enhanced_kpi_consumer.py:638-673) as a window dedup.
+    * materialization (enhanced_kpi_consumer.py:638-673). An argmax
+    * aggregate (max of a struct ordered (ts, event_id)) rather than a
+    * row_number window: partial aggregation keeps one candidate per key
+    * per map task, so a hot key costs O(tasks), not one task sorting the
+    * key's full history. The struct's field order IS the (ts desc,
+    * event_id desc) tiebreak.
     */
-  def lastEventPerUser(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def lastEventPerUser(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"),
+        col("last.ts").as("ts"))
 
   val lastEventPerUserSql: String =
     """SELECT user_id, event_id, event_type, value, ts FROM (
@@ -211,18 +216,15 @@ object Events {
     * absent in the reference; standard event-pipeline operator).
     * One shuffle on user_id; per-user sort inside the window.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1)
-          .otherwise(0))
-      .groupBy(col("user_id"))
-      .agg(sum(col("new_session")).as("n_sessions"),
-        count(lit(1)).as("n_events"))
-  }
+  /** Pane-decomposed (SlidingAgg.sessionCounts): breaks within a day-pane
+    * come from pane-local lags, boundary breaks from the per-(user, pane)
+    * relation — no task sorts one user's full history. (user_id, ts) is
+    * unique in events, so ordering by ts alone matches (ts, event_id).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.SlidingAgg.sessionCounts(
+      Tables.events(spark, dir).select("user_id", "ts"), Seq("user_id"), col("ts"),
+      gapMicros = 1800L * 1000000L, paneMicros = 86400L * 1000000L)
 
   val sessionizeSql: String =
     """WITH flagged AS (
@@ -237,13 +239,17 @@ object Events {
       |FROM flagged GROUP BY user_id""".stripMargin
 
   /** Running per-user cumulative value (W1-family running window). */
-  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        Num.r(sum(col("value")).over(w), 2).as("running_value"))
-  }
+  /** Pane-decomposed prefix sum (SlidingAgg.runningSum): pane-local
+    * prefixes + a cumulated carry of earlier panes' totals. The r(2)
+    * snap absorbs the reordered-summation ulps — grid-resident values
+    * land half a unit from any floor boundary.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.SlidingAgg.runningSum(
+      Tables.events(spark, dir).select("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), col("ts"), col("event_id"), col("value"),
+      paneMicros = 86400L * 1000000L, out = "rv")
+      .select(col("event_id"), col("user_id"), Num.r(col("rv"), 2).as("running_value"))
 
   val runningTotalSql: String =
     """SELECT event_id, user_id,

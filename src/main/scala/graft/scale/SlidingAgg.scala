@@ -74,4 +74,62 @@ object SlidingAgg {
         greatest(max(col("m_intra")), max(col("__bg"))).as("max_gap_us"))
       .filter(col("n_gaps") > 0)
   }
+
+  /** Gap-threshold sessionization counts per key with the same two-level
+    * decomposition: session breaks within a pane come from pane-local
+    * lags, breaks at pane boundaries from the per-(key, pane) relation;
+    * +1 for the key's first event. Equals the naive lag() formulation
+    * exactly (integer µs comparisons throughout).
+    */
+  def sessionCounts(df: DataFrame, keys: Seq[String], time: Column,
+      gapMicros: Long, paneMicros: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col("__us"))
+    val intra = base
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w1))
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(sum(when(col("__g") > gapMicros, 1L).otherwise(0L)).as("n_breaks"),
+        count(lit(1)).as("n_ev"),
+        min(col("__us")).as("lo"), max(col("__us")).as("hi"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+    intra
+      .withColumn("__bg", col("lo") - lag(col("hi"), 1).over(w2))
+      .groupBy(keyCols: _*)
+      .agg((lit(1L) + sum(col("n_breaks")) +
+        sum(when(col("__bg") > gapMicros, 1L).otherwise(0L))).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"))
+  }
+
+  /** Running (prefix) sum per key without sorting a key's full history
+    * in one task: pane-local prefix sums plus a carry of all earlier
+    * panes' totals (cumulated over the tiny per-(key, pane) relation).
+    * Summation ORDER differs from the strictly sequential window, so
+    * downstream consumers must grid-snap before comparing engines —
+    * with grid-resident inputs the ulp-level drift cannot flip the snap
+    * (a 0.01-grid value sits 0.5 away from the floor boundary).
+    */
+  def runningSum(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
+      value: Column, paneMicros: Long, out: String): DataFrame = {
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__tb", tiebreak)
+      .withColumn("__v", value)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val wLoc = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__loc", sum(col("__v")).over(wLoc))
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+      .agg(sum(col("__v")).as("__tot"))
+      .withColumn("__prev", sum(col("__tot")).over(wCarry))
+      .select((keys :+ "__b").map(col) :+ col("__prev"): _*)
+    local.join(carry, keys :+ "__b")
+      .withColumn(out, coalesce(col("__prev"), lit(0.0)) + col("__loc"))
+      .drop("__us", "__tb", "__v", "__b", "__loc", "__prev")
+  }
 }

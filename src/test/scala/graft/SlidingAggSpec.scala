@@ -45,4 +45,34 @@ class SlidingAggSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(paned == naive)
   }
+
+  test("paned session counts equal the naive lag formulation") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts")
+    val paned = SlidingAgg.sessionCounts(ev, Seq("user_id"), col("ts"),
+      gapMicros = 1800L * 1000000L, paneMicros = 86400L * 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+    val naive = ev
+      .withColumn("g", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("ns", when(col("g").isNull || col("g") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy("user_id").agg(sum(col("ns")).as("n"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(paned == naive)
+  }
+
+  test("paned running sum equals the naive prefix window within fp noise") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    val paned = SlidingAgg.runningSum(ev, Seq("user_id"), col("ts"), col("event_id"),
+      col("value"), paneMicros = 86400L * 1000000L, out = "rv")
+      .select("event_id", "rv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = ev.select(col("event_id"), sum(col("value")).over(w).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(paned.keySet == naive.keySet)
+    paned.foreach { case (id, v) =>
+      assert(math.abs(v - naive(id)) < 1e-8, s"prefix mismatch for $id")
+    }
+  }
 }
