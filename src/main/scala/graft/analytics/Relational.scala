@@ -240,18 +240,19 @@ object Relational {
     """SELECT c_custkey, c_name FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
 
-  /** D1-analog upsert: last-write-wins keyed dedup via window row_number
-    * (enhanced_kpi_consumer.py:395-434 ON CONFLICT DO UPDATE). At scale
-    * this is one shuffle on the upsert key; AQE handles skew.
+  /** D1-analog upsert: last-write-wins keyed dedup
+    * (enhanced_kpi_consumer.py:395-434 ON CONFLICT DO UPDATE) as an
+    * argmax aggregate — max of a struct ordered (o_orderdate,
+    * o_orderkey). Partial aggregation keeps one candidate per key per
+    * map task, so the reduce side sees O(keys), not every version of
+    * every key.
     */
-  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-  }
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("b"))
+      .select(col("o_custkey"), col("b.o_orderkey").as("o_orderkey"),
+        col("b.o_orderdate").as("o_orderdate"), col("b.o_totalprice").as("o_totalprice"))
 
   val latestOrderPerCustomerSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
