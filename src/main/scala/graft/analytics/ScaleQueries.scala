@@ -1028,7 +1028,53 @@ object ScaleQueries {
        |       CAST(max(gap_us) AS DOUBLE) / 1000000 AS max_gap_s
        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin
 
+  /** Intra-document repetition filter (the Gopher-rule family): fraction
+    * of duplicated word 2-grams and 3-grams inside each doc; docs above
+    * the 3-gram threshold are dropped from a training mix. Entirely
+    * map-side HOFs — repetition needs no corpus context, so the operator
+    * costs one scan at any volume.
+    */
+  val RepetitionMaxDupTriRatio = 0.2
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    def grams(n: Int): Column = when(size(w) >= n,
+      expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+        (0 until n).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+      .otherwise(array().cast("array<string>"))
+    def dupRatio(g: Column): Column =
+      when(size(g) > 0,
+        Num.r((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g3")).as("n_tri"),
+        dupRatio(col("g2")).as("dup_bi_ratio"),
+        dupRatio(col("g3")).as("dup_tri_ratio"))
+      .withColumn("keep", col("dup_tri_ratio").isNotNull &&
+        col("dup_tri_ratio") <= RepetitionMaxDupTriRatio)
+  }
+
+  val repetitionFilterSql: String = {
+    def gramsSql(n: Int) = {
+      val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+      s"CASE WHEN len(w) >= $n THEN list_transform(range(1, len(w) - ${n - 2}), i -> $parts) ELSE [] END"
+    }
+    def ratioSql(g: String) =
+      s"CASE WHEN len($g) > 0 THEN ${Num.rSql(s"CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / len($g)", 6)} END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |g AS (SELECT doc_id, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM toks)
+       |SELECT doc_id, CAST(len(g3) AS INT) AS n_tri,
+       |       ${ratioSql("g2")} AS dup_bi_ratio,
+       |       ${ratioSql("g3")} AS dup_tri_ratio,
+       |       (${ratioSql("g3")}) IS NOT NULL AND (${ratioSql("g3")}) <= $RepetitionMaxDupTriRatio AS keep
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_filter" -> repetitionFilter,
     "q_rolling_user_features" -> rollingUserFeatures,
     "q_event_gaps" -> eventGaps,
     "q_heavy_hitters" -> heavyHitters,
@@ -1066,6 +1112,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_repetition_filter" -> repetitionFilterSql,
     "q_rolling_user_features" -> rollingUserFeaturesSql,
     "q_event_gaps" -> eventGapsSql,
     "q_heavy_hitters" -> heavyHittersSql,
