@@ -1073,7 +1073,42 @@ object ScaleQueries {
        |FROM g""".stripMargin
   }
 
+  /** Unigram log-probability fluency proxy (the CCNet-style LM quality
+    * filter, self-trained): per-term log-prob from corpus frequencies,
+    * joined back to each doc's tokens, averaged per doc. The per-term
+    * log-prob is computed ONCE in the vocab-sized frequency table (not
+    * per token), and the score is rounded after the per-doc sum so the
+    * engines' different summation orders cannot leak into the compare.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = broadcast(freq.agg(sum(col("c")).as("t")))
+    val lp = freq.crossJoin(total)
+      .select(col("term"), log(col("c").cast("double") / col("t")).as("lp"))
+    toks.join(lp, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |freq AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+       |lp AS (SELECT term, ln(CAST(c AS DOUBLE) / t) AS lp FROM freq CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       ${Num.rSql("sum(lp) / count(*)", 4)} AS avg_logprob
+       |FROM tk JOIN lp USING (term)
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_logprob" -> unigramLogprob,
     "q_repetition_filter" -> repetitionFilter,
     "q_rolling_user_features" -> rollingUserFeatures,
     "q_event_gaps" -> eventGaps,
@@ -1112,6 +1147,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_logprob" -> unigramLogprobSql,
     "q_repetition_filter" -> repetitionFilterSql,
     "q_rolling_user_features" -> rollingUserFeaturesSql,
     "q_event_gaps" -> eventGapsSql,
