@@ -1107,7 +1107,84 @@ object ScaleQueries {
        |FROM tk JOIN lp USING (term)
        |GROUP BY doc_id""".stripMargin
 
+  /** The flagship training-mix funnel: language + quality gate,
+    * repetition filter, benchmark decontamination, exact dedup, then
+    * per-source accounting — every stage is one of the already-verified
+    * operators composed into a single plan. Stage order mirrors a real
+    * curation pipeline: cheap map-side gates first (language, quality,
+    * repetition are all scan-stage expressions), the broadcast
+    * contamination anti-join next, the digest-dedup shuffle last so it
+    * only shuffles survivors.
+    */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val passRep = repetitionFilter(spark, dir).filter(col("keep")).select("doc_id")
+    val contaminated = decontaminate(spark, dir)
+      .filter(col("ratio") >= 0.5).select("doc_id")
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.language(t).as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      TextAnalysis.bpeTokenCount(t).as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored
+      .filter(col("language") === "english" && col("quality") >= 60.0)
+      .join(passRep, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val canonical = kept.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    canonical.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      Num.savg(sum(col("quality")), count(lit(1)), 0, 4).as("avg_quality"),
+      min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val trainingMixSql: String = {
+    val re = TextAnalysis.BpeTokenRe
+    val g3 = "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END"
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |         ${langSql("text")} AS language,
+       |         ${completenessSql("text")} AS quality,
+       |         len(regexp_extract_all(text, '$re')) AS n_tokens,
+       |         md5(text) AS digest
+       |  FROM documents),
+       |rt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |rep AS (
+       |  SELECT doc_id, CASE WHEN len(g3) > 0
+       |    THEN ${Num.rSql("CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)", 6)} END AS dtr
+       |  FROM (SELECT doc_id, $g3 AS g3 FROM rt)),
+       |dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($g3) AS s FROM dt) t),
+       |ev AS (SELECT DISTINCT s AS ev_s FROM sh WHERE doc_id % 25 = 0),
+       |cont AS (
+       |  SELECT doc_id FROM sh LEFT JOIN ev ON sh.s = ev.ev_s
+       |  GROUP BY doc_id
+       |  HAVING count(ev_s) > 0
+       |     AND ${Num.rSql("CAST(count(ev_s) AS DOUBLE) / count(*)", 6)} >= 0.5),
+       |kept AS (
+       |  SELECT scored.* FROM scored
+       |  JOIN rep USING (doc_id)
+       |  WHERE language = 'english' AND quality >= 60.0
+       |    AND dtr IS NOT NULL AND dtr <= $RepetitionMaxDupTriRatio
+       |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |canonical AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+       |                 FROM kept) WHERE rn = 1)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       ${Num.savgSql("sum(quality)", "count(*)", 0, 4)} AS avg_quality,
+       |       min(doc_id) AS min_doc_id
+       |FROM canonical GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_mix" -> trainingMix,
     "q_unigram_logprob" -> unigramLogprob,
     "q_repetition_filter" -> repetitionFilter,
     "q_rolling_user_features" -> rollingUserFeatures,
@@ -1147,6 +1224,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_training_mix" -> trainingMixSql,
     "q_unigram_logprob" -> unigramLogprobSql,
     "q_repetition_filter" -> repetitionFilterSql,
     "q_rolling_user_features" -> rollingUserFeaturesSql,
