@@ -27,7 +27,9 @@ class ExtensionsSpec extends AnyFunSuite {
       ("top_k", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.scale.TopKAgg(e(0), e(1), GraftExtensions.intArg(e, 2))),
       ("top_k_str", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.scale.TopKStrAgg(e(0), e(1), GraftExtensions.intArg(e, 2)))
+        graft.scale.TopKStrAgg(e(0), e(1), GraftExtensions.intArg(e, 2))),
+      ("misra_gries", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.scale.MisraGriesAgg(e(0), GraftExtensions.intArg(e, 1)))
     ).foreach { case (name, builder) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }

@@ -111,6 +111,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"limit should not global-sort:\n$p")
   }
 
+  test("training mix broadcasts the contamination side") {
+    val p = plan(analytics.ScaleQueries.trainingMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"contamination anti-join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
