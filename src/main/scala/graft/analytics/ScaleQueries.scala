@@ -1183,7 +1183,34 @@ object ScaleQueries {
        |FROM canonical GROUP BY source""".stripMargin
   }
 
+  /** Column profiler over events: null count + exact distinct count per
+    * column in ONE scan (count-distinct expands once per profiled
+    * column; at real volume swap the exact tier for HLL — the
+    * q_approx_distinct query is that tier). Integer outputs only:
+    * min/max would force cross-engine string formatting of doubles.
+    */
+  val ProfileCols = Seq("event_id", "user_id", "event_type", "value")
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val stack = ProfileCols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stack) AS (column_name, n_null, n_distinct)")
+  }
+
+  val tableProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_profile" -> tableProfile,
     "q_training_mix" -> trainingMix,
     "q_unigram_logprob" -> unigramLogprob,
     "q_repetition_filter" -> repetitionFilter,
@@ -1224,6 +1251,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_table_profile" -> tableProfileSql,
     "q_training_mix" -> trainingMixSql,
     "q_unigram_logprob" -> unigramLogprobSql,
     "q_repetition_filter" -> repetitionFilterSql,
