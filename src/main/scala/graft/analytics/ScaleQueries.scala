@@ -1037,10 +1037,17 @@ object ScaleQueries {
   val RepetitionMaxDupTriRatio = 0.2
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
-    def grams(n: Int): Column = when(size(w) >= n,
-      expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
-        (0 until n).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")") + ")"))
-      .otherwise(array().cast("array<string>"))
+    // slices + zip_with, NOT element_at(w, i) in a transform lambda: if
+    // the w-projection collapses into this one, a lambda-body reference
+    // re-evaluates the split PER ELEMENT (O(words²) regex splits — this
+    // exact query cost 60 s at sf0.1 in that shape); zip_with arguments
+    // are evaluated once per row
+    def grams(n: Int): Column = {
+      val parts = (1 to n).map(j => slice(w, lit(j), size(w) - (n - 1)))
+      when(size(w) >= n,
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
+        .otherwise(array().cast("array<string>"))
+    }
     def dupRatio(g: Column): Column =
       when(size(g) > 0,
         Num.r((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
