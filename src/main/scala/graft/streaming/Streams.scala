@@ -171,6 +171,18 @@ object Streams {
       streamKey: Column, dimKey: Column): DataFrame =
     stream.join(broadcast(dim), streamKey === dimKey, "left")
 
+  /** ST stream-stream interval join: both sides watermarked so the state
+    * store retains only the join window plus the lateness horizon —
+    * without watermarks a stream-stream join buffers both streams
+    * forever. The caller's condition must range-bound the two event
+    * times for Spark to accept the join and size the state.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftWm: (String, String), rightWm: (String, String),
+      cond: Column): DataFrame =
+    left.withWatermark(leftWm._1, leftWm._2)
+      .join(right.withWatermark(rightWm._1, rightWm._2), cond)
+
   /** Run a streaming query to completion over the (finite) file source —
     * the batch-equivalence harness used by StreamingSpec and available as
     * a library utility for backfills.

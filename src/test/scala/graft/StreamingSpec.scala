@@ -136,6 +136,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val purchases = Streams.eventStream(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = Streams.eventStream(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = Streams.intervalJoin(
+      purchases, clicks, ("ts", "1 hour"), ("c_ts", "1 hour"),
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 24 HOURS") && col("c_ts") < col("ts"))
+    val out = Streams.runToCompletion(joined, OutputMode.Append(), "interval_join")
+    val ev = Tables.events(spark, sf)
+    val expected = graft.scale.RangeJoin.rangeJoin(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value")),
+      Seq("user_id"), col("ts"), col("c_ts"), 24L * 3600 * 1000000).count()
+    assert(out.count() == expected)
+  }
+
   test("misra-gries heavy hitters run as a streaming update aggregate") {
     val events = Streams.eventStream(spark, eventsDir)
     val out = Streams.runToCompletion(
