@@ -1088,14 +1088,20 @@ object ScaleQueries {
     * engines' different summation orders cannot leak into the compare.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // no term string ever reaches a shuffle: the tf/join key is
+    // xxhash64(term) (8 bytes vs arbitrary-width strings — the same
+    // trick the shingle tier uses). Output carries no terms, so no
+    // resolve-join is needed; 64-bit collisions would need ~2^32
+    // distinct terms to matter.
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"))
+    val freq = toks.groupBy("th").agg(count(lit(1)).as("c"))
     val total = broadcast(freq.agg(sum(col("c")).as("t")))
     val lp = freq.crossJoin(total)
-      .select(col("term"), log(col("c").cast("double") / col("t")).as("lp"))
-    toks.join(lp, "term")
+      .select(col("th"), log(col("c").cast("double") / col("t")).as("lp"))
+    toks.join(lp, "th")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         Num.r(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
