@@ -259,10 +259,18 @@ object Events {
 
   /** Semi-structured JSON payload access (reference JSONB/VARIANT columns,
     * SURVEY §1.2): extract props.k, aggregate by it.
+    *
+    * One `from_json` typed-struct parse per row instead of
+    * `get_json_object` string-path extraction: the Jackson parse happens
+    * once in the scan projection and both the grouping key and max() read
+    * the already-extracted field. (r2→r3 A/B: the get_json_object plan
+    * measured 3.9 s at sf0.1 after the warmup fix; JSON parse is the
+    * whole cost of this query, so the parser choice is the plan.)
     */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_value"),

@@ -143,6 +143,32 @@ object ScaleQueries {
     Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
 
+  /** LSH-driven dedup clustering — the FLAGSHIP clustering path at scale.
+    * Same connected-components + canonical-selection composition as
+    * q_dup_clusters / q_canonical_docs, but the pair input is
+    * Dedup.minhashDupPairs (banded LSH candidates, exact-verified on the
+    * candidate set only) instead of the corpus-wide quadratic shingle
+    * self-join. At 100 TB the exact tier's total work is Σ C(df,2) —
+    * quadratic in duplication — while this path shuffles only signatures
+    * and band buckets. xxhash64 seeding is engine-specific, so these are
+    * rows-only in CORRECTNESS; ScaleSpec asserts cluster and canonical
+    * sets are IDENTICAL to the exact variants' on testdata (LSH recall is
+    * exact there, so any divergence is a bug, not sketch noise).
+    */
+  def dupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5))
+
+  def canonicalDocsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5))
+    Dedup.canonicalPerCluster(docs, clusters, "doc_id",
+        graft.functions.Scoring.completenessScore(col("text")))
+      .select(col("cluster_id"), col("canonical_doc_id"), col("n_members"),
+        Num.r(col("quality"), 4).as("quality"))
+  }
+
   /** SimHash near-dup pairs via disjoint-chunk LSH + Hamming verification
     * (custom codegen'd expression; rows-only).
     *
@@ -338,12 +364,35 @@ object ScaleQueries {
       zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
+    // The corpus-wide count shuffle keys on (language, xxhash64(bigram))
+    // — 8-byte longs instead of two-word strings (~3× smaller, the
+    // shingle tier's trick). Winners resolve through a TINY second join:
+    // per-language kth count (min of the bounded k-heap) broadcasts, the
+    // few (language, hash) survivors broadcast against a re-scan of the
+    // grams, and the bounded TopKStrAgg re-ranks by (count desc, bigram
+    // asc) — identical to the oracle's row_number tie order, because
+    // every boundary TIE survives the >= kth cut (hash order never
+    // decides a rank). Candidate multiplicity is boundary-tie-bounded;
+    // a degenerate stratum whose kth count is 1 (all-unique bigrams)
+    // would inflate the broadcast and wants the df-cap treatment first.
+    val grams = Tables.documents(spark, dir)
       .select(TextAnalysis.language(col("text")).as("language"),
         split(trim(lower(col("text"))), "\\s+").as("w"))
       .select(col("language"), explode(bigrams).as("bigram"))
-      .groupBy(col("language"), col("bigram"))
+    val counts = grams
+      .select(col("language"), xxhash64(col("bigram")).as("bh"))
+      .groupBy(col("language"), col("bh"))
       .agg(count(lit(1)).as("c"))
+    val kth = counts.groupBy("language")
+      .agg(array_min(graft.scale.TopK.topK(col("c").cast("double"), col("bh"), 5)
+        .getField("score")).as("kth"))
+    val cands = counts.join(broadcast(kth), "language")
+      .filter(col("c").cast("double") >= col("kth"))
+      .select("language", "bh", "c")
+    grams.withColumn("bh", xxhash64(col("bigram")))
+      .join(broadcast(cands), Seq("language", "bh"))
+      .select(col("language"), col("bigram"), col("c"))
+      .distinct()
       .groupBy(col("language"))
       .agg(graft.scale.TopK.topKStr(col("c").cast("double"), col("bigram"), 5).as("top"))
       .select(col("language"), posexplode(col("top")).as(Seq("rank0", "e")))
@@ -684,15 +733,36 @@ object ScaleQueries {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs
+    // Term strings reach exactly ONE shuffle (the vocabulary-sized
+    // th→term dictionary); the corpus-sized tf/df/score shuffles all key
+    // on xxhash64 longs. Winners are resolved exactly: per doc the kth
+    // score from the bounded heap is the cut, everything scoring >= it
+    // survives (so boundary TIES survive — the hash order never decides a
+    // rank), candidates join the dictionary, and the final bounded
+    // TopKStrAgg re-ranks by (tfidf desc, term asc), identical to the
+    // oracle's row_number order. The tfidf is rounded BEFORE the kth cut
+    // so both engines tie on the same grid (CLAUDE.md round-before-rank).
+    val toks = docs
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = toks.select(col("doc_id"), xxhash64(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("th").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-    tf.join(df, "term").crossJoin(n)
+    val scored = tf.join(df, "th").crossJoin(n)
       .withColumn("tfidf",
         Num.r(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    // kth-best score per doc (min of the k-heap); ReuseExchange shares the
+    // doc_id partitioning between this aggregate and the join below
+    val kth = scored.groupBy("doc_id")
+      .agg(array_min(graft.scale.TopK.topK(col("tfidf"), col("th"), 3)
+        .getField("score")).as("kth"))
+    val cands = scored.join(kth, "doc_id")
+      .filter(col("tfidf") >= col("kth"))
+      .select("doc_id", "th", "tfidf")
+    // vocabulary-sized dictionary — the only shuffle that carries strings
+    val dict = toks.select(xxhash64(col("term")).as("th"), col("term")).distinct()
+    cands.join(dict, "th")
       .groupBy("doc_id")
       .agg(graft.scale.TopK.topKStr(col("tfidf"), col("term"), 3).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("rank0", "e")))
@@ -729,16 +799,26 @@ object ScaleQueries {
   val Bm25Terms = Seq("spark", "hash", "merge")
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // No term string ever reaches a shuffle: tokens hash to 64-bit longs
+    // at the scan and the query terms hash to FOLDABLE literals (constant-
+    // folded by Catalyst), so tf/dl/df and the scoring join all key on
+    // 8-byte longs — ~3× smaller tf shuffle than string keys, branch-free
+    // compares. The output carries only doc ids, so unlike the top-terms
+    // queries no winner-resolve join is needed at all. tf/df/dl values are
+    // unchanged by the hashing (modulo ~2⁻⁶⁴ collisions), so the score
+    // doubles — and the oracle hash — are identical to the string plan.
+    val qth = array(Bm25Terms.map(t => xxhash64(lit(t))): _*)
     val tf = docs
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = broadcast(dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("nd")))
-    val qdf = tf.filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.filter(col("term").isin(Bm25Terms: _*))
-      .join(broadcast(qdf), "term").join(dl, "doc_id").crossJoin(stats)
+    val qdf = tf.filter(array_contains(qth, col("th")))
+      .groupBy("th").agg(count(lit(1)).as("df"))
+    tf.filter(array_contains(qth, col("th")))
+      .join(broadcast(qdf), "th").join(dl, "doc_id").crossJoin(stats)
       .withColumn("s",
         log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * lit(2.2)) /
@@ -858,15 +938,13 @@ object ScaleQueries {
        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
-  /** Benchmark decontamination: flag corpus docs sharing word-3-gram
-    * shingles with an "eval set" (here: every 25th doc, standing in for
-    * a benchmark suite). The eval shingle set broadcasts — real
-    * benchmarks are tiny next to a training corpus — so contamination
-    * detection is a map-side join; the only corpus-wide shuffle is the
-    * per-doc distinct-shingle aggregate. Shingle definition matches the
-    * Jaccard tier (trim + whitespace split, 3-word windows).
+  /** Word-3-gram distinct shingles per doc — shared by the decontamination
+    * paths. Shingle definition matches the Jaccard tier (trim + whitespace
+    * split, 3-word windows); built with zip_with over slices (per CLAUDE.md:
+    * indexing the split array inside a HOF lambda re-evaluates the split
+    * per element).
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  private def wordTriShingles(docs: DataFrame): DataFrame = {
     val w = col("w")
     val tri = when(size(w) >= 3,
       zip_with(slice(w, lit(1), size(w) - 2),
@@ -874,18 +952,41 @@ object ScaleQueries {
           (b, c) => concat(b, lit(" "), c)),
         (a, bc) => concat(a, lit(" "), bc)))
       .otherwise(array().cast("array<string>"))
-    val shd = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(tri).as("s"))
       .distinct()
+  }
+
+  /** Benchmark decontamination against an EXTERNAL eval table: flag corpus
+    * docs sharing word-3-gram shingles with `evalDocs` (doc_id, text).
+    *
+    * The eval set is a parameter precisely because at 100 TB the broadcast
+    * side must be bounded by the BENCHMARK's size, not the corpus's: eval
+    * shingles are built from `evalDocs` alone (real benchmark suites are
+    * a few MB next to a training corpus), broadcast, and probed map-side.
+    * The only corpus-wide shuffle is the per-doc distinct-shingle
+    * aggregate.
+    */
+  def decontaminateAgainst(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val shd = wordTriShingles(docs)
     val ev = broadcast(
-      shd.filter(col("doc_id") % 25 === 0).select(col("s").as("ev_s")).distinct())
+      wordTriShingles(evalDocs).select(col("s").as("ev_s")).distinct())
     shd.join(ev, col("s") === col("ev_s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("ev_s")).as("n_overlap"))
       .filter(col("n_overlap") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         Num.r(col("n_overlap").cast("double") / col("n_shingles"), 6).as("ratio"))
+  }
+
+  /** Registered testdata wiring: with no benchmark suite shipped in the
+    * test environment, every 25th doc stands in as the eval table. The
+    * `% 25` synthesis lives HERE (testdata only), not in the operator —
+    * the broadcast side is still built from the eval-table parameter.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateAgainst(docs, docs.filter(col("doc_id") % 25 === 0))
   }
 
   val decontaminateSql: String =
@@ -976,6 +1077,43 @@ object ScaleQueries {
   val heavyHittersSql: String =
     """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Heavy hitters in the LOSSY regime (k < key cardinality, decrements
+    * fire) via the two-pass sketch→verify pattern that makes the sketch
+    * EXACT-at-scale: pass 1 runs Misra–Gries with k counters (bounded
+    * state, O(k) shuffle) to get ≤k candidates; pass 2 exact-counts ONLY
+    * the candidates (broadcast semi-join, one map-side-combined
+    * aggregate) and keeps those with true count > n/(k+1). MG guarantees
+    * every such key is a candidate, so the output is exactly the
+    * guaranteed-frequency set with exact counts — deterministic and
+    * SQL-oracle-expressible even though the raw survivor set isn't.
+    * The key is a deterministically SKEWED derivation (event_id mod a
+    * varying modulus ⇒ mass concentrates on small residues) because the
+    * raw testdata keys are near-uniform. The threshold compare is pure
+    * integer (cnt·(k+1) > n) — no fp boundary to disagree on.
+    */
+  val HHVerifyK = 5
+  def heavyHittersLossy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select((col("event_id") % (lit(1) + col("event_id") % 8)).as("k"))
+    val cands = broadcast(
+      ev.agg(graft.scale.MisraGries.heavyHitters(col("k"), HHVerifyK).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.id").as("k")))
+    val tot = broadcast(ev.agg(count(lit(1)).as("n")))
+    ev.join(cands, "k")
+      .groupBy("k").agg(count(lit(1)).as("n_events"))
+      .crossJoin(tot)
+      .filter(col("n_events") * (HHVerifyK + 1) > col("n"))
+      .select(col("k").as("key"), col("n_events"))
+  }
+
+  val heavyHittersLossySql: String =
+    s"""SELECT event_id % (1 + event_id % 8) AS key,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM events
+       |GROUP BY 1
+       |HAVING count(*) * ${HHVerifyK + 1} > (SELECT count(*) FROM events)""".stripMargin
 
   /** Rolling 7-day per-user features (trailing event count + value sum
     * per event) — the feature-engineering window shape, run through the
@@ -1230,6 +1368,7 @@ object ScaleQueries {
     "q_rolling_user_features" -> rollingUserFeatures,
     "q_event_gaps" -> eventGaps,
     "q_heavy_hitters" -> heavyHitters,
+    "q_heavy_hitters_lossy" -> heavyHittersLossy,
     "q_mixture_weights" -> mixtureWeights,
     "q_quality_quartiles" -> qualityQuartiles,
     "q_decontaminate" -> decontaminate,
@@ -1254,6 +1393,8 @@ object ScaleQueries {
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
     "q_dup_clusters" -> dupClusters,
+    "q_dup_clusters_lsh" -> dupClustersLsh,
+    "q_canonical_docs_lsh" -> canonicalDocsLsh,
     "q_minhash_pairs" -> minhashPairs,
     "q_simhash_pairs" -> simhashPairs,
     "q_cosine_topk" -> cosineTopK,
@@ -1271,6 +1412,7 @@ object ScaleQueries {
     "q_rolling_user_features" -> rollingUserFeaturesSql,
     "q_event_gaps" -> eventGapsSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_heavy_hitters_lossy" -> heavyHittersLossySql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,

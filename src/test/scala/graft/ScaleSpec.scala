@@ -65,6 +65,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(clusters.nonEmpty)
   }
 
+  test("LSH-driven clustering equals the exact-Jaccard clustering") {
+    // LSH recall is exact on testdata (asserted above), so the flagship
+    // scale path must produce the IDENTICAL cluster and canonical sets.
+    val exactClusters = ScaleQueries.dupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshClusters = ScaleQueries.dupClustersLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshClusters == exactClusters)
+    assert(lshClusters.nonEmpty)
+    val exactCanonical = ScaleQueries.canonicalDocs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val lshCanonical = ScaleQueries.canonicalDocsLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(lshCanonical == exactCanonical)
+  }
+
   test("TopKAgg equals the window formulation, including under many partitions") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, "/root/testdata/sf0.01").repartition(17)

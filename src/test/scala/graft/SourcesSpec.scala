@@ -56,6 +56,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(wl.collect().map(_.getString(0)).toSet == Set("click", "page_view"))
   }
 
+  test("archive schema evolution: two schema versions write, merged read sees both") {
+    import graft.sources.Archive
+    val dir = java.nio.file.Files.createTempDirectory("graft_archive_evo").toString
+    val ev = Tables.events(spark, sf)
+    val day1 = ev.select(date_format(col("ts"), "yyyy-MM-dd")).orderBy(col("ts")).head().getString(0)
+    // v1: original producer schema
+    Archive.writeArchive(ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day1), dir)
+    // v2: later days arrive with a NEW column the old files don't have
+    val later = ev.filter(date_format(col("ts"), "yyyy-MM-dd") =!= day1)
+      .withColumn("schema_version", lit(2))
+    Archive.appendDay(later, dir)
+    val merged = Archive.readEvolved(spark, dir)
+    assert(merged.columns.contains("schema_version"))
+    // old-schema rows surface the new column as NULL; new rows keep it
+    assert(merged.filter(col("dt") === day1 && col("schema_version").isNull).count() ==
+      ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day1).count())
+    assert(merged.filter(col("schema_version") === 2).count() ==
+      ev.filter(date_format(col("ts"), "yyyy-MM-dd") =!= day1).count())
+    // pruned evolved read still partition-prunes and sees the column
+    val topic = "frontend.user.interaction"
+    val one = Archive.readDayEvolved(spark, dir, day1, topic)
+    assert(one.columns.contains("schema_version"))
+    assert(one.count() > 0)
+  }
+
   test("approx_count_distinct tracks exact counts within rsd") {
     val approx = analytics.Relational.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
