@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Same-session A/B harness (CLAUDE.md bench discipline: cross-round
+  * bench deltas are noise-dominated at sf1, so plan changes are
+  * adjudicated by alternating old/new in ONE session). Holds the
+  * round-2 string-keyed / posexplode variants purely as baselines;
+  * the production paths live in analytics/ScaleQueries and scale/KMeans.
+  *
+  * Run: sbt "Test/runMain graft.ABBench /tmp/sf1 2"
+  */
+object ABBench {
+
+  // ---- legacy (round-2) variants, verbatim shapes ----
+
+  private def ngramStringKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(graft.functions.TextAnalysis.language(col("text")).as("language"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("language"), explode(bigrams).as("bigram"))
+      .groupBy(col("language"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("language"))
+      .agg(graft.scale.TopK.topKStr(col("c").cast("double"), col("bigram"), 5).as("top"))
+      .select(col("language"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("language"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("bigram"), col("e.score").cast("long").as("n"))
+  }
+
+  private def tfidfStringKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf",
+        Num.r(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .groupBy("doc_id")
+      .agg(graft.scale.TopK.topKStr(col("tfidf"), col("term"), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("doc_id"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("term"), col("e.score").as("tfidf"))
+  }
+
+  private def bm25StringKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val terms = analytics.ScaleQueries.Bm25Terms
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = broadcast(dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("nd")))
+    val qdf = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(qdf), "term").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("s",
+        log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("sdl").cast("double") / col("nd")))))
+      .groupBy("doc_id").agg(Num.r(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+  }
+
+  private def jsonPropsGetJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_value"),
+        max(col("k")).as("max_k"))
+
+  private def kmeansStepPosexplode(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
+    graft.scale.KMeans.assign(emb, cs)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .count()
+
+  private def kmeansStepVecSum(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
+    graft.scale.KMeans.assign(emb, cs)
+      .groupBy(col("cluster"))
+      .agg(graft.scale.VecSum.vecSum(col("embedding")).as("vs"))
+      .count()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("length(text) l").agg(sum(col("l"))).collect()
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("upper(event_type) t", "length(props) l")
+      .groupBy("t").sum("l").collect()
+
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[ab] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val emb = Tables.embeddings(spark, sfDir)
+    lazy val seeds = graft.scale.KMeans.seeds(emb, 8)
+    for (i <- 0 until reps) {
+      time(s"ngram_string_$i") { ngramStringKeyed(spark, sfDir).count() }
+      time(s"ngram_hashed_$i") { analytics.ScaleQueries.ngramTopK(spark, sfDir).count() }
+      time(s"tfidf_string_$i") { tfidfStringKeyed(spark, sfDir).count() }
+      time(s"tfidf_hashed_$i") { analytics.ScaleQueries.tfidfTopTerms(spark, sfDir).count() }
+      time(s"bm25_string_$i") { bm25StringKeyed(spark, sfDir).count() }
+      time(s"bm25_hashed_$i") { analytics.ScaleQueries.bm25Search(spark, sfDir).count() }
+      time(s"json_getjson_$i") { jsonPropsGetJson(spark, sfDir).count() }
+      time(s"json_fromjson_$i") { analytics.Events.jsonProps(spark, sfDir).count() }
+      time(s"kmeans_posexplode_$i") { kmeansStepPosexplode(emb, seeds) }
+      time(s"kmeans_vecsum_$i") { kmeansStepVecSum(emb, seeds) }
+    }
+    spark.stop()
+  }
+}
