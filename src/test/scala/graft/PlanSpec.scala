@@ -109,6 +109,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(analytics.ScaleQueries.bm25Search(spark, sf))
     assert(p.contains("BroadcastExchange"), s"corpus stats should broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"limit should not global-sort:\n$p")
+    // term strings never key a shuffle: the only string op below the
+    // aggregates is the tokenizer; groupings key on xxhash64 longs
+    assert(p.contains("xxhash64"), s"tf/df should key on hashed terms:\n$p")
+  }
+
+  test("ngram top-k resolves winners through broadcast joins, no window sort") {
+    val p = plan(analytics.ScaleQueries.ngramTopK(spark, sf))
+    assert(!p.contains("Window"), s"ranking must stay in the bounded heap:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"kth-cut and winner-resolve joins should broadcast:\n$p")
+    assert(p.contains("xxhash64"), s"count shuffle should key on hashed bigrams:\n$p")
+  }
+
+  test("lossy heavy hitters: sketch candidates and total broadcast; no extra shuffle") {
+    val p = plan(analytics.ScaleQueries.heavyHittersLossy(spark, sf))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"candidate set and total should broadcast:\n$p")
+    // the single-row total rides a broadcast cross join (fine); only a
+    // real cartesian materialization would be wrong
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"), s"expected MisraGriesAgg:\n$p")
   }
 
   test("decontamination broadcasts the eval side and works with an external eval table") {
