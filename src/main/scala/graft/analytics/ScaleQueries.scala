@@ -619,8 +619,12 @@ object ScaleQueries {
   private def d2Sql(v: String, c: String): String =
     s"(list_dot_product($v,$v) - 2.0 * list_dot_product($v,$c) + list_dot_product($c,$c))"
 
-  val kmeansAssignSql: String =
-    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+  /** Shared CTE prefix: seeds → one Lloyd pass → trained centroids
+    * (`cent`) — used by both the assignment oracle and the semantic-dedup
+    * oracle.
+    */
+  private val kmeansCtesSql: String =
+    s"""e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cid, v AS c
        |  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT $KmeansK)),
@@ -633,13 +637,56 @@ object ScaleQueries {
        |expl AS (
        |  SELECT cid, i, avg(v[i]) AS cx
        |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
-       |cent AS (SELECT cid, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY cid)
+       |cent AS (SELECT cid, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY cid)""".stripMargin
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT vec_id, cluster, dist2 FROM (
        |  SELECT e.vec_id, cent.cid AS cluster,
        |         ${Num.rSql(d2Sql("e.v", "cent.c"), 6)} AS dist2,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
+
+  /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
+    * 2023): cluster the embedding space with the trained k-means
+    * codebook, then compare pairs ONLY within a cluster — the global
+    * O(n²) cosine sweep becomes Σ n_c², and k is the knob that bounds
+    * per-cluster volume at corpus scale (SemDeDup's premise: semantic
+    * duplicates land in the same cluster, so cross-cluster pairs need
+    * never be scored). The within-cluster compare is a streaming
+    * equi-join on cluster id (no per-cluster array ever materializes in
+    * one task), cosine runs on the codegen'd DotProduct, and the score
+    * is rounded before the threshold so both engines cut on the same
+    * grid.
+    */
+  val SemDedupTau = 0.4
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val assigned = graft.scale.KMeans.assign(emb, trained)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("v1") < col("v2"))
+      .select(col("cluster"), col("v1"), col("v2"),
+        Num.r(Similarity.cosine(col("e1"), col("e2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= SemDedupTau)
+  }
+
+  val semanticNearDupSql: String =
+    s"""WITH $kmeansCtesSql,
+       |asg AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.cid AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1)
+       |SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+       |       ${Num.rSql(cosSql("a.v", "b.v"), 6)} AS cos_sim
+       |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${Num.rSql(cosSql("a.v", "b.v"), 6)} >= $SemDedupTau""".stripMargin
 
   /** Skew-safe per-user event stats via salted two-stage aggregation.
     * `events.user_id` has only ~15 distinct values at every SF — a plain
@@ -1381,6 +1428,7 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
+    "q_semantic_neardup" -> semanticNearDup,
     "q_canonical_docs" -> canonicalDocs,
     "q_ngram_topk" -> ngramTopK,
     "q_frame_sample" -> frameSample,
@@ -1425,6 +1473,7 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_semantic_neardup" -> semanticNearDupSql,
     "q_canonical_docs" -> canonicalDocsSql,
     "q_ngram_topk" -> ngramTopKSql,
     "q_frame_sample" -> frameSampleSql,
