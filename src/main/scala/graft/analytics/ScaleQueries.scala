@@ -1305,6 +1305,155 @@ object ScaleQueries {
        |FROM tk JOIN lp USING (term)
        |GROUP BY doc_id""".stripMargin
 
+  /** Cross-document duplicated-span filter (the C4-style inter-document
+    * boilerplate rule, complementing the intra-doc repetition filter):
+    * the fraction of a doc's DISTINCT word-3-gram spans that also occur
+    * in at least one other document. Spans leave the scan as 8-byte
+    * xxhash64 values — no span string ever reaches a shuffle — so the
+    * whole operator is two bounded shuffles (vocab-sized df aggregate +
+    * hash-keyed join back), linear in the corpus with zero pair
+    * expansion; the contrast to the quadratic Jaccard tier is the point.
+    * Reference analog: corpus-level dedup rules in the curation configs
+    * (`/root/reference/config/config.yaml` quality gates).
+    */
+  val SpanDedupMaxDupRatio = 0.7
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val spans = {
+      val parts = (1 to 3).map(j => slice(w, lit(j), size(w) - 2))
+      when(size(w) >= 3,
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(spans, s => xxhash64(s)))).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_spans") > 0,
+          Num.r(col("n_dup").cast("double") / col("n_spans"), 6)).as("dup_span_ratio"))
+      .withColumn("keep",
+        col("dup_span_ratio").isNull || col("dup_span_ratio") <= SpanDedupMaxDupRatio)
+  }
+
+  val spanDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |        ELSE [] END) AS s
+       |    FROM toks) t),
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM sh JOIN df USING (s) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+       |       CASE WHEN n_spans > 0
+       |            THEN ${Num.rSql("CAST(n_dup AS DOUBLE) / n_spans", 6)} END AS dup_span_ratio,
+       |       n_spans IS NULL OR ${Num.rSql("CAST(n_dup AS DOUBLE) / n_spans", 6)} <= $SpanDedupMaxDupRatio AS keep
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-doc mean
+    * log-likelihood ratio between a Laplace-smoothed unigram model of a
+    * small TARGET mix (here sources src0–src4, standing in for the
+    * wiki-like target corpus) and the raw-corpus model. Both models are
+    * vocab-sized aggregates keyed by xxhash64(term) — the same
+    * no-strings-in-the-shuffle discipline as the unigram-logprob filter —
+    * and the per-term log-ratio is computed ONCE in the vocab table, so
+    * doc scoring is a hash join + one aggregate regardless of corpus
+    * size. Docs from target-like sources score high; sampling
+    * proportional to exp(weight) reproduces the DSIR selection.
+    */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3", "src4")
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("source"), xxhash64(col("term")).as("th"))
+    val raw = toks.groupBy("th").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source").isin(DsirTargetSources: _*))
+      .groupBy("th").agg(count(lit(1)).as("ct"))
+    val stats = broadcast(
+      raw.agg(count(lit(1)).cast("double").as("nv"), sum(col("cr")).cast("double").as("tr"))
+        .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("tt"))))
+    val lr = raw.join(tgt, Seq("th"), "left").crossJoin(stats)
+      .select(col("th"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + col("nv"))) -
+          log((col("cr") + 1.0) / (col("tr") + col("nv")))).as("lr"))
+    toks.join(lr, "th")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r(sum(col("lr")) / count(lit(1)), 6).as("dsir_weight"))
+  }
+
+  val dsirWeightsSql: String = {
+    val tgtIn = DsirTargetSources.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tk2 AS (SELECT doc_id, source, term FROM tk WHERE term <> ''),
+       |raw AS (SELECT term, count(*) AS cr FROM tk2 GROUP BY 1),
+       |tgt AS (SELECT term, count(*) AS ct FROM tk2 WHERE source IN $tgtIn GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS nv, CAST(sum(cr) AS DOUBLE) AS tr FROM raw),
+       |st2 AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM tgt),
+       |lr AS (
+       |  SELECT raw.term,
+       |         ln((coalesce(ct, 0) + 1.0) / (tt + nv)) - ln((cr + 1.0) / (tr + nv)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.term = tgt.term CROSS JOIN st CROSS JOIN st2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       ${Num.rSql("sum(lr) / count(*)", 6)} AS dsir_weight
+       |FROM tk2 JOIN lr USING (term)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): per-source top-k docs by ln(u)/w where u is a
+    * hash-derived uniform (md5 prefix → exact dyadic rational in both
+    * engines) and w = n_chars — heavier docs are proportionally more
+    * likely to be drawn, yet the draw is reproducible run-to-run. The
+    * key is rounded BEFORE ranking with a doc_id tiebreak (CLAUDE.md
+    * fp-rank rule) and the per-source selection runs through the bounded
+    * TopK heap aggregate — O(sources·k) state, no window over a source's
+    * full history, no global sort.
+    */
+  val WeightedSampleK = 3
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") + 0.5) /
+      4294967296.0
+    val key = Num.r(log(u) / greatest(col("n_chars"), lit(1L)).cast("double"), 9)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), key.as("es_key"))
+      .groupBy(col("source"))
+      .agg(graft.scale.TopK.topK(col("es_key"), col("doc_id"), WeightedSampleK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank", "e")))
+      .select(col("source"), (col("rank") + 1).as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("es_key"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH q AS (
+       |  SELECT source, doc_id,
+       |         ${Num.rSql("ln((('0x' || substring(md5(text), 1, 8))::BIGINT + 0.5) / 4294967296.0) / CAST(greatest(n_chars, 1) AS DOUBLE)", 9)} AS es_key
+       |  FROM documents)
+       |SELECT source, rank, doc_id, es_key FROM (
+       |  SELECT source, doc_id, es_key,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY es_key DESC, doc_id ASC) AS rank
+       |  FROM q) WHERE rank <= $WeightedSampleK""".stripMargin
+
   /** The flagship training-mix funnel: language + quality gate,
     * repetition filter, benchmark decontamination, exact dedup, then
     * per-source accounting — every stage is one of the already-verified
@@ -1429,6 +1578,9 @@ object ScaleQueries {
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
     "q_semantic_neardup" -> semanticNearDup,
+    "q_span_dedup" -> spanDedup,
+    "q_dsir_weights" -> dsirWeights,
+    "q_weighted_sample" -> weightedSample,
     "q_canonical_docs" -> canonicalDocs,
     "q_ngram_topk" -> ngramTopK,
     "q_frame_sample" -> frameSample,
@@ -1474,6 +1626,9 @@ object ScaleQueries {
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_semantic_neardup" -> semanticNearDupSql,
+    "q_span_dedup" -> spanDedupSql,
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_canonical_docs" -> canonicalDocsSql,
     "q_ngram_topk" -> ngramTopKSql,
     "q_frame_sample" -> frameSampleSql,

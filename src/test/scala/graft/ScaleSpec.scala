@@ -155,6 +155,63 @@ class ScaleSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("span dedup's hashed-span ratios equal a string-keyed recomputation") {
+    // the registered op never shuffles span strings (xxhash64 keys); this
+    // recomputes df over the raw strings and must land on identical ratios
+    val docs = Tables.documents(spark, sf)
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("w")) >= 3,
+          zip_with(
+            zip_with(slice(col("w"), 1, 10000), slice(col("w"), 2, 10000),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(col("w"), 3, 10000), (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))).as("s"))
+      .filter(size(split(col("s"), " ")) === 3)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val naive = sh.join(df, "s").groupBy("doc_id")
+      .agg((sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("ratio"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val op = ScaleQueries.spanDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getBoolean(3)))
+    assert(op.length == Tables.documents(spark, sf).count())
+    op.foreach { case (id, ratio, keep) =>
+      assert(ratio == naive.get(id), s"doc $id ratio mismatch")
+      ratio.foreach(x => assert(keep == (x <= ScaleQueries.SpanDedupMaxDupRatio)))
+    }
+  }
+
+  test("DSIR weights rank target-source docs above the rest on average") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val w = ScaleQueries.dsirWeights(spark, sf).join(docs, "doc_id")
+      .withColumn("tgt", col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .groupBy("tgt").agg(avg(col("dsir_weight")).as("aw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"target avg ${w(true)} should exceed non-target ${w(false)}")
+  }
+
+  test("weighted sample equals the row_number window formulation") {
+    val q = Tables.documents(spark, sf).select(
+      col("source"), col("doc_id"),
+      Num.r(log((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") + 0.5) /
+        4294967296.0) / greatest(col("n_chars"), lit(1L)).cast("double"), 9).as("k"))
+    val win = q.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("k").desc, col("doc_id").asc)))
+      .filter(col("rank") <= ScaleQueries.WeightedSampleK)
+      .select("source", "rank", "doc_id", "k")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val op = ScaleQueries.weightedSample(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(op == win)
+    assert(op.nonEmpty)
+  }
+
   test("brute-force and LSH top-k agree on shared candidates") {
     val brute = ScaleQueries.cosineTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
