@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB box; 8g forced frequent GC pauses that dominated bench
   // variance (same query 0.7s-8s across runs)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Fault the whole heap in at JVM start: this host's kernel commits
+  // fresh pages ~8x slower than normal (measured: 2 GB of young-gen
+  // allocation = 7.5 s cold vs 0.34 s pretouched), which surfaced as
+  // 850 ms young-GC pauses and heartbeat stalls whenever G1 grew or
+  // recommitted regions mid-query. Paying the fault cost once at
+  // startup (~3 s per 4 GB, parallel) keeps GC out of the timed path.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -648,6 +648,50 @@ object ScaleQueries {
        |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
 
+  /** Product quantization codes (Jégou et al. 2011): per-subspace
+    * deterministic codebooks + one-scan assignment — the compressed
+    * representation an IVF-PQ vector index stores. The oracle unrolls
+    * the per-subspace Lloyd pass exactly like the k-means oracle, over
+    * sliced embeddings.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = graft.scale.ProductQuantize.fitCodebooks(emb)
+    graft.scale.ProductQuantize.assignCodes(emb, books)
+      .select(col("vec_id"), col("subspace"), col("code"),
+        Num.r(col("dist2"), 6).as("dist2"))
+  }
+
+  val pqCodesSql: String = {
+    val m = graft.scale.ProductQuantize.M
+    val sd = graft.scale.ProductQuantize.SubDim
+    val k = graft.scale.ProductQuantize.K
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(s AS INT) AS s, v[(s*$sd+1):(s*$sd+$sd)] AS sv
+       |  FROM e CROSS JOIN range(0, $m) t(s)),
+       |seeds AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS INT) AS cid,
+       |         sv AS c
+       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT $k)),
+       |a1 AS (
+       |  SELECT vec_id, s, sv, cid FROM (
+       |    SELECT sub.vec_id, sub.s, sub.sv, seeds.cid,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY ${d2Sql("sub.sv", "seeds.c")} ASC, seeds.cid ASC) AS rn
+       |    FROM sub JOIN seeds ON sub.s = seeds.s) WHERE rn = 1),
+       |expl AS (
+       |  SELECT s, cid, i, avg(sv[i]) AS cx
+       |  FROM a1 CROSS JOIN range(1, ${sd + 1}) t(i) GROUP BY s, cid, i),
+       |cent AS (SELECT s, cid, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY s, cid)
+       |SELECT vec_id, subspace, code, dist2 FROM (
+       |  SELECT sub.vec_id, sub.s AS subspace, cent.cid AS code,
+       |         ${Num.rSql(d2Sql("sub.sv", "cent.c"), 6)} AS dist2,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |           ORDER BY ${d2Sql("sub.sv", "cent.c")} ASC, cent.cid ASC) AS rn
+       |  FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1""".stripMargin
+  }
+
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
     * codebook, then compare pairs ONLY within a cluster — the global
@@ -1364,6 +1408,43 @@ object ScaleQueries {
        |       n_spans IS NULL OR ${Num.rSql("CAST(n_dup AS DOUBLE) / n_spans", 6)} <= $SpanDedupMaxDupRatio AS keep
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
+  /** Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm): doc pairs ranked by how many winnowed k-gram
+    * fingerprints they share. Unlike the Jaccard tier this guarantees
+    * detection of any shared run of GramK+WinSize-1 = 8 words while
+    * shipping only ~2/(win+1) of the gram hashes into the shuffle — the
+    * classic robust-overlap primitive for plagiarism/attribution-style
+    * scans at corpus scale. All heavy lifting is map-side HOFs; see
+    * scale/Winnow.scala for the 100 TB design notes.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.Winnow.overlapPairs(Tables.documents(spark, dir), "text", "doc_id", 2)
+
+  val winnowPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 4
+       |    THEN list_transform(range(1, len(w) - 2),
+       |         i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 13))::BIGINT)
+       |    ELSE [] END AS gh
+       |  FROM toks),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, f FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(gh) >= 5
+       |      THEN list_transform(range(1, len(gh) - 3),
+       |           j -> least(gh[j], gh[j+1], gh[j+2], gh[j+3], gh[j+4]))
+       |      ELSE gh END) AS f
+       |    FROM g) t),
+       |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1 AND count(*) <= ${graft.scale.Dedup.MaxGroup}),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  JOIN ok ON a.f = ok.f
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs WHERE n_shared >= 2""".stripMargin
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-doc mean
     * log-likelihood ratio between a Laplace-smoothed unigram model of a
@@ -1577,8 +1658,10 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
+    "q_pq_codes" -> pqCodes,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
+    "q_winnow_pairs" -> winnowPairs,
     "q_dsir_weights" -> dsirWeights,
     "q_weighted_sample" -> weightedSample,
     "q_canonical_docs" -> canonicalDocs,
@@ -1625,8 +1708,10 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_pq_codes" -> pqCodesSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
+    "q_winnow_pairs" -> winnowPairsSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_canonical_docs" -> canonicalDocsSql,

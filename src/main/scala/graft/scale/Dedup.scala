@@ -47,6 +47,20 @@ object Dedup {
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("d1"), y.as("d2")))))
 
+  /** Pair expansion that carries each doc's shingle-set size alongside its
+    * id: structs sort by (doc_id, n_sh) — doc_id first, so the d1 < d2
+    * order is identical to pairsOf — and every emitted pair already holds
+    * both set sizes. Eliminates the separate per-doc size aggregate (a
+    * second full shingling pass over the corpus) and the two size joins
+    * that jaccardPairs otherwise needs; the inverted-index shuffle rows
+    * widen by one long, a rounding error next to a rescan of corpus text.
+    */
+  private def pairsWithSizes(sortedMembers: Column): Column =
+    flatten(transform(sortedMembers, (x, i) =>
+      transform(slice(sortedMembers, i + 2, size(sortedMembers)),
+        y => struct(x.getField("doc_id").as("d1"), x.getField("n_sh").as("n1"),
+          y.getField("doc_id").as("d2"), y.getField("n_sh").as("n2")))))
+
   /** Default document-frequency / bucket-size cap: far above any organic
     * shingle df (testdata max df is 25 at sf0.1; natural-language shingle
     * df distributions are heavy-tailed but their hot tail is exactly the
@@ -69,20 +83,20 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
       n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame = {
+    // one shingling pass: each exploded (shingle, doc) row carries the
+    // doc's distinct-shingle count, so the Jaccard denominator needs no
+    // second corpus scan and no size joins downstream
     val sh = docs
-      .select(col(keyCol).as("doc_id"), explode(shingleHashes(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col(keyCol).as("doc_id"), shingleHashes(col(textCol), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("s"))
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(explode(pairsWithSizes(col("ds"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .agg(count(lit(1)).as("c"), first(col("p.n1")).as("n1"), first(col("p.n2")).as("n2"))
       .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("c"))).as("jaccard"))
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -74,6 +74,32 @@ object ABBench {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
   }
 
+  /** Round-2..4 jaccardPairs shape: separate per-doc size aggregate (a
+    * second full shingling scan) + two size joins after the pair count.
+    */
+  private def jaccardSizeJoins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.scale.Dedup
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 3)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.as("d1"), y.as("d2")))))
+    val inter = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= Dedup.MaxGroup)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("s1.n_sh") + col("s2.n_sh") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   private def jsonPropsGetJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -98,6 +124,8 @@ object ABBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val reps = if (args.length > 1) args(1).toInt else 2
+    // optional third arg: only run A/B entries whose name contains it
+    val only = if (args.length > 2) args(2) else ""
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -114,7 +142,7 @@ object ABBench {
       .selectExpr("upper(event_type) t", "length(props) l")
       .groupBy("t").sum("l").collect()
 
-    def time(name: String)(body: => Unit): Unit = {
+    def time(name: String)(body: => Unit): Unit = if (name.contains(only)) {
       val t0 = System.nanoTime()
       body
       println(f"[ab] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -129,6 +157,8 @@ object ABBench {
       time(s"tfidf_hashed_$i") { analytics.ScaleQueries.tfidfTopTerms(spark, sfDir).count() }
       time(s"bm25_string_$i") { bm25StringKeyed(spark, sfDir).count() }
       time(s"bm25_hashed_$i") { analytics.ScaleQueries.bm25Search(spark, sfDir).count() }
+      time(s"jaccard_sizejoin_$i") { jaccardSizeJoins(spark, sfDir).count() }
+      time(s"jaccard_carried_$i") { analytics.ScaleQueries.jaccardPairs(spark, sfDir).count() }
       time(s"json_getjson_$i") { jsonPropsGetJson(spark, sfDir).count() }
       time(s"json_fromjson_$i") { analytics.Events.jsonProps(spark, sfDir).count() }
       time(s"kmeans_posexplode_$i") { kmeansStepPosexplode(emb, seeds) }

@@ -90,6 +90,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 1, s"sampling should not shuffle docs:\n$p")
   }
 
+  test("exact jaccard carries set sizes: no joins, three shuffles total") {
+    val p = plan(analytics.ScaleQueries.jaccardPairs(spark, sf))
+    // sizes ride the inverted-index rows, so the plan is aggregate-only:
+    // (shingle, doc) shuffle → pair-count shuffle — a join appearing here
+    // means the second corpus-shingling scan + size joins regressed back
+    assert(!p.contains("Join"), s"jaccard pairs reintroduced a join:\n$p")
+    assert(nodeCount(p, "Exchange") <= 3, s"jaccard grew extra shuffles:\n$p")
+  }
+
+  test("winnow fingerprint overlap is a pure aggregate chain (no joins)") {
+    val p = plan(analytics.ScaleQueries.winnowPairs(spark, sf))
+    assert(!p.contains("Join"), s"winnow pairs should not join:\n$p")
+    assert(nodeCount(p, "Exchange") <= 3, s"winnow grew extra shuffles:\n$p")
+  }
+
   test("as-of join plans no nested loop and a bounded shuffle count") {
     val p = plan(analytics.ScaleQueries.asofPurchase(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)

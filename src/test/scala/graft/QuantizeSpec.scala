@@ -26,6 +26,38 @@ class QuantizeSpec extends AnyFunSuite {
     assert(violations.isEmpty)
   }
 
+  test("PQ codes are in range, cover every (vec, subspace), and argmin holds") {
+    import graft.scale.{ProductQuantize => PQ}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = PQ.fitCodebooks(emb)
+    assert(books.size == PQ.M)
+    books.foreach(b => assert(b.nonEmpty && b.size <= PQ.K &&
+      b.forall(_._2.size == PQ.SubDim)))
+    val rows = PQ.assignCodes(emb, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val nVecs = emb.count()
+    assert(rows.length == nVecs * PQ.M)
+    assert(rows.forall { case (_, s, c, d) =>
+      s >= 0 && s < PQ.M && c >= 0 && c < PQ.K && d >= -1e-9 })
+    // assigned dist2 is the minimum over the subspace's codebook
+    val byVecSub = rows.map { case (v, s, c, d) => (v, s) -> (c, d) }.toMap
+    val sample = emb.orderBy(col("vec_id")).limit(5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    for ((vid, vec) <- sample; s <- 0 until PQ.M) {
+      val sv = vec.slice(s * PQ.SubDim, (s + 1) * PQ.SubDim)
+      val dists = books(s).map { case (cid, cvec) =>
+        cid -> sv.zip(cvec).map { case (a, b) => (a - b) * (a - b) }.sum }
+      val best = dists.minBy { case (cid, d) => (d, cid) }
+      val (gotC, gotD) = byVecSub((vid, s))
+      assert(gotC == best._1, s"vec $vid sub $s: got $gotC want ${best._1}")
+      assert(math.abs(gotD - best._2) < 1e-6)
+    }
+    // deterministic: a second fit+assign is bit-identical
+    val rows2 = PQ.assignCodes(emb, PQ.fitCodebooks(emb))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(rows2.sortBy(r => (r._1, r._2))))
+  }
+
   test("quantized cosine top-10 recalls the exact top-10") {
     import graft.scale.Similarity
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")

@@ -212,6 +212,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(op.nonEmpty)
   }
 
+  test("winnowing guarantees a shared fingerprint for any 8-word shared run") {
+    import spark.implicits._
+    import graft.scale.Winnow
+    // two docs sharing exactly one k+win-1 = 8-word run, otherwise disjoint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"red green blue $shared yellow purple orange cyan magenta brown pink"),
+      (3L, "totally unrelated words with no overlap whatsoever in any span here")
+    ).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // winnowing selects strictly fewer fingerprints than there are grams
+    val nWords = docs.filter($"doc_id" === 1L)
+      .select(size(split(trim($"text"), "\\s+"))).head.getInt(0)
+    assert(byDoc(1L).size < nWords - (Winnow.GramK - 1))
+    val pairs = Winnow.overlapPairs(docs, "text", "doc_id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall { case (d1, d2, n) => d1 < d2 && n >= 1 })
+    assert(pairs.exists { case (d1, d2, _) => d1 == 1L && d2 == 2L })
+  }
+
+  test("winnow pairs on testdata rank planted clones above chance overlap") {
+    val pairs = ScaleQueries.winnowPairs(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val clones = ScaleQueries.jaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every planted near-clone pair must surface in the winnow report
+    clones.foreach { p =>
+      assert(pairs.contains(p), s"clone pair $p missing from winnow pairs")
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("brute-force and LSH top-k agree on shared candidates") {
     val brute = ScaleQueries.cosineTopK(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
