@@ -692,6 +692,59 @@ object ScaleQueries {
        |  FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1""".stripMargin
   }
 
+  /** PQ asymmetric-distance top-k: exact query, code-compressed corpus,
+    * distance = sum of M per-subspace lookup-table entries. One scan,
+    * zero joins, TakeOrderedAndProject. The oracle reuses the PQ CTE
+    * chain and sums the per-subspace terms in subspace order
+    * (list_sum over an ordered list) so the fp accumulation matches
+    * Spark's left-to-right reduce.
+    */
+  val PqQueryId = 1L
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.ProductQuantize.adcTopK(
+      emb, graft.scale.ProductQuantize.fitCodebooks(emb), PqQueryId, 10)
+  }
+
+  val pqAdcTopKSql: String = {
+    val m = graft.scale.ProductQuantize.M
+    val sd = graft.scale.ProductQuantize.SubDim
+    val k = graft.scale.ProductQuantize.K
+    s"""WITH e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, CAST(s AS INT) AS s, v[(s*$sd+1):(s*$sd+$sd)] AS sv
+       |  FROM e CROSS JOIN range(0, $m) t(s)),
+       |seeds AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS INT) AS cid,
+       |         sv AS c
+       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT $k)),
+       |a1 AS (
+       |  SELECT vec_id, s, sv, cid FROM (
+       |    SELECT sub.vec_id, sub.s, sub.sv, seeds.cid,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY ${d2Sql("sub.sv", "seeds.c")} ASC, seeds.cid ASC) AS rn
+       |    FROM sub JOIN seeds ON sub.s = seeds.s) WHERE rn = 1),
+       |expl AS (
+       |  SELECT s, cid, i, avg(sv[i]) AS cx
+       |  FROM a1 CROSS JOIN range(1, ${sd + 1}) t(i) GROUP BY s, cid, i),
+       |cent AS (SELECT s, cid, array_agg(cx ORDER BY i) AS c FROM expl GROUP BY s, cid),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT sub.vec_id, sub.s, cent.cid,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY ${d2Sql("sub.sv", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1),
+       |q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = $PqQueryId),
+       |lut AS (
+       |  SELECT cent.s, cent.cid, ${d2Sql("q.qsv", "cent.c")} AS qd
+       |  FROM cent JOIN q ON cent.s = q.s)
+       |SELECT vec_id, ${Num.rSql("list_sum(list(qd ORDER BY lut.s))", 6)} AS adc_dist2
+       |FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+       |WHERE vec_id <> $PqQueryId
+       |GROUP BY vec_id
+       |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
     * codebook, then compare pairs ONLY within a cluster — the global
@@ -1659,6 +1712,7 @@ object ScaleQueries {
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
     "q_pq_codes" -> pqCodes,
+    "q_pq_adc_topk" -> pqAdcTopK,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
     "q_winnow_pairs" -> winnowPairs,
@@ -1709,6 +1763,7 @@ object ScaleQueries {
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_pq_adc_topk" -> pqAdcTopKSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
     "q_winnow_pairs" -> winnowPairsSql,

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    — M tiny driver-held (K × dim/M) tables;
   *  - code ASSIGNMENT is one corpus scan: per subspace an argmin over K
   *    foldable-literal codewords (hoisted subvector self-dot, codegen'd
-  *    DotProduct), then one explode to (vec_id, subspace, code) rows —
-  *    zero shuffles, zero joins;
+  *    DotProduct) — zero shuffles, zero joins;
+  *  - ADC SEARCH is the same scan summing M lookup-table literals, with
+  *    top-k via TakeOrderedAndProject;
   *  - the whole fit+assign is a pure function of the table, so the
   *    DuckDB oracle unrolls it as CTEs exactly like the k-means one.
   */
@@ -37,10 +38,11 @@ object ProductQuantize {
         embeddings.select(col("vec_id"), sliceCol(s).as("embedding")), K, iters)
     }
 
-  /** One-scan code assignment: (vec_id, subspace, code, dist2) rows,
-    * dist2 = squared L2 between the subvector and its codeword.
+  /** (vec_id, __best0.. __bestM-1) where __bests = struct(d, c) is the
+    * per-subspace argmin over the codebook — the shared single-scan
+    * projection under both code assignment and ADC search.
     */
-  def assignCodes(embeddings: DataFrame, books: Seq[KMeans.Centroids]): DataFrame = {
+  private def withBests(embeddings: DataFrame, books: Seq[KMeans.Centroids]): DataFrame = {
     val withSubs = (0 until M).foldLeft(embeddings) { (df, s) =>
       df.withColumn(s"__sv$s", sliceCol(s))
         .withColumn(s"__vv$s", VectorOps.dot(col(s"__sv$s"), col(s"__sv$s")))
@@ -55,14 +57,57 @@ object ProductQuantize {
       }
       array_min(array(cands: _*)).as(s"__best$s")
     }
+    withSubs.select(col("vec_id") +: bests: _*)
+  }
+
+  /** One-scan code assignment: (vec_id, subspace, code, dist2) rows,
+    * dist2 = squared L2 between the subvector and its codeword.
+    */
+  def assignCodes(embeddings: DataFrame, books: Seq[KMeans.Centroids]): DataFrame = {
     val entries = (0 until M).map { s =>
       struct(lit(s).as("subspace"), col(s"__best$s").getField("c").as("code"),
         col(s"__best$s").getField("d").as("dist2"))
     }
-    withSubs
-      .select(col("vec_id") +: bests: _*)
+    withBests(embeddings, books)
       .select(col("vec_id"), explode(array(entries: _*)).as("e"))
       .select(col("vec_id"), col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.dist2").as("dist2"))
+  }
+
+  /** Asymmetric distance computation (ADC) top-k — the search mode PQ
+    * codes exist for: the query stays EXACT, each corpus vector is
+    * approximated by its codewords, and the distance is a sum of M
+    * table lookups. The per-subspace lookup tables (M × K doubles,
+    * query-to-codeword squared L2) are computed on the driver and
+    * inlined as foldable array literals indexed by the assigned code,
+    * so the whole search is ONE scan with zero shuffles and zero joins
+    * before TakeOrderedAndProject — at 100 TB a stored-codes variant
+    * reads M bytes per vector instead of dim×4, which is the entire
+    * point of the layout.
+    */
+  def adcTopK(embeddings: DataFrame, books: Seq[KMeans.Centroids],
+      queryId: Long, k: Int): DataFrame = {
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+    // lut(s)(cid) = ||q_s − c||² via the SAME expanded q·q − 2·q·c + c·c
+    // and left-to-right dot accumulation as the oracle's
+    // list_dot_product (CLAUDE.md fp rule: textually parallel math);
+    // a MAP literal keyed by the actual cid, because fit() drops empty
+    // clusters and the surviving ids need not be a dense prefix
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val dist = books.zipWithIndex.map { case (cents, s) =>
+      val qs = qVec.slice(s * SubDim, (s + 1) * SubDim)
+      val lut: Map[Int, Double] = cents.map { case (cid, c) =>
+        cid -> (dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c))
+      }.toMap
+      element_at(typedLit(lut), col(s"__best$s").getField("c"))
+    }.reduce(_ + _)
+    withBests(embeddings, books)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), graft.Num.r(dist, 6).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(k)
   }
 }

@@ -58,6 +58,32 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._1, r._2)).sameElements(rows2.sortBy(r => (r._1, r._2))))
   }
 
+  test("ADC distance equals the sum of per-subspace codeword distances") {
+    import graft.scale.{ProductQuantize => PQ}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = PQ.fitCodebooks(emb)
+    val top = PQ.adcTopK(emb, books, 1L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.length == 10)
+    assert(!top.map(_._1).contains(1L))
+    // rank order is ascending distance with id tiebreak
+    assert(top.map(_._2).sameElements(top.map(_._2).sorted))
+    // recompute one result by hand: sum over subspaces of
+    // ||q_s - codeword(code_s)||²
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val q = vecs(1L)
+    val (someId, someD) = top.head
+    val v = vecs(someId)
+    val expect = (0 until PQ.M).map { s =>
+      val sv = v.slice(s * PQ.SubDim, (s + 1) * PQ.SubDim)
+      val qs = q.slice(s * PQ.SubDim, (s + 1) * PQ.SubDim)
+      val (_, cw) = books(s).minBy { case (cid, c) =>
+        (sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }
+      qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    assert(math.abs(someD - expect) < 1e-5, s"adc $someD vs brute $expect")
+  }
+
   test("quantized cosine top-10 recalls the exact top-10") {
     import graft.scale.Similarity
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
