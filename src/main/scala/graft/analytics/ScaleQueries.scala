@@ -745,6 +745,67 @@ object ScaleQueries {
        |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** IVF-PQ probed search: coarse k-means cells (same codebook as the
+    * k-means tier), PQ codes of cell RESIDUALS, query probes its
+    * nearest cell and ADC-scores only that cell's codes. The oracle
+    * chains the coarse kmeans CTEs into a residual-PQ Lloyd pass and a
+    * probed ADC sum — every stage the same deterministic construction
+    * the flat-PQ oracle uses.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.IvfPq.search(emb, graft.scale.IvfPq.fit(emb), PqQueryId, 10)
+  }
+
+  val ivfPqTopKSql: String = {
+    val m = graft.scale.ProductQuantize.M
+    val sd = graft.scale.ProductQuantize.SubDim
+    val k = graft.scale.ProductQuantize.K
+    s"""WITH $kmeansCtesSql,
+       |asg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, cent.cid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |res AS (
+       |  SELECT asg.vec_id, asg.cell,
+       |         list_transform(range(1, 65), i -> asg.v[i] - cent.c[i]) AS r
+       |  FROM asg JOIN cent ON asg.cell = cent.cid),
+       |rsub AS (
+       |  SELECT vec_id, cell, CAST(s AS INT) AS s, r[(s*$sd+1):(s*$sd+$sd)] AS sv
+       |  FROM res CROSS JOIN range(0, $m) t(s)),
+       |pseed AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS INT) AS cid,
+       |         sv AS c
+       |  FROM rsub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT $k)),
+       |pa1 AS (
+       |  SELECT vec_id, s, sv, cid FROM (
+       |    SELECT rsub.vec_id, rsub.s, rsub.sv, pseed.cid,
+       |           row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |             ORDER BY ${d2Sql("rsub.sv", "pseed.c")} ASC, pseed.cid ASC) AS rn
+       |    FROM rsub JOIN pseed ON rsub.s = pseed.s) WHERE rn = 1),
+       |pexpl AS (
+       |  SELECT s, cid, i, avg(sv[i]) AS cx
+       |  FROM pa1 CROSS JOIN range(1, ${sd + 1}) t(i) GROUP BY s, cid, i),
+       |pcent AS (SELECT s, cid, array_agg(cx ORDER BY i) AS c FROM pexpl GROUP BY s, cid),
+       |pcodes AS (
+       |  SELECT vec_id, cell, s, cid FROM (
+       |    SELECT rsub.vec_id, rsub.cell, rsub.s, pcent.cid,
+       |           row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |             ORDER BY ${d2Sql("rsub.sv", "pcent.c")} ASC, pcent.cid ASC) AS rn
+       |    FROM rsub JOIN pcent ON rsub.s = pcent.s) WHERE rn = 1),
+       |qres AS (SELECT s, sv FROM rsub WHERE vec_id = $PqQueryId),
+       |lut AS (
+       |  SELECT pcent.s, pcent.cid, ${d2Sql("qres.sv", "pcent.c")} AS qd
+       |  FROM pcent JOIN qres ON pcent.s = qres.s)
+       |SELECT vec_id, ${Num.rSql("list_sum(list(qd ORDER BY lut.s))", 6)} AS adc_dist2
+       |FROM pcodes JOIN lut ON pcodes.s = lut.s AND pcodes.cid = lut.cid
+       |WHERE cell = (SELECT cell FROM asg WHERE vec_id = $PqQueryId)
+       |  AND vec_id <> $PqQueryId
+       |GROUP BY vec_id ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
     * codebook, then compare pairs ONLY within a cluster — the global
@@ -1713,6 +1774,7 @@ object ScaleQueries {
     "q_kmeans_assign" -> kmeansAssign,
     "q_pq_codes" -> pqCodes,
     "q_pq_adc_topk" -> pqAdcTopK,
+    "q_ivfpq_topk" -> ivfPqTopK,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
     "q_winnow_pairs" -> winnowPairs,
@@ -1764,6 +1826,7 @@ object ScaleQueries {
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql,
+    "q_ivfpq_topk" -> ivfPqTopKSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
     "q_winnow_pairs" -> winnowPairsSql,

@@ -29,11 +29,15 @@ object KMeans {
 
   type Centroids = Seq[(Int, Seq[Double])]
 
-  /** Seed codebook: the k lowest vec_ids, cluster ids 0..k-1 in id order. */
+  /** Seed codebook: the k lowest vec_ids, cluster ids 0..k-1 in id order.
+    * Element-type agnostic (float embeddings, double residuals).
+    */
   def seeds(embeddings: DataFrame, k: Int): Centroids =
     embeddings.orderBy(col("vec_id").asc).limit(k)
       .select(col("embedding")).collect().toSeq.zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toSeq }
+      .map { case (r, i) =>
+        i -> r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq
+      }
 
   /** v·v − 2·v·c + c·c; `vv` is the hoisted v·v column so k candidates
     * share one self-dot. The c·c term is a dot over foldable literals —

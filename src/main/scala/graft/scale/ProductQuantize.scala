@@ -90,22 +90,33 @@ object ProductQuantize {
     val qVec = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).map(_.toDouble)
+    adcOver(embeddings, books, qVec, queryId, k)
+  }
+
+  /** Dot with the same left-to-right accumulation as DotProduct and the
+    * oracle's list_dot_product (CLAUDE.md fp rule: textually parallel).
+    */
+  private[scale] def dotD(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
+  /** ADC core over any vector table (float embeddings or double
+    * residuals) against an explicit query vector.
+    */
+  def adcOver(vectors: DataFrame, books: Seq[KMeans.Centroids],
+      qVec: Seq[Double], excludeId: Long, k: Int): DataFrame = {
     // lut(s)(cid) = ||q_s − c||² via the SAME expanded q·q − 2·q·c + c·c
-    // and left-to-right dot accumulation as the oracle's
-    // list_dot_product (CLAUDE.md fp rule: textually parallel math);
-    // a MAP literal keyed by the actual cid, because fit() drops empty
-    // clusters and the surviving ids need not be a dense prefix
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    // as the assignment expression and the oracle; a MAP literal keyed
+    // by the actual cid, because fit() drops empty clusters and the
+    // surviving ids need not be a dense prefix
     val dist = books.zipWithIndex.map { case (cents, s) =>
       val qs = qVec.slice(s * SubDim, (s + 1) * SubDim)
       val lut: Map[Int, Double] = cents.map { case (cid, c) =>
-        cid -> (dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c))
+        cid -> (dotD(qs, qs) - 2.0 * dotD(qs, c) + dotD(c, c))
       }.toMap
       element_at(typedLit(lut), col(s"__best$s").getField("c"))
     }.reduce(_ + _)
-    withBests(embeddings, books)
-      .filter(col("vec_id") =!= queryId)
+    withBests(vectors, books)
+      .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"), graft.Num.r(dist, 6).as("adc_dist2"))
       .orderBy(col("adc_dist2").asc, col("vec_id").asc)
       .limit(k)

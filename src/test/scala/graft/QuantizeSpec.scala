@@ -84,6 +84,37 @@ class QuantizeSpec extends AnyFunSuite {
     assert(math.abs(someD - expect) < 1e-5, s"adc $someD vs brute $expect")
   }
 
+  test("IVF-PQ search scores only the probed cell and matches brute force") {
+    import graft.scale.{IvfPq, KMeans, ProductQuantize => PQ}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val model = IvfPq.fit(emb)
+    val top = IvfPq.search(emb, model, 1L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.nonEmpty && !top.map(_._1).contains(1L))
+    assert(top.map(_._2).sameElements(top.map(_._2).sorted))
+    // every hit lives in the query's coarse cell
+    val cells = KMeans.assign(emb, model.coarse)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = cells(1L)
+    top.foreach { case (id, _) => assert(cells(id) == qCell) }
+    // brute-force one distance: residual codeword lookup sum
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def resid(id: Long) = vecs(id).zip(model.coarse.toMap.apply(cells(id)))
+      .map { case (x, c) => x - c }
+    val qr = resid(1L)
+    val (someId, someD) = top.head
+    val vr = resid(someId)
+    val expect = (0 until PQ.M).map { s =>
+      val sv = vr.slice(s * PQ.SubDim, (s + 1) * PQ.SubDim)
+      val qs = qr.slice(s * PQ.SubDim, (s + 1) * PQ.SubDim)
+      val (_, cw) = model.books(s).minBy { case (cid, c) =>
+        (sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }
+      qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    assert(math.abs(someD - expect) < 1e-5, s"ivfpq $someD vs brute $expect")
+  }
+
   test("quantized cosine top-10 recalls the exact top-10") {
     import graft.scale.Similarity
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
