@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 3, s"winnow grew extra shuffles:\n$p")
   }
 
+  test("IVF-PQ search plans as one filtered scan: no joins, top-k without sort") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.scale.IvfPq.fit(emb)
+    val p = plan(graft.scale.IvfPq.search(emb, model, 1L, 10))
+    // all model state is foldable literals, the cell probe is a scan
+    // filter, and ADC is a projection — a Join or extra Exchange here
+    // means the index stopped being a one-scan read
+    assert(!p.contains("Join"), s"ivfpq search grew a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ivfpq lost bounded top-k:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"ivfpq search grew shuffles:\n$p")
+  }
+
   test("as-of join plans no nested loop and a bounded shuffle count") {
     val p = plan(analytics.ScaleQueries.asofPurchase(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
