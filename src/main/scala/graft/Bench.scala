@@ -22,6 +22,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("upper(event_type) t", "length(props) l")
       .groupBy("t").sum("l").collect()
+    // pre-fault the other two hot tables: the first documents query in
+    // sorted order otherwise pays the corpus page-cache read + string
+    // JIT inside ITS timing (observed: a 10x one-off on one bench run)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("length(text) l", "lower(source) s")
+      .groupBy("s").sum("l").collect()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x) d")
+      .agg(org.apache.spark.sql.functions.sum("d")).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -31,18 +31,51 @@ object ProductQuantize {
   private def sliceCol(s: Int): Column =
     slice(col("embedding"), s * SubDim + 1, SubDim)
 
-  /** Per-subspace codebooks via the deterministic Lloyd trainer. */
-  def fitCodebooks(embeddings: DataFrame, iters: Int = 1): Seq[KMeans.Centroids] =
-    (0 until M).map { s =>
-      KMeans.fit(
-        embeddings.select(col("vec_id"), sliceCol(s).as("embedding")), K, iters)
+  /** Per-subspace codebooks via the deterministic Lloyd construction —
+    * FUSED across subspaces: one collect for all M seed sets (the K
+    * lowest vec_ids, sliced driver-side) and ONE corpus scan per Lloyd
+    * iteration (a single explode + (subspace, code) vector-sum
+    * aggregate updates all M codebooks together). Per-subspace
+    * KMeans.fit would scan the corpus M times per iteration — at
+    * 100 TB the fused trainer reads 8× less.
+    */
+  def fitCodebooks(embeddings: DataFrame, iters: Int = 1): Seq[KMeans.Centroids] = {
+    val seedRows = embeddings.orderBy(col("vec_id").asc).limit(K)
+      .select(col("embedding")).collect().toSeq
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+    var books: Seq[KMeans.Centroids] = (0 until M).map { s =>
+      seedRows.zipWithIndex.map { case (v, i) =>
+        i -> v.slice(s * SubDim, (s + 1) * SubDim).toSeq
+      }
     }
+    for (_ <- 0 until iters) {
+      val entries = (0 until M).map { s =>
+        struct(lit(s).as("s"), col(s"__best$s").getField("c").as("c"),
+          col(s"__sv$s").as("sv"))
+      }
+      val rows = withBests(embeddings, books, keepSubs = true)
+        .select(explode(array(entries: _*)).as("e"))
+        .groupBy(col("e.s").as("s"), col("e.c").as("c"))
+        .agg(VecSum.vecSum(col("e.sv")).as("vs"))
+        .select(col("s"), col("c"), col("vs.n").as("n"), col("vs.sums").as("sums"))
+        .collect()
+      books = (0 until M).map { s =>
+        rows.filter(_.getInt(0) == s).map { r =>
+          val n = r.getLong(2).toDouble
+          r.getInt(1) -> r.getSeq[Double](3).map(_ / n).toSeq
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    books
+  }
 
   /** (vec_id, __best0.. __bestM-1) where __bests = struct(d, c) is the
     * per-subspace argmin over the codebook — the shared single-scan
-    * projection under both code assignment and ADC search.
+    * projection under code assignment, ADC search, and the fused
+    * trainer (which also keeps the subvector columns).
     */
-  private def withBests(embeddings: DataFrame, books: Seq[KMeans.Centroids]): DataFrame = {
+  private def withBests(embeddings: DataFrame, books: Seq[KMeans.Centroids],
+      keepSubs: Boolean = false): DataFrame = {
     val withSubs = (0 until M).foldLeft(embeddings) { (df, s) =>
       df.withColumn(s"__sv$s", sliceCol(s))
         .withColumn(s"__vv$s", VectorOps.dot(col(s"__sv$s"), col(s"__sv$s")))
@@ -57,7 +90,9 @@ object ProductQuantize {
       }
       array_min(array(cands: _*)).as(s"__best$s")
     }
-    withSubs.select(col("vec_id") +: bests: _*)
+    val keep = if (keepSubs) col("vec_id") +: (0 until M).map(s => col(s"__sv$s"))
+               else Seq(col("vec_id"))
+    withSubs.select(keep ++ bests: _*)
   }
 
   /** One-scan code assignment: (vec_id, subspace, code, dist2) rows,
