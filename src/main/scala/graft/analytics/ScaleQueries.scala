@@ -806,6 +806,44 @@ object ScaleQueries {
        |GROUP BY vec_id ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** ANN quality harness as an operator: recall@10 of the IVF-PQ probe
+    * against the EXACT L2 top-10 for the same query — the standard
+    * vector-index evaluation, runnable as a query because both sides
+    * are deterministic. Exact distances round before ranking with a
+    * vec_id tiebreak (CLAUDE.md fp-rank rule) so the top-10 SET is
+    * engine-stable.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.scale.IvfPq.fit(emb)
+    val approx = graft.scale.IvfPq.search(emb, model, PqQueryId, 10).select("vec_id")
+    val q = emb.filter(col("vec_id") === PqQueryId).select("embedding").collect()(0)
+      .getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue)
+    val qq = q.foldLeft(0.0)((a, x) => a + x * x)
+    val d2 = graft.scale.VectorOps.dot(col("embedding"), col("embedding")) -
+      lit(2.0) * graft.scale.VectorOps.dot(col("embedding"), typedLit(q)) + lit(qq)
+    val exact = emb.filter(col("vec_id") =!= PqQueryId)
+      .select(col("vec_id"), Num.r(d2, 6).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10).select("vec_id")
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), col("n_overlap"),
+        Num.r(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH approx AS (
+       |$ivfPqTopKSql),
+       |e2 AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |qv AS (SELECT v AS q FROM e2 WHERE vec_id = $PqQueryId),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e2.vec_id FROM e2 CROSS JOIN qv WHERE e2.vec_id <> $PqQueryId
+       |    ORDER BY ${Num.rSql(d2Sql("e2.v", "qv.q"), 6)} ASC, e2.vec_id ASC LIMIT 10))
+       |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+       |       ${Num.rSql("count(*) / 10.0", 4)} AS recall_at_10
+       |FROM approx JOIN exact USING (vec_id)""".stripMargin
+
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
     * codebook, then compare pairs ONLY within a cluster — the global
@@ -1775,6 +1813,7 @@ object ScaleQueries {
     "q_pq_codes" -> pqCodes,
     "q_pq_adc_topk" -> pqAdcTopK,
     "q_ivfpq_topk" -> ivfPqTopK,
+    "q_ann_recall" -> annRecall,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
     "q_winnow_pairs" -> winnowPairs,
@@ -1827,6 +1866,7 @@ object ScaleQueries {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql,
     "q_ivfpq_topk" -> ivfPqTopKSql,
+    "q_ann_recall" -> annRecallSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
     "q_winnow_pairs" -> winnowPairsSql,
