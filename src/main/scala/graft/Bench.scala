@@ -13,33 +13,56 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen/session warm-up outside any query's timing, and
-    // run in sorted order so per-query numbers are comparable across runs
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm-ups absorb JVM/codegen/page-cache cost outside any query's
+    // timing. Each is individually best-effort: a missing table must
+    // cost that table's queries -1, not abort the whole bench.
+    def warm(body: => Unit): Unit = try body catch { case _: Throwable => () }
+    warm { spark.range(1000000L).selectExpr("sum(id)").collect() }
+    warm { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     // string/codegen warm-up — the first string-heavy query otherwise
     // absorbs ~3s of JIT cost
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("upper(event_type) t", "length(props) l")
-      .groupBy("t").sum("l").collect()
+    warm {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .selectExpr("upper(event_type) t", "length(props) l")
+        .groupBy("t").sum("l").collect()
+    }
     // pre-fault the other two hot tables: the first documents query in
     // sorted order otherwise pays the corpus page-cache read + string
     // JIT inside ITS timing (observed: a 10x one-off on one bench run)
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .selectExpr("length(text) l", "lower(source) s")
-      .groupBy("s").sum("l").collect()
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .selectExpr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x) d")
-      .agg(org.apache.spark.sql.functions.sum("d")).collect()
+    warm {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("length(text) l", "lower(source) s")
+        .groupBy("s").sum("l").collect()
+    }
+    warm {
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x) d")
+        .agg(org.apache.spark.sql.functions.sum("d")).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+    // Round 4's driver artifact captured only a truncated stdout TAIL of
+    // the (single, ~4 KB) bench line and parsed nothing. Defense in
+    // depth: (1) the full per-query JSON goes to a FILE, (2) the full
+    // line prints FIRST, (3) the LAST line is a compact summary — same
+    // schema, queries trimmed to the slowest 15 — that survives any
+    // tail window of a few hundred bytes.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    val slowest = results.sortBy(-_._2).take(15)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qjson(slowest)},"queries_full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,6 +108,59 @@ object ABBench {
         Num.savg(sum(col("value")), count(col("value")), 2, 4).as("avg_value"),
         max(col("k")).as("max_k"))
 
+  /** Round-3 trainingMix shape: decontaminate's eval-shingle broadcast
+    * built from the SHARED per-doc shingle relation (filter after the
+    * corpus-wide distinct) instead of shingling the eval docs
+    * separately — the only plan difference the round-4
+    * `decontaminateAgainst` refactor introduced, and the suspect for
+    * the 5→41 s q_training_mix swing in BENCH_r04.
+    */
+  private def trainingMixSharedShd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.ScaleQueries
+    import graft.functions.TextAnalysis
+    val w = col("w")
+    val tri = when(size(w) >= 3,
+      zip_with(slice(w, lit(1), size(w) - 2),
+        zip_with(slice(w, lit(2), size(w) - 2), slice(w, lit(3), size(w) - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc)))
+      .otherwise(array().cast("array<string>"))
+    val shd = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(tri).as("s"))
+      .distinct()
+    val ev = broadcast(
+      shd.filter(col("doc_id") % 25 === 0).select(col("s").as("ev_s")).distinct())
+    val contaminated = shd.join(ev, col("s") === col("ev_s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("ev_s")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .filter(Num.r(col("n_overlap").cast("double") / col("n_shingles"), 6) >= 0.5)
+      .select("doc_id")
+    val passRep = ScaleQueries.repetitionFilter(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.language(t).as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      TextAnalysis.bpeTokenCount(t).as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored
+      .filter(col("language") === "english" && col("quality") >= 60.0)
+      .join(passRep, "doc_id")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val canonical = kept.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    canonical.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      Num.savg(sum(col("quality")), count(lit(1)), 0, 4).as("avg_quality"),
+      min(col("doc_id")).as("min_doc_id"))
+  }
+
   private def kmeansStepPosexplode(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
     graft.scale.KMeans.assign(emb, cs)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -124,8 +177,9 @@ object ABBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val reps = if (args.length > 1) args(1).toInt else 2
-    // optional third arg: only run A/B entries whose name contains it
-    val only = if (args.length > 2) args(2) else ""
+    // optional third arg: only run A/B entries whose name contains one
+    // of the comma-separated filters
+    val only = (if (args.length > 2) args(2) else "").split(",").toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -142,7 +196,7 @@ object ABBench {
       .selectExpr("upper(event_type) t", "length(props) l")
       .groupBy("t").sum("l").collect()
 
-    def time(name: String)(body: => Unit): Unit = if (name.contains(only)) {
+    def time(name: String)(body: => Unit): Unit = if (only.exists(name.contains)) {
       val t0 = System.nanoTime()
       body
       println(f"[ab] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -163,6 +217,11 @@ object ABBench {
       time(s"json_fromjson_$i") { analytics.Events.jsonProps(spark, sfDir).count() }
       time(s"kmeans_posexplode_$i") { kmeansStepPosexplode(emb, seeds) }
       time(s"kmeans_vecsum_$i") { kmeansStepVecSum(emb, seeds) }
+      time(s"trainmix_sharedshd_$i") { trainingMixSharedShd(spark, sfDir).count() }
+      time(s"trainmix_current_$i") { analytics.ScaleQueries.trainingMix(spark, sfDir).count() }
+      time(s"q1_pricing_$i") { analytics.Relational.pricingSummary(spark, sfDir).count() }
+      time(s"q3_shipping_$i") { analytics.Relational.shippingPriority(spark, sfDir).count() }
+      time(s"decontaminate_$i") { analytics.ScaleQueries.decontaminate(spark, sfDir).count() }
     }
     spark.stop()
   }
