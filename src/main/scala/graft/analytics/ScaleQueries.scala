@@ -150,10 +150,14 @@ object ScaleQueries {
     * candidate set only) instead of the corpus-wide quadratic shingle
     * self-join. At 100 TB the exact tier's total work is Σ C(df,2) —
     * quadratic in duplication — while this path shuffles only signatures
-    * and band buckets. xxhash64 seeding is engine-specific, so these are
-    * rows-only in CORRECTNESS; ScaleSpec asserts cluster and canonical
-    * sets are IDENTICAL to the exact variants' on testdata (LSH recall is
-    * exact there, so any divergence is a bug, not sketch noise).
+    * and band buckets. xxhash64 seeding is engine-specific, so the
+    * SIGNATURES have no SQL analog — but the composed RESULT does: LSH
+    * candidates are exact-verified (precision exact by construction) and
+    * ScaleSpec proves recall is exact on the gate corpora, so the cluster
+    * and canonical relations equal the exact tier's and these queries
+    * carry the exact tier's oracle SQL. Deterministic (fixed seeds, fixed
+    * gate data), so the oracle row can't flake; ScaleSpec set-equality
+    * remains the guard for the premise.
     */
   def dupClustersLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
@@ -757,11 +761,32 @@ object ScaleQueries {
     graft.scale.IvfPq.search(emb, graft.scale.IvfPq.fit(emb), PqQueryId, 10)
   }
 
-  val ivfPqTopKSql: String = {
+  /** The production index cycle made driver-visible: write the PQ codes
+    * table PARTITIONED BY CELL, then multi-probe search reads back ONLY
+    * the probed cells' files (partition pruning gated in PlanSpec) —
+    * codes, not embeddings. nprobe=2 exercises the multi-probe ADC
+    * (per-cell query-residual lookup tables).
+    */
+  val IvfPqNProbe = 2
+  def ivfPqProbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.scale.IvfPq.fit(emb)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_codes_${math.abs(dir.hashCode.toLong)}"
+    graft.scale.IvfPq.writeCodes(emb, model, path)
+    graft.scale.IvfPq.searchCodes(spark.read.parquet(path), emb, model,
+      PqQueryId, 10, nprobe = IvfPqNProbe)
+  }
+
+  /** Shared IVF-PQ oracle chain: coarse cells → residuals → residual-PQ
+    * codebooks → per-vector codes, plus the multi-probe query CTEs
+    * (cell ranking `probe`, per-cell query residuals `qresm`, per-cell
+    * ADC lookup tables `lutm`). Suffix SQL picks nprobe via `lutm.pr`.
+    */
+  private val ivfPqCtesSql: String = {
     val m = graft.scale.ProductQuantize.M
     val sd = graft.scale.ProductQuantize.SubDim
     val k = graft.scale.ProductQuantize.K
-    s"""WITH $kmeansCtesSql,
+    s"""$kmeansCtesSql,
        |asg AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT e.vec_id, e.v, cent.cid AS cell,
@@ -770,7 +795,7 @@ object ScaleQueries {
        |    FROM e CROSS JOIN cent) WHERE rn = 1),
        |res AS (
        |  SELECT asg.vec_id, asg.cell,
-       |         list_transform(range(1, 65), i -> asg.v[i] - cent.c[i]) AS r
+       |         list_transform(range(1, ${m * sd + 1}), i -> asg.v[i] - cent.c[i]) AS r
        |  FROM asg JOIN cent ON asg.cell = cent.cid),
        |rsub AS (
        |  SELECT vec_id, cell, CAST(s AS INT) AS s, r[(s*$sd+1):(s*$sd+$sd)] AS sv
@@ -795,16 +820,33 @@ object ScaleQueries {
        |           row_number() OVER (PARTITION BY rsub.vec_id, rsub.s
        |             ORDER BY ${d2Sql("rsub.sv", "pcent.c")} ASC, pcent.cid ASC) AS rn
        |    FROM rsub JOIN pcent ON rsub.s = pcent.s) WHERE rn = 1),
-       |qres AS (SELECT s, sv FROM rsub WHERE vec_id = $PqQueryId),
-       |lut AS (
-       |  SELECT pcent.s, pcent.cid, ${d2Sql("qres.sv", "pcent.c")} AS qd
-       |  FROM pcent JOIN qres ON pcent.s = qres.s)
-       |SELECT vec_id, ${Num.rSql("list_sum(list(qd ORDER BY lut.s))", 6)} AS adc_dist2
-       |FROM pcodes JOIN lut ON pcodes.s = lut.s AND pcodes.cid = lut.cid
-       |WHERE cell = (SELECT cell FROM asg WHERE vec_id = $PqQueryId)
-       |  AND vec_id <> $PqQueryId
-       |GROUP BY vec_id ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
+       |qv2 AS (SELECT v FROM e WHERE vec_id = $PqQueryId),
+       |probe AS (
+       |  SELECT cid AS cell,
+       |         row_number() OVER (ORDER BY ${d2Sql("qv2.v", "cent.c")} ASC, cid ASC) AS pr
+       |  FROM cent CROSS JOIN qv2),
+       |qresm AS (
+       |  SELECT p.cell, p.pr, CAST(t.s AS INT) AS s,
+       |         list_transform(range(1, ${m * sd + 1}), i -> qv2.v[i] - cent.c[i])[(t.s*$sd+1):(t.s*$sd+$sd)] AS sv
+       |  FROM probe p JOIN cent ON p.cell = cent.cid
+       |  CROSS JOIN qv2 CROSS JOIN range(0, $m) t(s)),
+       |lutm AS (
+       |  SELECT qresm.cell, qresm.pr, pcent.s, pcent.cid,
+       |         ${d2Sql("qresm.sv", "pcent.c")} AS qd
+       |  FROM pcent JOIN qresm ON pcent.s = qresm.s)""".stripMargin
   }
+
+  /** Probed ADC top-k over the shared chain: nprobe = max probe rank. */
+  private def ivfPqSearchSql(nprobe: Int, k: Int): String =
+    s"""SELECT vec_id, ${Num.rSql("list_sum(list(qd ORDER BY lutm.s))", 6)} AS adc_dist2
+       |FROM pcodes JOIN lutm ON pcodes.cell = lutm.cell
+       |  AND pcodes.s = lutm.s AND pcodes.cid = lutm.cid
+       |WHERE lutm.pr <= $nprobe AND vec_id <> $PqQueryId
+       |GROUP BY vec_id ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  val ivfPqTopKSql: String =
+    s"""WITH $ivfPqCtesSql
+       |${ivfPqSearchSql(1, 10)}""".stripMargin
 
   /** ANN quality harness as an operator: recall@10 of the IVF-PQ probe
     * against the EXACT L2 top-10 for the same query — the standard
@@ -813,10 +855,10 @@ object ScaleQueries {
     * vec_id tiebreak (CLAUDE.md fp-rank rule) so the top-10 SET is
     * engine-stable.
     */
+  val AnnRecallProbes = Seq(1, 2, 4)
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val model = graft.scale.IvfPq.fit(emb)
-    val approx = graft.scale.IvfPq.search(emb, model, PqQueryId, 10).select("vec_id")
     val q = emb.filter(col("vec_id") === PqQueryId).select("embedding").collect()(0)
       .getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue)
     val qq = q.foldLeft(0.0)((a, x) => a + x * x)
@@ -825,24 +867,40 @@ object ScaleQueries {
     val exact = emb.filter(col("vec_id") =!= PqQueryId)
       .select(col("vec_id"), Num.r(d2, 6).as("d2"))
       .orderBy(col("d2").asc, col("vec_id").asc).limit(10).select("vec_id")
-    approx.join(exact, "vec_id")
-      .agg(count(lit(1)).as("n_overlap"))
-      .select(lit(10).as("k"), col("n_overlap"),
-        Num.r(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+      .cache()
+    // ONE scan of the max-nprobe cells scores every candidate once;
+    // each tier is then a pr-filter + top-10 over the tiny cached
+    // relation (three IvfPq.search arms would rescan the corpus 3x).
+    val scored = graft.scale.IvfPq
+      .scoredSearch(emb, model, PqQueryId, AnnRecallProbes.max).cache()
+    AnnRecallProbes.map { np =>
+      scored.filter(col("pr") <= np)
+        .orderBy(col("adc_dist2").asc, col("vec_id").asc).limit(10)
+        .select("vec_id")
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(np).as("nprobe"), lit(10).as("k"), col("n_overlap"),
+          Num.r(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+    }.reduce(_ unionAll _)
   }
 
-  val annRecallSql: String =
-    s"""WITH approx AS (
-       |$ivfPqTopKSql),
-       |e2 AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
-       |qv AS (SELECT v AS q FROM e2 WHERE vec_id = $PqQueryId),
+  val annRecallSql: String = {
+    val arms = AnnRecallProbes.map { np =>
+      s"""SELECT $np AS nprobe, 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |       ${Num.rSql("count(*) / 10.0", 4)} AS recall_at_10
+         |FROM (${ivfPqSearchSql(np, 10)}) a JOIN exact USING (vec_id)""".stripMargin
+    }
+    s"""WITH $ivfPqCtesSql,
        |exact AS (
        |  SELECT vec_id FROM (
-       |    SELECT e2.vec_id FROM e2 CROSS JOIN qv WHERE e2.vec_id <> $PqQueryId
-       |    ORDER BY ${Num.rSql(d2Sql("e2.v", "qv.q"), 6)} ASC, e2.vec_id ASC LIMIT 10))
-       |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
-       |       ${Num.rSql("count(*) / 10.0", 4)} AS recall_at_10
-       |FROM approx JOIN exact USING (vec_id)""".stripMargin
+       |    SELECT e.vec_id FROM e CROSS JOIN qv2 WHERE e.vec_id <> $PqQueryId
+       |    ORDER BY ${Num.rSql(d2Sql("e.v", "qv2.v"), 6)} ASC, e.vec_id ASC LIMIT 10))
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  val ivfPqProbedSql: String =
+    s"""WITH $ivfPqCtesSql
+       |${ivfPqSearchSql(IvfPqNProbe, 10)}""".stripMargin
 
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
@@ -1569,23 +1627,34 @@ object ScaleQueries {
     * scans at corpus scale. All heavy lifting is map-side HOFs; see
     * scale/Winnow.scala for the 100 TB design notes.
     */
+  private val WinnowMinShared = 2
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.Winnow.overlapPairs(Tables.documents(spark, dir), "text", "doc_id", 2)
+    graft.scale.Winnow.overlapPairs(Tables.documents(spark, dir), "text", "doc_id",
+      WinnowMinShared)
 
-  val winnowPairsSql: String =
+  // Every GramK/WinSize-derived literal is interpolated from the same
+  // constants the Scala side uses, so a constant change can't silently
+  // break oracle parity (same discipline as the PQ oracles with M/SubDim/K).
+  val winnowPairsSql: String = {
+    val gk = graft.scale.Winnow.GramK
+    val ws = graft.scale.Winnow.WinSize
+    val gram = (0 until gk).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    val win = (0 until ws).map(j => if (j == 0) "gh[j]" else s"gh[j+$j]")
+      .mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |g AS (
-       |  SELECT doc_id, CASE WHEN len(w) >= 4
-       |    THEN list_transform(range(1, len(w) - 2),
-       |         i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 13))::BIGINT)
+       |  SELECT doc_id, CASE WHEN len(w) >= $gk
+       |    THEN list_transform(range(1, len(w) - ${gk - 2}),
+       |         i -> ('0x' || substr(md5($gram), 1, 13))::BIGINT)
        |    ELSE [] END AS gh
        |  FROM toks),
        |fp AS (
        |  SELECT DISTINCT doc_id, f FROM (
-       |    SELECT doc_id, unnest(CASE WHEN len(gh) >= 5
-       |      THEN list_transform(range(1, len(gh) - 3),
-       |           j -> least(gh[j], gh[j+1], gh[j+2], gh[j+3], gh[j+4]))
+       |    SELECT doc_id, unnest(CASE WHEN len(gh) >= $ws
+       |      THEN list_transform(range(1, len(gh) - ${ws - 2}),
+       |           j -> least($win))
        |      ELSE gh END) AS f
        |    FROM g) t),
        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1 AND count(*) <= ${graft.scale.Dedup.MaxGroup}),
@@ -1595,7 +1664,8 @@ object ScaleQueries {
        |  JOIN ok ON a.f = ok.f
        |  GROUP BY 1, 2)
        |SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
-       |FROM pairs WHERE n_shared >= 2""".stripMargin
+       |FROM pairs WHERE n_shared >= $WinnowMinShared""".stripMargin
+  }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-doc mean
@@ -1813,6 +1883,7 @@ object ScaleQueries {
     "q_pq_codes" -> pqCodes,
     "q_pq_adc_topk" -> pqAdcTopK,
     "q_ivfpq_topk" -> ivfPqTopK,
+    "q_ivfpq_probed" -> ivfPqProbed,
     "q_ann_recall" -> annRecall,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
@@ -1866,6 +1937,7 @@ object ScaleQueries {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql,
     "q_ivfpq_topk" -> ivfPqTopKSql,
+    "q_ivfpq_probed" -> ivfPqProbedSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
@@ -1885,6 +1957,12 @@ object ScaleQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_dup_clusters" -> dupClustersSql,
+    // The LSH flagship carries the EXACT tier's oracle SQL: candidates
+    // are exact-verified (precision exact) and ScaleSpec proves recall
+    // is exact on the gate corpora, so the composed relations are equal
+    // — and deterministic, so the row can't flake. See dupClustersLsh.
+    "q_dup_clusters_lsh" -> dupClustersSql,
+    "q_canonical_docs_lsh" -> canonicalDocsSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_embed_neardup" -> embedNearDupSql,

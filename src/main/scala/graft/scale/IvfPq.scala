@@ -45,24 +45,81 @@ object IvfPq {
     Model(coarse, ProductQuantize.fitCodebooks(residuals(embeddings, coarse)))
   }
 
-  /** Probed ADC search: assign the query to its nearest coarse cell,
-    * then ADC-score ONLY that cell's residual codes against the query
-    * residual. nprobe is fixed at 1 — the scan-filter shape is the
-    * point; more probes union more cell filters.
+  /** The nprobe nearest coarse cells to a query vector, by the same
+    * expanded d² + smallest-cid tiebreak as the assignment expression.
     */
-  def search(embeddings: DataFrame, model: Model, queryId: Long, k: Int): DataFrame = {
-    val qVec = embeddings.filter(col("vec_id") === queryId)
+  def probeCells(model: Model, qVec: Seq[Double], nprobe: Int): Seq[Int] = {
+    import ProductQuantize.dotD
+    model.coarse.map { case (cid, c) =>
+      (dotD(qVec, qVec) - 2.0 * dotD(qVec, c) + dotD(c, c), cid)
+    }.sorted.take(nprobe).map(_._2)
+  }
+
+  private def queryVec(embeddings: DataFrame, queryId: Long): Seq[Double] =
+    embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding")).collect()(0)
       .getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue)
-    import ProductQuantize.dotD
-    // nearest coarse cell, same expanded d2 + smallest-cid tiebreak as
-    // the assignment expression
-    val cell = model.coarse.map { case (cid, c) =>
-      (dotD(qVec, qVec) - 2.0 * dotD(qVec, c) + dotD(c, c), cid)
-    }.min._2
-    val qRes = qVec.zip(model.coarse.toMap.apply(cell)).map { case (x, c) => x - c }
-    ProductQuantize.adcOver(
-      residuals(embeddings, model.coarse).filter(col("cell") === cell),
-      model.books, qRes, queryId, k)
+
+  /** Per-probed-cell query residuals — the ADC lookup tables are built
+    * from these (multi-probe ADC scores each cell's codes against the
+    * query's residual FROM THAT CELL's centroid).
+    */
+  private def qResByCell(model: Model, qVec: Seq[Double], nprobe: Int): Map[Int, Seq[Double]] =
+    probeCells(model, qVec, nprobe).map { cell =>
+      cell -> qVec.zip(model.coarse.toMap.apply(cell)).map { case (x, c) => x - c }
+    }.toMap
+
+  /** Probed ADC search: assign the query to its nprobe nearest coarse
+    * cells, then ADC-score ONLY those cells' residual codes, each
+    * against the query residual from that cell. The cell filter sits at
+    * the scan, so against a cell-partitioned codes table it prunes
+    * files; one scan, zero joins either way.
+    */
+  def search(embeddings: DataFrame, model: Model, queryId: Long, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val q = queryVec(embeddings, queryId)
+    ProductQuantize.adcProbed(residuals(embeddings, model.coarse),
+      model.books, qResByCell(model, q, nprobe), queryId, k)
+  }
+
+  /** Multi-probe ADC scores WITH probe rank and no top-k: one scan of
+    * the nprobe probed cells returning (vec_id, adc_dist2, pr). Scores
+    * don't depend on nprobe — only the candidate set does — so every
+    * tier nprobe' ≤ nprobe derives from this one relation by
+    * `pr <= nprobe'`; a recall-vs-nprobe sweep costs ONE corpus-cell
+    * scan instead of one per operating point.
+    */
+  def scoredSearch(embeddings: DataFrame, model: Model, queryId: Long,
+      nprobe: Int): DataFrame = {
+    val q = queryVec(embeddings, queryId)
+    val prByCell = probeCells(model, q, nprobe).zipWithIndex
+      .map { case (c, i) => c -> (i + 1) }.toMap
+    ProductQuantize.adcScored(residuals(embeddings, model.coarse),
+      model.books, qResByCell(model, q, nprobe), prByCell, queryId)
+  }
+
+  /** The persisted index payload: (vec_id, codes array<int>, cell) —
+    * M bytes of codes per vector instead of dim×4 of floats.
+    */
+  def codes(embeddings: DataFrame, model: Model): DataFrame =
+    ProductQuantize.codesOf(residuals(embeddings, model.coarse),
+      model.books, carry = Seq("cell"))
+
+  /** Write the codes table partitioned by cell: a probe's cell filter
+    * then prunes FILES, so a search reads ~nprobe/CoarseK of the index
+    * (which is itself ~M/(4·dim) of the corpus bytes).
+    */
+  def writeCodes(embeddings: DataFrame, model: Model, path: String): Unit =
+    codes(embeddings, model).write.mode("overwrite")
+      .partitionBy("cell").parquet(path)
+
+  /** Search the PERSISTED codes table: reads codes, not embeddings —
+    * the production shape (index once, search many).
+    */
+  def searchCodes(codesDf: DataFrame, embeddings: DataFrame, model: Model,
+      queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
+    val q = queryVec(embeddings, queryId)
+    ProductQuantize.adcCodes(codesDf, model.books,
+      qResByCell(model, q, nprobe), queryId, k)
   }
 }

@@ -75,7 +75,7 @@ object ProductQuantize {
     * trainer (which also keeps the subvector columns).
     */
   private def withBests(embeddings: DataFrame, books: Seq[KMeans.Centroids],
-      keepSubs: Boolean = false): DataFrame = {
+      keepSubs: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
     val withSubs = (0 until M).foldLeft(embeddings) { (df, s) =>
       df.withColumn(s"__sv$s", sliceCol(s))
         .withColumn(s"__vv$s", VectorOps.dot(col(s"__sv$s"), col(s"__sv$s")))
@@ -90,10 +90,85 @@ object ProductQuantize {
       }
       array_min(array(cands: _*)).as(s"__best$s")
     }
-    val keep = if (keepSubs) col("vec_id") +: (0 until M).map(s => col(s"__sv$s"))
-               else Seq(col("vec_id"))
+    val keep = (if (keepSubs) col("vec_id") +: (0 until M).map(s => col(s"__sv$s"))
+                else Seq(col("vec_id"))) ++ carry.map(col)
     withSubs.select(keep ++ bests: _*)
   }
+
+  /** Compact stored-codes layout: (vec_id, carried cols, codes
+    * array<int> of length M) — what a persisted PQ index writes: M
+    * small ints per vector instead of dim floats.
+    */
+  def codesOf(vectors: DataFrame, books: Seq[KMeans.Centroids],
+      carry: Seq[String] = Nil): DataFrame =
+    withBests(vectors, books, carry = carry)
+      .select(col("vec_id") +: carry.map(col) :+
+        array((0 until M).map(s => col(s"__best$s").getField("c")): _*).as("codes"): _*)
+
+  /** ADC over a STORED codes table (vec_id, cell, codes): per probed
+    * cell its own query-residual lookup table (Map[cell, Map[cid, d²]]
+    * literals — CoarseK×M×K doubles at most), distance = Σ_s
+    * lut[cell][codes[s]]. One scan of M-byte codes, zero joins; with
+    * the table partitioned by cell the probe filter prunes files.
+    */
+  def adcCodes(codes: DataFrame, books: Seq[KMeans.Centroids],
+      qResByCell: Map[Int, Seq[Double]], excludeId: Long, k: Int): DataFrame = {
+    val dist = books.zipWithIndex.map { case (cents, s) =>
+      val lutByCell: Map[Int, Map[Int, Double]] = qResByCell.map { case (cell, qRes) =>
+        val qs = qRes.slice(s * SubDim, (s + 1) * SubDim)
+        cell -> cents.map { case (cid, c) =>
+          cid -> (dotD(qs, qs) - 2.0 * dotD(qs, c) + dotD(c, c))
+        }.toMap
+      }
+      element_at(element_at(typedLit(lutByCell), col("cell")),
+        element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    codes
+      .filter(col("cell").isin(qResByCell.keys.toSeq: _*) &&
+        col("vec_id") =!= excludeId)
+      .select(col("vec_id"), graft.Num.r(dist, 6).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Multi-cell ADC scores over residual VECTORS without the top-k:
+    * (vec_id, adc_dist2, pr) where pr is the probe rank of the row's
+    * cell — lets a recall sweep derive every nprobe tier from ONE scan
+    * (candidate scores don't depend on nprobe; only the candidate SET
+    * does, and `pr <= n` reconstructs it).
+    */
+  def adcScored(vectors: DataFrame, books: Seq[KMeans.Centroids],
+      qResByCell: Map[Int, Seq[Double]], prByCell: Map[Int, Int],
+      excludeId: Long): DataFrame = {
+    val dist = books.zipWithIndex.map { case (cents, s) =>
+      val lutByCell: Map[Int, Map[Int, Double]] = qResByCell.map { case (cell, qRes) =>
+        val qs = qRes.slice(s * SubDim, (s + 1) * SubDim)
+        cell -> cents.map { case (cid, c) =>
+          cid -> (dotD(qs, qs) - 2.0 * dotD(qs, c) + dotD(c, c))
+        }.toMap
+      }
+      element_at(element_at(typedLit(lutByCell), col("cell")),
+        col(s"__best$s").getField("c"))
+    }.reduce(_ + _)
+    withBests(vectors.filter(col("cell").isin(qResByCell.keys.toSeq: _*)),
+        books, carry = Seq("cell"))
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), graft.Num.r(dist, 6).as("adc_dist2"),
+        element_at(typedLit(prByCell), col("cell")).as("pr"))
+  }
+
+  /** Multi-cell ADC top-k over residual VECTORS (the no-index path):
+    * per-cell LUTs, code assignment in the scan (withBests). Reduces to
+    * the single-cell adcOver shape when one cell is probed — still one
+    * scan, no joins.
+    */
+  def adcProbed(vectors: DataFrame, books: Seq[KMeans.Centroids],
+      qResByCell: Map[Int, Seq[Double]], excludeId: Long, k: Int): DataFrame =
+    adcScored(vectors, books, qResByCell,
+        qResByCell.keys.map(_ -> 1).toMap, excludeId)
+      .select(col("vec_id"), col("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(k)
 
   /** One-scan code assignment: (vec_id, subspace, code, dist2) rows,
     * dist2 = squared L2 between the subvector and its codeword.

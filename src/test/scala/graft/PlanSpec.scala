@@ -117,6 +117,29 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 1, s"ivfpq search grew shuffles:\n$p")
   }
 
+  test("persisted IVF-PQ codes search prunes partitions on the cell column") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.scale.IvfPq.fit(emb)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    graft.scale.IvfPq.writeCodes(emb, model, path)
+    val codes = spark.read.parquet(path)
+    val df = graft.scale.IvfPq.searchCodes(codes, emb, model, 1L, 10, nprobe = 2)
+    val p = plan(df)
+    // the probe filter must land on the PARTITION column of the codes
+    // table — at corpus scale this is what makes a search read
+    // ~nprobe/CoarseK of the index files instead of all of them
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+      s"cell probe did not become a partition filter:\n$p")
+    assert(!p.contains("Join"), s"codes search grew a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"codes search lost bounded top-k:\n$p")
+    // and the probed search result matches the in-memory residual path
+    val viaCodes = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaResid = graft.scale.IvfPq.search(emb, model, 1L, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCodes == viaResid, s"stored-codes ADC diverged from residual ADC")
+  }
+
   test("as-of join plans no nested loop and a bounded shuffle count") {
     val p = plan(analytics.ScaleQueries.asofPurchase(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
