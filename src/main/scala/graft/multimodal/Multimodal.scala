@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schemas, partition-parallel batch iteration
   * (mapPartitions over typed rows, the JVM analog of arrow-batched
   * mapInPandas), repartitioning for decode parallelism, frame explosion
-  * shape — is real and tested. The codec itself is STUBBED: this
-  * environment ships no image/audio libraries, so `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. Swapping in a real
-  * decoder changes ONLY the body of `decodeStub`/`resizeStub`: every
+  * shape — is real and tested. The IMAGE codec is real too: pure-JDK
+  * `javax.imageio` decodes PNG/GIF/BMP/JPEG payloads to actual pixel
+  * features (grid mean-luma) and resizes through an AWT raster — no
+  * external library needed. Audio/video payloads still fall back to the
+  * deterministic byte-hash stub (`decodeStub`) since the JDK ships no
+  * such codecs; swapping one in changes ONLY the fallback body — every
   * signature, schema and partitioning contract stays.
   */
 object Multimodal {
@@ -57,6 +59,80 @@ object Multimodal {
     tag ++ media.take(64)
   }
 
+  /** Cheap container sniff so the hot path only pays an ImageIO attempt
+    * on payloads that can possibly be images (PNG/JPEG/GIF/BMP magics).
+    */
+  def looksLikeImage(media: Array[Byte]): Boolean =
+    media.length >= 4 && (
+      (media(0) == 0x89.toByte && media(1) == 'P' && media(2) == 'N' && media(3) == 'G') ||
+      (media(0) == 0xFF.toByte && media(1) == 0xD8.toByte) || // JPEG SOI
+      (media(0) == 'G' && media(1) == 'I' && media(2) == 'F') ||
+      (media(0) == 'B' && media(1) == 'M'))
+
+  /** REAL image decode (pure-JDK javax.imageio): pixels → the classic
+    * thumbnail feature, mean luma (BT.601) over a 4×4 grid = FeatureDim
+    * floats in [0,1]. None when the payload isn't a decodable image —
+    * callers fall back to the byte-hash stub, so non-image media keeps
+    * the documented deterministic behavior.
+    */
+  def decodeImage(media: Array[Byte]): Option[Array[Float]] = {
+    if (!looksLikeImage(media)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val grid = math.sqrt(FeatureDim.toDouble).toInt // 4: FeatureDim = grid²
+      val sums = new Array[Double](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 0.299 + ((rgb >> 8) & 0xFF) * 0.587 +
+            (rgb & 0xFF) * 0.114) / 255.0
+          val cell = y * grid / h * grid + x * grid / w
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(FeatureDim)(i =>
+        if (counts(i) == 0L) 0f else (sums(i) / counts(i)).toFloat)
+    }
+  }
+
+  /** REAL image resize: AWT raster scale + PNG re-encode. None on
+    * non-image payloads (fallback: resizeStub).
+    */
+  def resizeImage(media: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (!looksLikeImage(media)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+    Option(img).map { im =>
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(im.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Codec dispatch: real pixel decode for image containers, the
+    * deterministic byte-hash stub for everything else.
+    */
+  def decode(media: Array[Byte]): Array[Float] =
+    decodeImage(media).getOrElse(decodeStub(media))
+
+  def resize(media: Array[Byte], w: Int, h: Int): Array[Byte] =
+    resizeImage(media, w, h).getOrElse(resizeStub(media, w, h))
+
   /** Feature extraction as a partition-wise operator: one iterator pass
     * per partition (no per-row task dispatch), preceded by an explicit
     * repartition on the asset key so decode parallelism is independent of
@@ -69,8 +145,8 @@ object Multimodal {
     assets
       .repartition(parallelism, col("assetId"))
       .mapPartitions { it =>
-        // per-partition: a real impl opens the codec/session here once
-        it.map(a => MediaFeatures(a.assetId, a.kind, FeatureDim, decodeStub(a.media)))
+        // per-partition: a heavier codec would open its session here once
+        it.map(a => MediaFeatures(a.assetId, a.kind, FeatureDim, decode(a.media)))
       }
   }
 
@@ -84,7 +160,7 @@ object Multimodal {
     assets.filter(col("kind") === "video").flatMap { a =>
       val nFrames = (a.meta.durationMs / 40L).toInt // 25 fps
       (0 until nFrames by everyNth).map { idx =>
-        Frame(a.assetId, idx, resizeStub(a.media, 64, 64))
+        Frame(a.assetId, idx, resize(a.media, 64, 64))
       }
     }
   }

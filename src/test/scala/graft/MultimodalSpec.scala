@@ -34,6 +34,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode to actual pixel features (javax.imageio)") {
+    // 4×4 gray image, pixel (x,y) = gray (x + 4y)·17. With a 4×4 grid
+    // each pixel is its own cell, and BT.601 luma of gray (v,v,v) is
+    // exactly v/255 (the coefficients sum to 1), so every feature value
+    // is known in closed form.
+    val png = pngBytes(4, 4) { (x, y) =>
+      val v = (x + 4 * y) * 17; (v << 16) | (v << 8) | v
+    }
+    assert(Multimodal.looksLikeImage(png))
+    val feats = Multimodal.decodeImage(png).get
+    assert(feats.length == Multimodal.FeatureDim)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expected = ((x + 4 * y) * 17) / 255.0f
+      assert(math.abs(feats(4 * y + x) - expected) < 1e-6f,
+        s"cell ($x,$y): ${feats(4 * y + x)} vs $expected")
+    }
+    // dispatch: decode() must pick the pixel path for the PNG and the
+    // byte-hash stub for non-image payloads
+    assert(Multimodal.decode(png).sameElements(feats))
+    val text = "not an image".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeImage(text))
+    assert(Multimodal.decode(text).sameElements(Multimodal.decodeStub(text)))
+  }
+
+  test("real image resize re-encodes at target size") {
+    val png = pngBytes(4, 4)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    val out = Multimodal.resize(png, 2, 2)
+    assert(Multimodal.looksLikeImage(out))
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(im.getWidth == 2 && im.getHeight == 2)
+  }
+
+  test("extractFeatures routes image assets through the real codec") {
+    implicit val s = spark
+    import s.implicits._
+    val png = pngBytes(4, 4)((_, _) => 0x808080)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", png,
+        Multimodal.MediaMeta(4, 4, 0, 0L, "png")),
+      Multimodal.MediaAsset(2L, "audio", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, 16000, 10L, "wav"))).toDS()
+    val feats = Multimodal.extractFeatures(assets, 2).collect().sortBy(_.assetId)
+    assert(feats(0).features.sameElements(Multimodal.decodeImage(png).get))
+    assert(feats(1).features.sameElements(
+      Multimodal.decodeStub(Array[Byte](1, 2, 3))))
+  }
+
   test("frame sampling explodes videos at the expected stride") {
     implicit val s = spark
     val assets = Multimodal.syntheticAssets(spark, sf)
