@@ -1571,7 +1571,12 @@ object ScaleQueries {
     * (`/root/reference/config/config.yaml` quality gates).
     */
   val SpanDedupMaxDupRatio = 0.7
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+
+  /** (doc_id, sh): each doc's DISTINCT word-3-gram span hashes — the
+    * map-side projection both the batch operator and the streaming
+    * span-frequency maintenance (Streams.spanDfStream) share.
+    */
+  def spanHashes(docs: DataFrame): DataFrame = {
     val w = col("w")
     val spans = {
       val parts = (1 to 3).map(j => slice(w, lit(j), size(w) - 2))
@@ -1579,13 +1584,19 @@ object ScaleQueries {
         parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
         .otherwise(array().cast("array<string>"))
     }
-    val docs = Tables.documents(spark, dir)
-    val sh = docs
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"),
         explode(array_distinct(transform(spans, s => xxhash64(s)))).as("sh"))
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val per = sh.join(df, "sh")
+  }
+
+  /** The cheap half of span dedup: per-doc dup ratio + keep verdict
+    * against a given df(span) relation — shared by the batch operator
+    * and the streaming composition (StreamingSpec), where `df` is the
+    * incrementally maintained Streams.spanDfStream state.
+    */
+  def spanVerdict(docs: DataFrame, df: DataFrame): DataFrame = {
+    val per = spanHashes(docs).join(df, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -1596,6 +1607,12 @@ object ScaleQueries {
           Num.r(col("n_dup").cast("double") / col("n_spans"), 6)).as("dup_span_ratio"))
       .withColumn("keep",
         col("dup_span_ratio").isNull || col("dup_span_ratio") <= SpanDedupMaxDupRatio)
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    spanVerdict(docs,
+      spanHashes(docs).groupBy("sh").agg(count(lit(1)).as("df")))
   }
 
   val spanDedupSql: String =

@@ -124,6 +124,49 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Documents file-stream (same parquet schema as Tables.documents) —
+    * the ingest form of the corpus for the streaming curation operators.
+    */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentSchema).parquet(dir)
+
+  /** q_span_dedup streaming form: incrementally maintained span document
+    * frequency. The batch operator's heavy half is the corpus-wide
+    * df(span) aggregate — here that relation is maintained as a
+    * streaming aggregate over arriving documents (spans leave the scan
+    * as xxhash64 longs exactly like the batch path; state is bounded by
+    * span vocabulary, not stream length). The per-doc dup-ratio verdict
+    * is the cheap half: join any document batch against the maintained
+    * df relation — on a finite source the composition equals the batch
+    * q_span_dedup exactly (StreamingSpec). At ingest volume this turns
+    * the daily full-corpus recount into a running aggregate.
+    */
+  def spanDfStream(docs: DataFrame): DataFrame =
+    graft.analytics.ScaleQueries.spanHashes(docs)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+  /** q_heavy_hitters_lossy streaming form, sketch half: the Misra–Gries
+    * aggregate runs as a streaming global aggregate — the buffer is the
+    * state (O(k), mergeable), so candidate heavy keys are maintained
+    * continuously with bounded memory regardless of key cardinality.
+    * MG's guarantee is order-independent: after any prefix, every key
+    * with true count > n/(k+1) is among the ≤k candidates, so the
+    * exact-verify half (count only candidates, keep > n/(k+1)) composes
+    * with the sketch state at ANY point to the same guaranteed set the
+    * batch two-pass produces (StreamingSpec proves final-state equality).
+    */
+  def heavyHitterSketchStream(keyed: DataFrame, key: Column, k: Int): DataFrame =
+    keyed.agg(graft.scale.MisraGries.heavyHitters(key, k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.id").as("key"), col("e.est").as("est"))
+
   /** ST6: cascading session-KPI re-aggregation in update mode — the
     * consumer's per-event session recompute becomes an incrementally
     * maintained streaming aggregate.

@@ -102,6 +102,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("streaming span-frequency maintenance composes to the batch span dedup") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val docsStream = Streams.documentStream(spark, d.toString)
+    val streamedDf = Streams.runToCompletion(
+      Streams.spanDfStream(docsStream), OutputMode.Complete(), "span_df_stream")
+    // the maintained df(span) relation equals the batch aggregate
+    val docs = Tables.documents(spark, sf)
+    val batchDf = graft.analytics.ScaleQueries.spanHashes(docs)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val s = streamedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batchDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == b)
+    // ... and composing the per-doc verdict against the STREAMED state
+    // reproduces the batch q_span_dedup row-for-row
+    val composed = graft.analytics.ScaleQueries.spanVerdict(docs, streamedDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getBoolean(3))).toSet
+    val batch = graft.analytics.ScaleQueries.spanDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getBoolean(3))).toSet
+    assert(composed == batch)
+  }
+
+  test("streaming Misra-Gries sketch composes to the batch lossy heavy hitters") {
+    val skewedKey = (col("event_id") % (lit(1) + col("event_id") % 8)).as("k")
+    val events = Streams.eventStream(spark, eventsDir).select(skewedKey)
+    val out = Streams.runToCompletion(
+      Streams.heavyHitterSketchStream(events, col("k"), 5),
+      OutputMode.Complete(), "hh_sketch_stream")
+    val cands = out.collect().map(_.getLong(0)).toSet
+    assert(cands.size <= 5, s"MG state must stay bounded at k, got ${cands.size}")
+    val ev = Tables.events(spark, sf).select(skewedKey)
+    val n = ev.count()
+    val exact = ev.groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // MG guarantee holds on the final streaming state: every key with
+    // true count > n/(k+1) is among the candidates
+    val guaranteed = exact.filter(_._2 * 6 > n).keySet
+    assert(guaranteed.subsetOf(cands), s"missing guaranteed keys ${guaranteed -- cands}")
+    // exact-verify pass over the streamed candidates == the batch
+    // two-pass q_heavy_hitters_lossy output
+    val verified = exact.filter { case (k, c) => cands(k) && c * 6 > n }
+    val batch = graft.analytics.ScaleQueries.heavyHittersLossy(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(verified == batch)
+  }
+
   test("mapGroupsWithState session state folds events with seq guard") {
     val events = Streams.eventStream(spark, eventsDir)
     implicit val s = spark
