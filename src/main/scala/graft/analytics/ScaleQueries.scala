@@ -1290,6 +1290,38 @@ object ScaleQueries {
     decontaminateAgainst(docs, docs.filter(col("doc_id") % 25 === 0))
   }
 
+  /** Decontamination for eval sets TOO BIG to broadcast exactly: a Bloom
+    * filter over the eval shingle hashes gates the corpus map-side
+    * (scale/Bloom — ~1.2 bytes/shingle at 1% fpp vs many GB of exact
+    * strings), and only the survivors — true overlaps + the fpp sliver —
+    * enter a shuffle join with the eval relation for EXACT verification.
+    * Same sketch→exact-verify discipline as the lossy heavy hitters: the
+    * sketch bounds the work, the verify pass makes the OUTPUT exact, so
+    * this carries the same oracle SQL as q_decontaminate. The per-doc
+    * n_shingles aggregate is the only corpus-wide shuffle, as before.
+    */
+  val BloomDecontaminateFpp = 0.01
+  def decontaminateBloomAgainst(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val shd = wordTriShingles(docs).withColumn("h", xxhash64(col("s")))
+    val evh = wordTriShingles(evalDocs)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val bf = graft.scale.Bloom.build(evh, "h", evh.count(), BloomDecontaminateFpp)
+    val perDoc = shd.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlaps = shd
+      .filter(graft.scale.Bloom.mightContain(bf, col("h"))) // sketch gate, map-side
+      .join(evh, "h")                                       // exact verify, survivors only
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(overlaps, "doc_id")
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        Num.r(col("n_overlap").cast("double") / col("n_shingles"), 6).as("ratio"))
+  }
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateBloomAgainst(docs, docs.filter(col("doc_id") % 25 === 0))
+  }
+
   val decontaminateSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
@@ -1888,6 +1920,7 @@ object ScaleQueries {
     "q_mixture_weights" -> mixtureWeights,
     "q_quality_quartiles" -> qualityQuartiles,
     "q_decontaminate" -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom,
     "q_doc_chunks" -> docChunks,
     "q_seq_packing" -> seqPacking,
     "q_embed_quantize" -> embedQuantize,
@@ -1942,6 +1975,8 @@ object ScaleQueries {
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,
+    // sketch-gated, exact-verified: same output relation as the exact path
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_doc_chunks" -> docChunksSql,
     "q_seq_packing" -> seqPackingSql,
     "q_embed_quantize" -> embedQuantizeSql,
@@ -1974,10 +2009,12 @@ object ScaleQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_dup_clusters" -> dupClustersSql,
-    // The LSH flagship carries the EXACT tier's oracle SQL: candidates
-    // are exact-verified (precision exact) and ScaleSpec proves recall
-    // is exact on the gate corpora, so the composed relations are equal
-    // — and deterministic, so the row can't flake. See dupClustersLsh.
+    // The LSH tier carries the EXACT tier's oracle SQL: candidates are
+    // exact-verified (precision exact by construction) and ScaleSpec
+    // proves recall is exact on the gate corpora, so the composed
+    // relations are equal — and deterministic, so the rows can't flake.
+    // See dupClustersLsh.
+    "q_minhash_pairs" -> jaccardPairsSql,
     "q_dup_clusters_lsh" -> dupClustersSql,
     "q_canonical_docs_lsh" -> canonicalDocsSql,
     "q_cosine_topk" -> cosineTopKSql,
