@@ -1622,6 +1622,88 @@ object ScaleQueries {
         explode(array_distinct(transform(spans, s => xxhash64(s)))).as("sh"))
   }
 
+  /** Maximal duplicated-RUN detection — the bounded approximation of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): consecutive corpus-duplicated
+    * 3-gram spans chain into runs, so a shared substring of t tokens
+    * shows up as a run of t−2 duplicated spans; flag docs whose longest
+    * run reaches the threshold. The suffix-array pass of the paper
+    * becomes three bounded hash-keyed shuffles: span occurrences
+    * (8-byte hashes, positions ride along), the occ≥2 filter, and ONE
+    * per-doc aggregate whose run/island fold happens inside an array
+    * HOF over the doc's own flagged positions — no window over anything
+    * larger than a single document, no pair expansion, linear in the
+    * corpus.
+    */
+  val DupRunMinTokens = 12
+  def dupRuns(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val spans = {
+      val parts = (1 to 3).map(j => slice(w, lit(j), size(w) - 2))
+      when(size(w) >= 3,
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = Tables.documents(spark, dir)
+    val sp = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(spans, s => xxhash64(s))).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+    val dup = sp.groupBy("sh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("sh")
+    val runs = sp.join(dup, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        """aggregate(ps,
+          |  named_struct('prev', CAST(-2 AS BIGINT), 'cur', CAST(0 AS BIGINT),
+          |               'best', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+          |  (a, p) -> named_struct(
+          |    'prev', p,
+          |    'cur', IF(p = a.prev + 1, a.cur + 1, CAST(1 AS BIGINT)),
+          |    'best', GREATEST(a.best, IF(p = a.prev + 1, a.cur + 1, CAST(1 AS BIGINT))),
+          |    'n', a.n + IF(p = a.prev + 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT))),
+          |  a -> a)""".stripMargin).as("r"))
+      .select(col("doc_id"), (col("r.best") + 2L).as("max_dup_run"),
+        col("r.n").as("n_dup_runs"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(split(trim(col("text")), "\\s+")) - 2, lit(0))
+          .cast("long").as("n_spans"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"))
+      .withColumn("keep", col("max_dup_run") < DupRunMinTokens)
+  }
+
+  val dupRunsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM toks CROSS JOIN unnest(range(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |occ AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+       |flagged AS (SELECT doc_id, pos FROM sp JOIN occ USING (s)),
+       |isl AS (
+       |  SELECT doc_id,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM flagged),
+       |runs AS (SELECT doc_id, count(*) AS len FROM isl GROUP BY doc_id, g),
+       |per AS (
+       |  SELECT doc_id, CAST(max(len) + 2 AS BIGINT) AS max_dup_run,
+       |         CAST(count(*) AS BIGINT) AS n_dup_runs
+       |  FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(greatest(len(string_split_regex(trim(d.text), '\\s+')) - 2, 0) AS BIGINT) AS n_spans,
+       |  coalesce(max_dup_run, 0) AS max_dup_run,
+       |  coalesce(n_dup_runs, 0) AS n_dup_runs,
+       |  coalesce(max_dup_run, 0) < $DupRunMinTokens AS keep
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
   /** The cheap half of span dedup: per-doc dup ratio + keep verdict
     * against a given df(span) relation — shared by the batch operator
     * and the streaming composition (StreamingSpec), where `df` is the
@@ -1937,6 +2019,7 @@ object ScaleQueries {
     "q_ann_recall" -> annRecall,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
+    "q_dup_runs" -> dupRuns,
     "q_winnow_pairs" -> winnowPairs,
     "q_dsir_weights" -> dsirWeights,
     "q_weighted_sample" -> weightedSample,
@@ -1993,6 +2076,7 @@ object ScaleQueries {
     "q_ann_recall" -> annRecallSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
+    "q_dup_runs" -> dupRunsSql,
     "q_winnow_pairs" -> winnowPairsSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_weighted_sample" -> weightedSampleSql,
