@@ -495,7 +495,6 @@ object ScaleQueries {
     * size, and the dedup window never moves document text.
     */
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col("text")
     val scored = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"),
@@ -504,10 +503,15 @@ object ScaleQueries {
       TextAnalysis.bpeTokenCount(t).as("n_tokens"),
       md5(t).as("digest"))
     val kept = scored.filter(col("language") === "english" && col("quality") >= 60.0)
+    // keep-min-doc_id per digest as a grouped argmin (doc_id leads the
+    // struct and is unique) — partial aggregation map-side, vs the
+    // row_number window's full per-partition sort
     val canonical = kept
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+        col("c.n_tokens").as("n_tokens"), col("c.quality").as("quality"))
     canonical.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),
@@ -1912,10 +1916,14 @@ object ScaleQueries {
       .filter(col("language") === "english" && col("quality") >= 60.0)
       .join(passRep, "doc_id")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    val canonical = kept.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("digest")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+    // same grouped-argmin canonical step as corpusCuration (doc_id
+    // leads the struct; unique → identical row to the old rn=1 window)
+    val canonical = kept
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+        col("c.n_tokens").as("n_tokens"), col("c.quality").as("quality"))
     canonical.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),
@@ -1990,7 +1998,257 @@ object ScaleQueries {
          |FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // ---- round-5 additions: classifier inference, BPE pair counts,
+  // ---- URL-canonical dedup, incremental delta dedup, hard negatives ----
+
+  /** Hashed-linear quality-classifier inference — the execution shape of
+    * running a distilled fastText-style filter over the whole corpus:
+    * tokenize map-side, hash each token to a weight (the hashing trick;
+    * here the weight is derived from the token's md5 so the op is
+    * oracle-checkable — a trained weight table would broadcast and look
+    * up identically), strict left-fold accumulate, normalize by √n, and
+    * squash. Zero shuffles, zero joins: the entire classifier runs
+    * inside the scan stage, which is what makes per-document model
+    * scoring viable at 100 TB. The fold order is pinned (Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce` with the same 0.0 seed) so
+    * the pre-round double is bit-identical cross-engine; the sigmoid is
+    * computed from the ROUNDED logit (CLAUDE.md fp-rank rule).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val ws = transform(col("w"), t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") / lit(4294967296.0) - lit(0.5))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0.0), (a, x) => a + x).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.r(col("sw") / sqrt(greatest(col("n_tokens"), lit(1L)).cast("double")), 6)
+          .as("logit"))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        Num.r(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6).as("prob"),
+        (col("logit") >= 0.0).as("keep"))
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(w, x ->
+       |             ('0x' || substring(md5(x), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
+       |           (a, b) -> a + b) AS sw
+       |  FROM t),
+       |l AS (
+       |  SELECT doc_id, n_tokens,
+       |         ${Num.rSql("sw / sqrt(CAST(greatest(n_tokens, 1) AS DOUBLE))", 6)} AS logit
+       |  FROM s)
+       |SELECT doc_id, n_tokens, logit,
+       |       ${Num.rSql("1.0 / (1.0 + exp(-logit))", 6)} AS prob,
+       |       logit >= 0.0 AS keep
+       |FROM l""".stripMargin
+
+  /** BPE pair counting — the hot inner loop of byte-pair-encoding
+    * tokenizer training, in its scalable form: aggregate the corpus to
+    * WORD TYPES first (the shuffle is bounded by vocabulary, not token
+    * count — the standard BPE trick), then expand each distinct word's
+    * adjacent character pairs weighted by the word's frequency and
+    * aggregate pair counts (bounded by charset², tiny). Top pairs =
+    * the first merge candidates. Integer counts end-to-end: no fp risk.
+    */
+  val BpePairsK = 20
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(BpePairsK)
+
+  val bpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY 1),
+       |p AS (
+       |  SELECT freq, unnest(list_transform(range(1, len(word)), i -> substring(word, i, 2))) AS pair
+       |  FROM wf WHERE len(word) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+       |FROM p GROUP BY 1
+       |ORDER BY n DESC, pair ASC LIMIT $BpePairsK""".stripMargin
+
+  /** URL-canonicalization dedup (C4/CCNet web-corpus rule): messy crawl
+    * URLs — case variants, default ports, tracking params, fragments,
+    * trailing slashes, synthesized deterministically from events —
+    * collapse onto one canonical form (functions/UrlInfo.canonicalizeUrl,
+    * a pure map-side regex chain), then one groupBy counts events and
+    * RAW variants per canonical URL. The shuffle carries canonical
+    * strings only; at 100 TB you'd hash them first like the term
+    * shuffles, but the variant accounting here is the point.
+    */
+  private def rawUrlCol: Column = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val host = concat(lit("shop"), (col("user_id") % 3).cast("string"), lit(".example.com"))
+    val hostv = when(col("event_id") % 3 === 0, upper(host)).otherwise(host)
+    val port = when(col("event_id") % 7 === 0, lit(":443")).otherwise(lit(""))
+    val path = when(col("event_type") === "view", concat(lit("/product/p"), k.cast("string")))
+      .when(col("event_type") === "click", lit("/search"))
+      .when(col("event_type") === "purchase",
+        concat(lit("/checkout/cart"), when(col("event_id") % 2 === 0, lit("/")).otherwise(lit(""))))
+      .when(col("event_type") === "signup", lit("/account/profile"))
+      .otherwise(lit("/"))
+    val track = when(col("event_id") % 4 === 0, lit("?utm_source=google"))
+      .when(col("event_id") % 4 === 1, lit("?q=crm&utm_medium=email"))
+      .otherwise(lit(""))
+    val frag = when(col("event_id") % 5 === 0, lit("#section2")).otherwise(lit(""))
+    concat(lit("https://"), hostv, port, path, track, frag)
+  }
+
+  private val rawUrlSql: String =
+    """'https://' ||
+      | (CASE WHEN event_id % 3 = 0
+      |   THEN upper('shop' || CAST(user_id % 3 AS VARCHAR) || '.example.com')
+      |   ELSE 'shop' || CAST(user_id % 3 AS VARCHAR) || '.example.com' END) ||
+      | (CASE WHEN event_id % 7 = 0 THEN ':443' ELSE '' END) ||
+      | (CASE event_type
+      |   WHEN 'view' THEN '/product/p' || CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR)
+      |   WHEN 'click' THEN '/search'
+      |   WHEN 'purchase' THEN '/checkout/cart' || (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END)
+      |   WHEN 'signup' THEN '/account/profile'
+      |   ELSE '/' END) ||
+      | (CASE WHEN event_id % 4 = 0 THEN '?utm_source=google'
+      |       WHEN event_id % 4 = 1 THEN '?q=crm&utm_medium=email' ELSE '' END) ||
+      | (CASE WHEN event_id % 5 = 0 THEN '#section2' ELSE '' END)""".stripMargin
+      .replace("\n", " ")
+
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), rawUrlCol.as("u"))
+      .select(col("event_id"), col("u"),
+        graft.functions.UrlInfo.canonicalizeUrl(col("u")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("u")).as("n_variants"),
+        min(col("event_id")).as("min_event_id"))
+
+  val urlDedupSql: String =
+    s"""WITH raw AS (SELECT event_id, $rawUrlSql AS u FROM events),
+       |c1 AS (SELECT event_id, u, regexp_replace(u, '#.*$$', '', 'g') AS v FROM raw),
+       |c2 AS (SELECT event_id, u,
+       |         CASE WHEN regexp_extract(v, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+       |           THEN v
+       |           ELSE lower(regexp_extract(v, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+       |                regexp_extract(v, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$$', 1) END AS v
+       |       FROM c1),
+       |c3 AS (SELECT event_id, u,
+       |         regexp_replace(regexp_replace(v, '^(https://[^/:?#]+):443(/|\\?|$$)', '\\1\\2', 'g'),
+       |                        '^(http://[^/:?#]+):80(/|\\?|$$)', '\\1\\2', 'g') AS v
+       |       FROM c2),
+       |c4 AS (SELECT event_id, u,
+       |         regexp_replace(regexp_replace(v, '(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+       |                        '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$$', '', 'g') AS v
+       |       FROM c3),
+       |c5 AS (SELECT event_id, u,
+       |         regexp_replace(regexp_replace(v, '\\?$$', '', 'g'), '([^/])/$$', '\\1', 'g') AS v
+       |       FROM c4)
+       |SELECT v AS canonical_url, count(*) AS n_events,
+       |       CAST(count(DISTINCT u) AS BIGINT) AS n_variants,
+       |       min(event_id) AS min_event_id
+       |FROM c5 GROUP BY 1""".stripMargin
+
+  /** Incremental (delta) dedup — the operating mode a 100 TB corpus
+    * actually runs in: dedup TODAY'S increment against the historical
+    * corpus without reshuffling history. A Bloom filter over the
+    * history digests (the persisted dedup index; built here with one
+    * treeAggregate scan) gates the delta map-side; only the gated
+    * survivors — true dups + the fpp sliver — are broadcast against ONE
+    * history scan for exact verification, so the output is exact while
+    * history is never shuffled. Within-batch dups resolve with a
+    * delta-sized grouped argmin. Delta = re-crawled copies of every
+    * 10th doc (twice — once +1M, once +2M, exercising both the
+    * history-dup and within-batch-dup flags) plus genuinely new docs
+    * (every doc ≡7 mod 10, text prefixed).
+    */
+  val DeltaDedupFpp = 0.01
+  private def deltaBatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tenth = d.filter(col("doc_id") % 10 === 0)
+    tenth.withColumn("doc_id", col("doc_id") + 1000000L)
+      .unionByName(tenth.withColumn("doc_id", col("doc_id") + 2000000L))
+      .unionByName(d.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(lit("fresh "), col("text"))))
+  }
+
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir).select(md5(col("text")).as("digest"))
+    val delta = deltaBatch(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val histH = hist.select(xxhash64(col("digest")).as("h"))
+    val bf = graft.scale.Bloom.build(histH, "h", histH.count(), DeltaDedupFpp)
+    val gated = delta
+      .filter(graft.scale.Bloom.mightContain(bf, xxhash64(col("digest"))))
+      .select(col("digest")).distinct()
+    // exact verify: one history scan, gated survivors ride as broadcast
+    val confirmed = hist.join(broadcast(gated), Seq("digest"), "left_semi")
+      .distinct().withColumn("in_hist", lit(true))
+    val firsts = delta.groupBy(col("digest")).agg(min(col("doc_id")).as("first_id"))
+    delta.join(broadcast(confirmed), Seq("digest"), "left")
+      .join(firsts, "digest")
+      .select(col("doc_id"),
+        coalesce(col("in_hist"), lit(false)).as("dup_of_history"),
+        (col("doc_id") =!= col("first_id")).as("dup_within_batch"),
+        (col("in_hist").isNull && col("doc_id") === col("first_id")).as("keep"))
+  }
+
+  val deltaDedupSql: String =
+    """WITH hist AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+      |delta AS (
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5('fresh ' || text) FROM documents WHERE doc_id % 10 = 7),
+      |firsts AS (SELECT digest, min(doc_id) AS first_id FROM delta GROUP BY 1)
+      |SELECT delta.doc_id,
+      |       (hist.digest IS NOT NULL) AS dup_of_history,
+      |       (delta.doc_id <> firsts.first_id) AS dup_within_batch,
+      |       (hist.digest IS NULL AND delta.doc_id = firsts.first_id) AS keep
+      |FROM delta
+      |LEFT JOIN hist ON delta.digest = hist.digest
+      |JOIN firsts ON delta.digest = firsts.digest""".stripMargin
+
+  /** Contrastive hard-negative mining: per query, top-3 most-similar
+    * vectors with a DIFFERENT label (scale/Similarity.hardNegatives —
+    * broadcast queries, one corpus scan, bounded TopKAgg).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(spark, dir), KnnQueryIds, 3)
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, $dblEmb AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+       |      WHERE vec_id IN (${KnnQueryIds.mkString(",")})),
+       |s AS (SELECT q.q_id, q.q_label, e.vec_id, ${Num.rSql(cosSql("e.v", "qv"), 6)} AS cos_sim
+       |      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label)
+       |SELECT q_id, q_label, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM s)
+       |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> qualityClassifier,
+    "q_bpe_pairs" -> bpePairs,
+    "q_url_dedup" -> urlDedup,
+    "q_delta_dedup" -> deltaDedup,
+    "q_hard_negatives" -> hardNegatives,
     "q_table_profile" -> tableProfile,
     "q_training_mix" -> trainingMix,
     "q_unigram_logprob" -> unigramLogprob,
@@ -2047,6 +2305,11 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts)
 
   val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_bpe_pairs" -> bpePairsSql,
+    "q_url_dedup" -> urlDedupSql,
+    "q_delta_dedup" -> deltaDedupSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_table_profile" -> tableProfileSql,
     "q_training_mix" -> trainingMixSql,
     "q_unigram_logprob" -> unigramLogprobSql,

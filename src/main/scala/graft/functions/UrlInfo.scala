@@ -94,4 +94,33 @@ object UrlInfo {
       struct(r.as("referrer"), d.as("referrer_domain"),
         referrerType(d).as("referrer_type"))
     }
+
+  /** URL canonicalization for web-corpus dedup (the C4/CCNet rule set):
+    * strip the #fragment, lowercase scheme+authority (path stays
+    * case-sensitive), drop the :443/:80 default port, remove tracking
+    * params (utm_*, gclid, fbclid) while preserving real ones, drop an
+    * empty trailing '?', and strip one trailing '/'. Pure regex chain —
+    * map-side, codegen'd, no lookarounds (so the same patterns run on
+    * RE2 engines). Step order matters and is part of the contract: the
+    * oracle mirrors it verbatim.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    // 1. fragment
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // 2. lowercase scheme://authority, keep the rest as-is
+    val pre = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = when(pre === "", noFrag)
+      .otherwise(concat(lower(pre),
+        regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)))
+    // 3. default ports
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2")
+    // 4. tracking params: mid-query first (key=val&), then trailing
+    //    (?key=val / &key=val at end-of-string)
+    val noTrackMid = regexp_replace(noPort, "(utm_[a-z]+|gclid|fbclid)=[^&#]*&", "")
+    val noTrack = regexp_replace(noTrackMid, "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$", "")
+    // 5. empty query, 6. trailing slash
+    regexp_replace(regexp_replace(noTrack, "\\?$", ""), "([^/])/$", "$1")
+  }
 }

@@ -65,6 +65,29 @@ object Similarity {
       .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos_sim"))
   }
 
+  /** Hard-negative mining (contrastive-training data op): for every
+    * query vector, the k nearest embeddings whose LABEL DIFFERS from the
+    * query's — the "looks similar, is a different class" rows a
+    * contrastive or reranker trainer wants as negatives. Same one-scan
+    * shape as knnJoin: the query set (vectors + labels) broadcasts, the
+    * corpus is scanned once, the label-mismatch predicate runs map-side
+    * in the scan stage, and the bounded TopKAgg keeps O(queries·k) state.
+    */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("label").as("q_label"))
+    embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        graft.Num.r(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(TopK.topK(col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), col("q_label"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("q_label"), col("e.id").as("vec_id"),
+        col("e.score").as("cos_sim"))
+  }
+
   /** Random-hyperplane signature: one bit per plane = sign(v·plane).
     * Planes come from the data itself (vec_id in [1, 1+bits)) so the
     * construction is deterministic and oracle-expressible.

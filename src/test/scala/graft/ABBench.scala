@@ -161,6 +161,32 @@ object ABBench {
       min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** Round-2..5 corpusCuration canonical step: row_number window over
+    * digest (sorts every partition) vs the grouped min-struct argmin
+    * (partial aggregation map-side, no sort).
+    */
+  private def curationWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextAnalysis
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.language(t).as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      TextAnalysis.bpeTokenCount(t).as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored.filter(col("language") === "english" && col("quality") >= 60.0)
+    val canonical = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("digest")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    canonical.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      Num.savg(sum(col("quality")), count(lit(1)), 0, 4).as("avg_quality"),
+      min(col("doc_id")).as("min_doc_id"))
+  }
+
   private def kmeansStepPosexplode(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
     graft.scale.KMeans.assign(emb, cs)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -217,6 +243,8 @@ object ABBench {
       time(s"json_fromjson_$i") { analytics.Events.jsonProps(spark, sfDir).count() }
       time(s"kmeans_posexplode_$i") { kmeansStepPosexplode(emb, seeds) }
       time(s"kmeans_vecsum_$i") { kmeansStepVecSum(emb, seeds) }
+      time(s"curation_window_$i") { curationWindow(spark, sfDir).count() }
+      time(s"curation_argmin_$i") { analytics.ScaleQueries.corpusCuration(spark, sfDir).count() }
       time(s"trainmix_sharedshd_$i") { trainingMixSharedShd(spark, sfDir).count() }
       time(s"trainmix_current_$i") { analytics.ScaleQueries.trainingMix(spark, sfDir).count() }
       time(s"q1_pricing_$i") { analytics.Relational.pricingSummary(spark, sfDir).count() }

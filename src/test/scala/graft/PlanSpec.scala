@@ -77,10 +77,39 @@ class PlanSpec extends AnyFunSuite {
   private def nodeCount(p: String, name: String): Int =
     (name + " \\(\\d+\\)").r.findAllIn(p).size
 
-  test("corpus curation is two shuffles: dedup window + final aggregate") {
+  test("corpus curation is two shuffles: digest argmin + final aggregate") {
     val p = plan(analytics.ScaleQueries.corpusCuration(spark, sf))
     assert(nodeCount(p, "Exchange") <= 2,
       s"curation pipeline grew extra shuffles:\n$p")
+    // the canonical step is a grouped argmin with map-side partial
+    // aggregation, not a row_number window (no per-partition sort)
+    assert(!p.contains("Window"), s"curation regressed to a window:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("quality classifier runs entirely in the scan stage: zero shuffles") {
+    val p = plan(analytics.ScaleQueries.qualityClassifier(spark, sf))
+    assert(nodeCount(p, "Exchange") == 0, s"classifier inference should not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("bpe pairs shuffle word types then pair counts; top pairs without global sort") {
+    val p = plan(analytics.ScaleQueries.bpePairs(spark, sf))
+    assert(nodeCount(p, "Exchange") <= 2, s"bpe pair counting grew extra shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top pairs should avoid a global sort:\n$p")
+  }
+
+  test("delta dedup gates with a bloom probe and broadcasts the survivors") {
+    val df = analytics.ScaleQueries.deltaDedup(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom gate missing from delta plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"survivor verification should broadcast:\n$p")
+  }
+
+  test("hard negatives broadcast the query set and aggregate with the bounded heap") {
+    val p = plan(analytics.ScaleQueries.hardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), s"hard negatives should not window:\n$p")
   }
 
   test("corpus sampling filters before any shuffle (map-side mixing)") {

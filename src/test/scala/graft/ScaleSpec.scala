@@ -261,4 +261,80 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(lsh.nonEmpty)
   }
+
+  test("URL canonicalization is idempotent and collapses the variant axes") {
+    import spark.implicits._
+    val variants = Seq(
+      "https://SHOP0.Example.COM:443/checkout/cart/?utm_source=google#section2",
+      "https://shop0.example.com/checkout/cart?utm_campaign=x&utm_medium=email",
+      "https://shop0.example.com/checkout/cart/",
+      "https://shop0.example.com/checkout/cart")
+    val canon = variants.toDF("u")
+      .select(graft.functions.UrlInfo.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.toSet == Set("https://shop0.example.com/checkout/cart"), canon.toSeq)
+    // real params survive, tracking params die, in any order
+    val mixed = Seq(
+      "https://h.io/search?q=crm&utm_medium=email",
+      "https://h.io/search?utm_medium=email&q=crm",
+      "http://H.IO:80/a#f").toDF("u")
+      .select(graft.functions.UrlInfo.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(mixed(0) == "https://h.io/search?q=crm" && mixed(1) == mixed(0))
+    assert(mixed(2) == "http://h.io/a")
+    // idempotence: canonical of canonical is a fixed point
+    val twice = (variants ++ Seq("https://h.io/search?q=crm&utm_medium=email")).toDF("u")
+      .select(graft.functions.UrlInfo.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"),
+        graft.functions.UrlInfo.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("delta dedup flags exactly the planted history/batch duplicates") {
+    val rows = ScaleQueries.deltaDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // every delta doc classified exactly once
+    val n10 = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
+    val n7 = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 7).count()
+    assert(rows.size == 2 * n10 + n7)
+    rows.foreach { case (id, (dupHist, dupBatch, keep)) =>
+      if (id >= 3000000L) // fresh text: genuinely new, first of its digest
+        assert(!dupHist && !dupBatch && keep, s"$id")
+      else if (id >= 2000000L) // second re-crawl copy: dup both ways
+        assert(dupHist && dupBatch && !keep, s"$id")
+      else // first re-crawl copy: dup of history, first in batch
+        assert(dupHist && !dupBatch && !keep, s"$id")
+    }
+  }
+
+  test("quality classifier: keep tracks the logit sign, prob is calibrated") {
+    val rows = ScaleQueries.qualityClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (logit, prob, keep) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(keep == (logit >= 0.0))
+      assert(prob >= 0.0 && prob <= 1.0)
+      assert((prob >= 0.5) == (logit >= 0.0))
+    }
+  }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ScaleQueries.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      rs.foreach { r =>
+        assert(labels(r.getLong(2)) != r.getInt(1), s"negative shares label of query $q")
+        assert(r.getInt(1) == labels(q))
+      }
+      // scores arrive rank-ordered per query
+      val scores = rs.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
 }
