@@ -2225,6 +2225,52 @@ object ScaleQueries {
       |LEFT JOIN hist ON delta.digest = hist.digest
       |JOIN firsts ON delta.digest = firsts.digest""".stripMargin
 
+  /** Distributed BPE tokenizer training: learn the first `BpeMerges`
+    * merges (scale/BpeTrain — one corpus shuffle to word types, then
+    * vocab-bounded merge iterations; the output is the merge table a
+    * tokenizer ships). The oracle unrolls the SAME loop as chained CTEs:
+    * per step, a pair-count aggregate, a deterministic argmax (count
+    * desc, pair asc), and a list_reduce merge fold mirroring the Spark
+    * HOF operation-for-operation.
+    */
+  val BpeMerges = 3
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.BpeTrain.train(Tables.documents(spark, dir), BpeMerges)
+
+  val bpeTrainSql: String = {
+    val stages = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(CASE WHEN len(s) >= 2
+         |      THEN list_transform(range(1, len(s)), j -> s[j] || ' ' || s[j+1])
+         |      ELSE [] END) AS pair
+         |    FROM w${i - 1}) GROUP BY 1),
+         |m$i AS (
+         |  SELECT pair, n, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         |  FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT word, freq,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(s, x -> [x])),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.a AND x[1] = m$i.b
+         |        THEN list_append(acc[1:len(acc)-1], m$i.a || m$i.b)
+         |        ELSE list_append(acc, x[1]) END) AS s
+         |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    }
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, pair, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY 1),
+       |w0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, len(word) + 1), i -> substring(word, i, 1)) AS s
+       |  FROM wf),
+       |${stages.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   /** Contrastive hard-negative mining: per query, top-3 most-similar
     * vectors with a DIFFERENT label (scale/Similarity.hardNegatives —
     * broadcast queries, one corpus scan, bounded TopKAgg).
@@ -2246,6 +2292,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> qualityClassifier,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_train" -> bpeTrain,
     "q_url_dedup" -> urlDedup,
     "q_delta_dedup" -> deltaDedup,
     "q_hard_negatives" -> hardNegatives,
@@ -2307,6 +2354,7 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_url_dedup" -> urlDedupSql,
     "q_delta_dedup" -> deltaDedupSql,
     "q_hard_negatives" -> hardNegativesSql,

@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top pairs should avoid a global sort:\n$p")
   }
 
+  test("bpe trainer: one corpus shuffle to word types, one bounded pair aggregate") {
+    val wf = graft.scale.BpeTrain.wordTypes(Tables.documents(spark, sf))
+    val p = plan(graft.scale.BpeTrain.pairCounts(wf))
+    // corpus → word types is the ONLY corpus-wide exchange; the pair
+    // aggregate shuffles the (bounded) pair vocabulary
+    assert(nodeCount(p, "Exchange") <= 2, s"bpe iteration grew extra shuffles:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("delta dedup gates with a bloom probe and broadcasts the survivors") {
     val df = analytics.ScaleQueries.deltaDedup(spark, sf)
     val p = plan(df)

@@ -262,6 +262,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("BPE trainer learns the classic greedy merges on a constructed corpus") {
+    import spark.implicits._
+    // word types: aaab ×3, bc ×1.
+    // step 1: 'a a' n=6 (two overlapping pairs per word, freq-weighted);
+    //   greedy fold merges LEFT-FIRST: aaab → [aa, a, b]
+    // step 2: tie at 3 between 'aa a' and 'a b' → pair-asc picks 'a b'
+    //   ("a b" < "aa a"): [aa, a, b] → [aa, ab]
+    // step 3: 'aa ab' n=3
+    val docs = Seq("aaab aaab aaab bc").toDF("text")
+    val merges = graft.scale.BpeTrain.train(docs, 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(merges.toSeq == Seq((1, "a a", 6L), (2, "a b", 3L), (3, "aa ab", 3L)))
+  }
+
+  test("BPE trainer on testdata emits one row per merge step") {
+    val rows = ScaleQueries.bpeTrain(spark, sf).collect()
+    assert(rows.length == ScaleQueries.BpeMerges)
+    assert(rows.map(_.getInt(0)).toSet == (1 to ScaleQueries.BpeMerges).toSet)
+    rows.foreach(r => assert(r.getLong(2) > 0))
+  }
+
   test("URL canonicalization is idempotent and collapses the variant axes") {
     import spark.implicits._
     val variants = Seq(
