@@ -1452,6 +1452,31 @@ object ScaleQueries {
        |GROUP BY 1
        |HAVING count(*) * ${HHVerifyK + 1} > (SELECT count(*) FROM events)""".stripMargin
 
+  /** Same threshold query gated by a Count-Min sketch instead of
+    * Misra–Gries: the sketch builds in one pass (64 KB, collected like a
+    * Bloom filter), then a map-side point-estimate probe keeps only rows
+    * whose key COULD be heavy — CMS never undercounts, so no true heavy
+    * key is lost — and the exact shuffle sees candidate rows only. The
+    * verify filter removes the overcount sliver, so the output provably
+    * equals the exact HAVING query and carries the same oracle.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 2048
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select((col("event_id") % (lit(1) + col("event_id") % 8)).as("k"))
+    val skRow = ev
+      .agg(graft.scale.CountMin.sketch(col("k"), CmsDepth, CmsWidth).as("sk"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val (bytes, n) = (skRow.getAs[Array[Byte]](0), skRow.getLong(1))
+    val est = graft.scale.CountMin.estimate(bytes, col("k"))
+    ev.filter(est * (HHVerifyK + 1) > lit(n)) // est ≥ exact: no false negatives
+      .groupBy("k").agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * (HHVerifyK + 1) > lit(n)) // exact verify
+      .select(col("k").as("key"), col("n_events"))
+  }
+
   /** Rolling 7-day per-user features (trailing event count + value sum
     * per event) — the feature-engineering window shape, run through the
     * overlapping-panes scale path (SlidingAgg): no task ever sorts more
@@ -2304,6 +2329,7 @@ object ScaleQueries {
     "q_event_gaps" -> eventGaps,
     "q_heavy_hitters" -> heavyHitters,
     "q_heavy_hitters_lossy" -> heavyHittersLossy,
+    "q_heavy_hitters_cms" -> heavyHittersCms,
     "q_mixture_weights" -> mixtureWeights,
     "q_quality_quartiles" -> qualityQuartiles,
     "q_decontaminate" -> decontaminate,
@@ -2366,6 +2392,9 @@ object ScaleQueries {
     "q_event_gaps" -> eventGapsSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_heavy_hitters_lossy" -> heavyHittersLossySql,
+    // CMS-gated candidate selection is exact-verified: same output
+    // relation (and oracle) as the exact threshold query
+    "q_heavy_hitters_cms" -> heavyHittersLossySql,
     "q_mixture_weights" -> mixtureWeightsSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,
