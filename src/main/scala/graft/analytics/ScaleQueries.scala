@@ -588,6 +588,22 @@ object ScaleQueries {
        |  ${Num.rSql("quantile_cont(n_chars, 0.99)", 4)} AS p99_chars
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Sketch tier of the percentile family (same posture as
+    * q_approx_distinct's HLL next to the exact countDistinct): Spark's
+    * percentile_approx (a KLL/GK-style mergeable rank sketch) replaces
+    * the exact percentile, whose per-group state is O(distinct values) —
+    * the regime where exact quantiles stop scaling. Rows-only for the
+    * driver (sketch output); ApproxQuantilesSpec pins the rank-error
+    * contract against the exact tier.
+    */
+  val ApproxQuantileAcc = 1000
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(
+        expr(s"approx_percentile(n_chars, 0.5, $ApproxQuantileAcc)").as("p50_chars"),
+        expr(s"approx_percentile(n_chars, 0.9, $ApproxQuantileAcc)").as("p90_chars"),
+        expr(s"approx_percentile(n_chars, 0.99, $ApproxQuantileAcc)").as("p99_chars"))
+
   /** Frame sampling through the multimodal asset pipeline: video assets →
     * every-5th-frame rows (graft.multimodal.Multimodal.sampleFrames) →
     * per-asset accounting. Frame BYTES are the documented codec stub; the
@@ -1371,6 +1387,47 @@ object ScaleQueries {
        |       ${Num.rSql("CAST(src_chars AS DOUBLE) / total_chars", 6)} AS actual_share,
        |       ${Num.rSql("(CAST(total_chars AS DOUBLE) / n_sources) / src_chars", 6)} AS weight
        |FROM bys CROSS JOIN tot""".stripMargin
+
+  /** Temperature-scaled sampling weights (the multilingual/multi-domain
+    * α-sampling rule, mT5/XLM-R style): p_i ∝ share_i^α with α<1 —
+    * upsamples small sources, downsamples dominant ones. The per-source
+    * relation is bounded, so the normalization constant is one more tiny
+    * aggregate riding the same broadcast; shares are ROUNDED before the
+    * pow so both engines exponentiate identical doubles (CLAUDE.md
+    * cross-engine fp rule), and 0.3 is the same literal in both
+    * expressions.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(col("n_chars")).as("src_chars"))
+    val totals = broadcast(bySrc.agg(sum(col("src_chars")).as("total_chars")))
+    val shared = bySrc.crossJoin(totals)
+      .select(col("source"), col("src_chars"),
+        Num.r(col("src_chars").cast("double") / col("total_chars"), 6).as("share"))
+      .withColumn("pa", pow(col("share"), lit(0.3)))
+    val z = broadcast(shared.agg(sum(col("pa")).as("z")))
+    shared.crossJoin(z)
+      .select(col("source"), col("src_chars"), col("share"),
+        Num.r(col("pa") / col("z"), 6).as("p_alpha"),
+        Num.r(col("pa") / col("z") / col("share"), 6).as("boost"))
+  }
+
+  val mixtureTemperatureSql: String =
+    s"""WITH bys AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(src_chars) AS BIGINT) AS total_chars FROM bys),
+       |sh AS (
+       |  SELECT source, src_chars,
+       |         ${Num.rSql("CAST(src_chars AS DOUBLE) / total_chars", 6)} AS share
+       |  FROM bys CROSS JOIN tot),
+       |pa AS (SELECT source, src_chars, share, pow(share, 0.3) AS pa FROM sh),
+       |z AS (SELECT sum(pa) AS z FROM pa)
+       |SELECT source, src_chars, share,
+       |       ${Num.rSql("pa / z", 6)} AS p_alpha,
+       |       ${Num.rSql("pa / z / share", 6)} AS boost
+       |FROM pa CROSS JOIN z""".stripMargin
 
   /** Quality quartiles: ntile(4) of doc length within each source —
     * the curriculum-binning profile. Total order (n_chars, doc_id)
@@ -2331,7 +2388,9 @@ object ScaleQueries {
     "q_heavy_hitters_lossy" -> heavyHittersLossy,
     "q_heavy_hitters_cms" -> heavyHittersCms,
     "q_mixture_weights" -> mixtureWeights,
+    "q_mixture_temperature" -> mixtureTemperature,
     "q_quality_quartiles" -> qualityQuartiles,
+    "q_approx_quantiles" -> approxQuantiles,
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_doc_chunks" -> docChunks,
@@ -2396,6 +2455,7 @@ object ScaleQueries {
     // relation (and oracle) as the exact threshold query
     "q_heavy_hitters_cms" -> heavyHittersLossySql,
     "q_mixture_weights" -> mixtureWeightsSql,
+    "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_quality_quartiles" -> qualityQuartilesSql,
     "q_decontaminate" -> decontaminateSql,
     // sketch-gated, exact-verified: same output relation as the exact path

@@ -262,6 +262,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("approx percentiles respect the rank-error contract vs the exact tier") {
+    // percentile_approx(acc=1000) guarantees rank error <= n/acc; check
+    // each approx pXX lands between the exact neighbors p(XX±2) — far
+    // looser than the contract, tight enough to catch a broken sketch
+    val exact = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(
+        expr("percentile(n_chars, 0.48)").as("lo50"),
+        expr("percentile(n_chars, 0.52)").as("hi50"),
+        expr("percentile(n_chars, 0.88)").as("lo90"),
+        expr("percentile(n_chars, 0.92)").as("hi90"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = ScaleQueries.approxQuantiles(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      val (p50, p90) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(p50 >= e.getDouble(1) - 1 && p50 <= e.getDouble(2) + 1,
+        s"${r.getString(0)} p50=$p50 outside [${e.getDouble(1)}, ${e.getDouble(2)}]")
+      assert(p90 >= e.getDouble(3) - 1 && p90 <= e.getDouble(4) + 1,
+        s"${r.getString(0)} p90=$p90 outside [${e.getDouble(3)}, ${e.getDouble(4)}]")
+    }
+  }
+
+  test("temperature sampling upsamples small sources and preserves mass") {
+    val rows = ScaleQueries.mixtureTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // probabilities normalize
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // α<1 compresses the distribution: smallest share gets boost>1,
+    // largest gets boost<1
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._4 > 1.0, s"smallest source not upsampled: $smallest")
+    assert(largest._4 < 1.0 || largest._2 == smallest._2,
+      s"largest source not downsampled: $largest")
+  }
+
   test("BPE trainer learns the classic greedy merges on a constructed corpus") {
     import spark.implicits._
     // word types: aaab ×3, bc ×1.
