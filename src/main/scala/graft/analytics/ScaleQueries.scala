@@ -2096,11 +2096,18 @@ object ScaleQueries {
     * the pre-round double is bit-identical cross-engine; the sigmoid is
     * computed from the ROUNDED logit (CLAUDE.md fp-rank rule).
     */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassify(Tables.documents(spark, dir))
+
+  /** Classifier inference over any (doc_id, text) relation — stateless
+    * scan-stage expressions only, so the same code runs unchanged on a
+    * document STREAM (Streams.classifierStream).
+    */
+  def qualityClassify(docs: DataFrame): DataFrame = {
     val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
     val ws = transform(col("w"), t =>
       conv(substring(md5(t), 1, 8), 16, 10).cast("long") / lit(4294967296.0) - lit(0.5))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         aggregate(ws, lit(0.0), (a, x) => a + x).as("sw"))
@@ -2175,7 +2182,7 @@ object ScaleQueries {
     * strings only; at 100 TB you'd hash them first like the term
     * shuffles, but the variant accounting here is the point.
     */
-  private def rawUrlCol: Column = {
+  private[graft] def rawUrlCol: Column = {
     val k = get_json_object(col("props"), "$.k").cast("int")
     val host = concat(lit("shop"), (col("user_id") % 3).cast("string"), lit(".example.com"))
     val hostv = when(col("event_id") % 3 === 0, upper(host)).otherwise(host)

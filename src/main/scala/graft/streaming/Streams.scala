@@ -167,6 +167,29 @@ object Streams {
       .select(explode(col("hh")).as("e"))
       .select(col("e.id").as("key"), col("e.est").as("est"))
 
+  /** q_url_dedup streaming form: canonicalize map-side (the same
+    * UrlInfo.canonicalizeUrl regex chain — stateless, runs in the scan
+    * stage) and keep the FIRST event per canonical URL within the
+    * watermark horizon via dropDuplicatesWithinWatermark — state is one
+    * entry per distinct canonical URL inside the horizon, not per raw
+    * variant, and expires with the watermark. The streaming half of
+    * crawl-frontier dedup.
+    */
+  def urlDedupStream(events: DataFrame, url: Column,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("canonical_url", graft.functions.UrlInfo.canonicalizeUrl(url))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
+  /** q_quality_classifier streaming form: the classifier is pure
+    * scan-stage expressions (zero shuffles), so inference over the
+    * ingest stream is the SAME code — stateless, append-mode, no
+    * watermark needed. StreamingSpec pins stream≡batch row equality.
+    */
+  def classifierStream(docs: DataFrame): DataFrame =
+    graft.analytics.ScaleQueries.qualityClassify(docs)
+
   /** ST6: cascading session-KPI re-aggregation in update mode — the
     * consumer's per-event session recompute becomes an incrementally
     * maintained streaming aggregate.

@@ -205,6 +205,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("streaming canonical-URL dedup keeps one event per canonical form") {
+    val events = Streams.eventStream(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("props"))
+    val out = Streams.runToCompletion(
+      Streams.urlDedupStream(events, graft.analytics.ScaleQueries.rawUrlCol),
+      OutputMode.Append(), "url_dedup_stream")
+    // one survivor per canonical URL; canonical set equals the batch one
+    val batch = graft.analytics.ScaleQueries.urlDedup(spark, sf)
+    assert(out.count() == batch.count())
+    assert(out.select("canonical_url").distinct().count() == out.count())
+    val gotSet = out.select("canonical_url").collect().map(_.getString(0)).toSet
+    val expSet = batch.select("canonical_url").collect().map(_.getString(0)).toSet
+    assert(gotSet == expSet)
+  }
+
+  test("streaming classifier inference equals the batch scores row-for-row") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_cls")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("documents.parquet"))
+    val out = Streams.runToCompletion(
+      Streams.classifierStream(Streams.documentStream(spark, d.toString)),
+      OutputMode.Append(), "classifier_stream")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val exp = graft.analytics.ScaleQueries.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("misra-gries heavy hitters run as a streaming update aggregate") {
     val events = Streams.eventStream(spark, eventsDir)
     val out = Streams.runToCompletion(
