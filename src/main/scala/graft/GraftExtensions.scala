@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.scale.{DotProduct, MinHashSig, MisraGriesAgg, PolyHash, ShingleHashes, SimHash64, TopKAgg, TopKStrAgg}
+import graft.scale.{CountMinAgg, DotProduct, MinHashSig, MisraGriesAgg, PolyHash, ShingleHashes, SimHash64, TopKAgg, TopKStrAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom codegen
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text) …")`
@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "misra_gries(key, k) - bounded heavy-hitter counters (Misra-Gries sketch)"),
       (args: Seq[Expression]) =>
         MisraGriesAgg(args(0), GraftExtensions.intArg(args, 1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      info("count_min",
+        "count_min(key, depth, width) - serialized Count-Min frequency sketch"),
+      (args: Seq[Expression]) =>
+        CountMinAgg(args(0), GraftExtensions.intArg(args, 1), GraftExtensions.intArg(args, 2))))
   }
 }
 

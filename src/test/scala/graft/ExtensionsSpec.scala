@@ -29,7 +29,9 @@ class ExtensionsSpec extends AnyFunSuite {
       ("top_k_str", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.scale.TopKStrAgg(e(0), e(1), GraftExtensions.intArg(e, 2))),
       ("misra_gries", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.scale.MisraGriesAgg(e(0), GraftExtensions.intArg(e, 1)))
+        graft.scale.MisraGriesAgg(e(0), GraftExtensions.intArg(e, 1))),
+      ("count_min", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.scale.CountMinAgg(e(0), GraftExtensions.intArg(e, 1), GraftExtensions.intArg(e, 2)))
     ).foreach { case (name, builder) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
@@ -62,6 +64,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val ts1 = rows(1).getSeq[org.apache.spark.sql.Row](2)
     assert(ts1.map(e => (e.getDouble(0), e.getString(1))) == Seq((5.0, "a"), (4.0, "b")))
     assert(rows(2).getSeq[org.apache.spark.sql.Row](1).size == 1)
+  }
+
+  test("count_min sketch aggregates in SQL and probes to exact counts") {
+    val bytes = spark.sql(
+      """SELECT count_min(k, 4, 256) AS sk
+        |FROM VALUES (1L), (1L), (1L), (2L), (2L), (3L) AS v(k)""".stripMargin)
+      .head().getAs[Array[Byte]]("sk")
+    val buf = graft.scale.CMSBuffer.fromBytes(bytes)
+    // 3 keys in 256 buckets: estimates are exact here, and never under
+    assert(buf.estimate(1L) == 3L && buf.estimate(2L) == 2L && buf.estimate(3L) == 1L)
   }
 
   test("poly_hash in SQL matches the Column API") {
