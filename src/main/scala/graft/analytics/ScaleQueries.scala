@@ -2326,7 +2326,7 @@ object ScaleQueries {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.scale.BpeTrain.train(Tables.documents(spark, dir), BpeMerges)
 
-  val bpeTrainSql: String = {
+  private val bpeCtesSql: String = {
     val stages = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -2345,10 +2345,7 @@ object ScaleQueries {
          |        ELSE list_append(acc, x[1]) END) AS s
          |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
     }
-    val out = (1 to BpeMerges)
-      .map(i => s"SELECT $i AS step, pair, n FROM m$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |    FROM documents) WHERE word <> '' GROUP BY 1),
@@ -2356,9 +2353,38 @@ object ScaleQueries {
        |  SELECT word, freq,
        |    list_transform(range(1, len(word) + 1), i -> substring(word, i, 1)) AS s
        |  FROM wf),
-       |${stages.mkString(",\n")}
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, pair, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
        |$out""".stripMargin
   }
+
+  /** Tokenize with the learned merges: per-source accounting after
+    * BpeMerges merges (scale/BpeTrain.tokenizeStats — word TYPES
+    * tokenize once, the corpus word stream joins the vocab-sized count
+    * table; the fold never runs per occurrence).
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.BpeTrain.tokenizeStats(Tables.documents(spark, dir), BpeMerges)
+
+  val bpeTokenizeSql: String =
+    s"""WITH $bpeCtesSql,
+       |pt AS (SELECT word, CAST(len(s) AS BIGINT) AS n_syms FROM w$BpeMerges),
+       |wd AS (
+       |  SELECT source, word FROM (
+       |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) WHERE word <> '')
+       |SELECT source, count(*) AS n_words,
+       |       CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |       ${Num.rSql("CAST(sum(n_syms) AS DOUBLE) / count(*)", 6)} AS tokens_per_word,
+       |       ${Num.rSql("CAST(sum(len(word)) AS DOUBLE) / sum(n_syms)", 6)} AS chars_per_token
+       |FROM wd JOIN pt USING (word)
+       |GROUP BY 1""".stripMargin
 
   /** Contrastive hard-negative mining: per query, top-3 most-similar
     * vectors with a DIFFERENT label (scale/Similarity.hardNegatives —
@@ -2382,6 +2408,7 @@ object ScaleQueries {
     "q_quality_classifier" -> qualityClassifier,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_tokenize" -> bpeTokenize,
     "q_url_dedup" -> urlDedup,
     "q_delta_dedup" -> deltaDedup,
     "q_hard_negatives" -> hardNegatives,
@@ -2447,6 +2474,7 @@ object ScaleQueries {
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_url_dedup" -> urlDedupSql,
     "q_delta_dedup" -> deltaDedupSql,
     "q_hard_negatives" -> hardNegativesSql,

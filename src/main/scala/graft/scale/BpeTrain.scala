@@ -55,12 +55,13 @@ object BpeTrain {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x)))))
 
-  /** Learn `m` merges; returns the merge table (step, pair, n) — the
-    * artifact a tokenizer ships.
+  /** Train `m` merges AND return the final word-type symbolization —
+    * the inference half: tokenizing a corpus never re-runs the fold per
+    * token occurrence, it tokenizes each word TYPE once and joins the
+    * per-type token count back to the word stream (vocab-sized build
+    * side). Returns (merge table rows, final (word, freq, s) relation).
     */
-  def train(docs: DataFrame, m: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def trainWithVocab(docs: DataFrame, m: Int): (Seq[(Int, String, Long)], DataFrame) = {
     var wf = wordTypes(docs).persist()
     wf.count()
     var layers = List(wf)
@@ -74,11 +75,44 @@ object BpeTrain {
         val Array(a, b) = pair.split(" ", 2)
         wf = applyMerge(wf, a, b).persist()
         wf.count()
-        layers ::= wf
+        layers = wf :: layers
       }
     }
-    val res = merges.toSeq.toDF("step", "pair", "n")
-    layers.foreach(_.unpersist(blocking = false))
-    res
+    layers.tail.foreach(_.unpersist(blocking = false))
+    (merges.toSeq, wf)
+  }
+
+  /** Learn `m` merges; returns the merge table (step, pair, n) — the
+    * artifact a tokenizer ships.
+    */
+  def train(docs: DataFrame, m: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, wf) = trainWithVocab(docs, m)
+    wf.unpersist(blocking = false)
+    merges.toDF("step", "pair", "n")
+  }
+
+  /** Tokenize the corpus with the learned merges: per-source token
+    * accounting after `m` BPE merges. The join's build side is the
+    * word-TYPE vocabulary (word → token count), so tokenizing 100 TB is
+    * one scan of the word stream against a vocab-sized relation — the
+    * fold never runs per occurrence.
+    */
+  def tokenizeStats(docs: DataFrame, m: Int): DataFrame = {
+    val (_, wf) = trainWithVocab(docs, m)
+    val perType = wf.select(col("word"), size(col("s")).cast("long").as("n_syms"))
+    val words = docs
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val out = words.join(perType, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        graft.Num.r(col("n_tokens").cast("double") / col("n_words"), 6).as("tokens_per_word"),
+        graft.Num.r(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+    out
   }
 }

@@ -314,6 +314,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(merges.toSeq == Seq((1, "a a", 6L), (2, "a b", 3L), (3, "aa ab", 3L)))
   }
 
+  test("BPE tokenization compresses: tokens <= chars, >= words, mass conserved") {
+    import spark.implicits._
+    val rows = ScaleQueries.bpeTokenize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wordStream = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val exp = wordStream.groupBy("source")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (src, nWords, nTokens) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (expWords, expChars) = exp(src)
+      assert(nWords == expWords)             // every word tokenized
+      assert(nTokens >= nWords)              // a word is >= 1 token
+      assert(nTokens <= expChars)            // merges only shrink char-level
+      assert(nTokens < expChars, s"$src: no merge ever applied")
+    }
+  }
+
   test("BPE trainer on testdata emits one row per merge step") {
     val rows = ScaleQueries.bpeTrain(spark, sf).collect()
     assert(rows.length == ScaleQueries.BpeMerges)
