@@ -39,17 +39,35 @@ object Bench {
         .selectExpr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x) d")
         .agg(org.apache.spark.sql.functions.sum("d")).collect()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A query that throws must surface as an error, never as a (fast)
+    // timing: an analysis exception takes ~0.05 s and would otherwise
+    // masquerade as a 10x improvement in round-over-round diffs.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        name -> r
+      }
     def fmt(v: Double): String = f"$v%.3f"
-    def qjson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def qjson(rs: Seq[(String, Either[String, Double])]): String =
+      rs.map {
+        case (k, Right(v)) => "\"" + k + "\":" + fmt(v)
+        case (k, Left(e))  => "\"" + k + "\":{\"err\":" + jstr(e) + "}"
+      }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(v)) => v }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errs.size},"queries":${qjson(results)},"sf":"$sfDir"}"""
     // Round 4's driver artifact captured only a truncated stdout TAIL of
     // the (single, ~4 KB) bench line and parsed nothing. Defense in
     // depth: (1) the full per-query JSON goes to a FILE, (2) the full
@@ -60,9 +78,13 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
     println(full)
-    val slowest = results.sortBy(-_._2).take(15)
+    // Summary line keeps all errors (they must never scroll off) plus the
+    // slowest 15 successes.
+    val slowest = results.filter(_._2.isLeft) ++
+      results.collect { case ok @ (_, Right(_)) => ok }
+        .sortBy { case (_, Right(v)) => -v; case _ => 0.0 }.take(15)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qjson(slowest)},"queries_full":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errs.size},"queries":${qjson(slowest)},"queries_full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

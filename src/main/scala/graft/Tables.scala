@@ -19,19 +19,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a long (spark.sql.legacy.parquet.nanosAsLong=true, set by
-    * Verify/Bench/tests). Normalize to a microsecond TimestampType column —
-    * floor(ns/1000), the same truncation DuckDB applies — so every
-    * downstream query sees a real timestamp.
+  /** `events.ts` has shipped in three parquet encodings across testdata
+    * generations; normalize all of them to a microsecond TimestampType
+    * column so every downstream query sees the same type:
+    *
+    *  - TIMESTAMP(NANOS): Spark reads it as a long when
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
+    *    tests). Convert with integer `div` (floor(ns/1000), the same
+    *    truncation DuckDB applies) — never `/`, ns values exceed double's
+    *    2^53 mantissa.
+    *  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *    TimestampType. Session TZ is UTC everywhere in this project, so
+    *    the cast is instant-preserving.
+    *  - timestamp[us] isAdjustedToUTC=true → TimestampType: passthrough.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer `div`, not `/`: ns values exceed double's 2^53 mantissa
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -19,12 +19,13 @@ object TextAnalysis {
     when(t.isNull, 0).otherwise(length(t))
 
   /** F26 word_count — len(text.split()): whitespace runs, no empties.
-    * Python .split() discards leading/trailing whitespace of ANY kind,
-    * so strip with Normalize.wsTrim, not Spark trim() (space-only).
+    * Counted as maximal non-`\s` runs in one codegen'd scan
+    * (WsTokenCount) — identical to the old wsTrim+split+size chain
+    * (wsTrim is itself `\s`-based, so edge whitespace never forms a run)
+    * without materializing the word array or the trimmed copy.
     */
   def wordCount(t: Column): Column =
-    when(t.isNull || length(Normalize.wsTrim(t)) === 0, 0)
-      .otherwise(size(split(Normalize.wsTrim(t), "\\s+")))
+    when(t.isNull, 0).otherwise(WsTokenCount.wsTokenCount(t))
 
   /** F26 sentence_count — occurrences of '.', '!', '?'. */
   def sentenceCount(t: Column): Column =
@@ -55,7 +56,13 @@ object TextAnalysis {
     * (text_agent_transformer.py:200-224).
     */
   def language(t: Column): Column = {
-    val words = slice(split(lower(Normalize.wsTrim(t)), "\\s+"), 1, 50)
+    // split with limit 51: at most 50 real tokens + the unsplit remainder
+    // (dropped by the slice) — a multi-KB doc otherwise materializes its
+    // entire word array, and lowers its full text, to inspect 50 tokens.
+    // After wsTrim there are no leading/trailing empties, so the first 50
+    // elements are identical to the unlimited split's.
+    val words = transform(
+      slice(split(Normalize.wsTrim(t), "\\s+", 51), 1, 50), w => lower(w))
     val en = tokenMatches(words, EnglishWords)
     val es = tokenMatches(words, SpanishWords)
     val fr = tokenMatches(words, FrenchWords)
@@ -147,7 +154,10 @@ object TextAnalysis {
     * the standard pre-tokenizer shape for LLM-data pipelines.
     */
   val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** Match count of BpeTokenRe — single codegen'd scan (BpeCount); the
+    * regexp_extract_all formulation materialized every token into an
+    * array per document just to take size().
+    */
   def bpeTokenCount(t: Column): Column =
-    when(t.isNull, 0)
-      .otherwise(size(regexp_extract_all(t, lit(BpeTokenRe), lit(0))))
+    when(t.isNull, 0).otherwise(BpeCount.bpeCount(t))
 }

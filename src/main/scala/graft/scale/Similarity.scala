@@ -172,15 +172,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Per-label centroids as arrays (coarse codebook). */
+  /** Per-label centroids as arrays (coarse codebook). One hash aggregate
+    * with the bounded vector-sum aggregate (VecSumAgg, same as the k-means
+    * update step): each task holds one dim-double buffer per label and
+    * ships one row per label — no dim× posexplode row expansion between
+    * scan and aggregate. sums/n is the identical arithmetic to the
+    * per-dimension avg it replaces.
+    */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("cx"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+      .agg(VecSum.vecSum(col("embedding")).as("vs"))
+      .select(col("label"),
+        transform(col("vs.sums"), s => s / col("vs.n").cast("double")).as("centroid"))
 
   /** Per-label centroid distance — centroid assignment quality view. */
   def labelCentroidSimilarity(embeddings: DataFrame): DataFrame =

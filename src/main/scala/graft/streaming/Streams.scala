@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw file schema: ts is parquet TIMESTAMP(NANOS), readable only as a
-    * long (see Tables.events) — converted to a µs timestamp below.
+  /** Raw file schema with the legacy ts encoding (parquet
+    * TIMESTAMP(NANOS), readable only as a long — see Tables.events).
+    * Kept for callers that stage legacy files explicitly; `eventStream`
+    * infers the actual encoding from the directory.
     */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,10 +31,26 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** ST1: micro-batched file source with the events schema. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** ST1: micro-batched file source with the events schema.
+    *
+    * File streams need an explicit schema, and `events.ts` has shipped in
+    * three parquet encodings (see Tables.events) — worse, both long-nanos
+    * and timestamp[us] are physically INT64, so a hardcoded LongType
+    * schema silently reads µs values and a `div 1000` then compresses
+    * time 1000×. Infer the footer schema with one batch read and
+    * normalize to TimestampType exactly like the batch loader.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        s.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        s.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => s
+    }
+  }
 
   /** ST2/ST4: watermarked tumbling 1-minute billing aggregation (A8
     * streaming form). Late events beyond 10 minutes are dropped exactly
