@@ -154,6 +154,35 @@ object Metrics {
   def detach(spark: SparkSession, r: Recorder): Unit =
     spark.listenerManager.unregister(r)
 
+  /** q_run_metrics — the deterministic subset of the metrics table: run
+    * two fixed collects under a fresh recorder and report the
+    * listener-attributed output cardinality per query. Durations/bytes
+    * are host-dependent, but rowsOut comes from the executed plan's
+    * numOutputRows and must equal the true table cardinality — which is
+    * exactly what the DuckDB oracle checks (count(*) per table). This is
+    * the scrape endpoint made oracle-checkable.
+    */
+  def runMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = attach(spark)
+    val entries = try {
+      Tables.region(spark, dir).collect()
+      Tables.nation(spark, dir).collect()
+      // listener-bus delivery is async; poll until both land (bounded)
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (r.snapshot().size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      r.snapshot()
+    } finally detach(spark, r)
+    entries.take(2).zipWithIndex
+      .map { case (m, i) => (i, m.rowsOut, m.succeeded) }
+      .toDF("seq", "rows_out", "succeeded")
+  }
+
+  val runMetricsSql: String =
+    """SELECT 0 AS seq, CAST((SELECT count(*) FROM region) AS BIGINT) AS rows_out, true AS succeeded
+      |UNION ALL
+      |SELECT 1, CAST((SELECT count(*) FROM nation) AS BIGINT), true""".stripMargin
+
   /** The reference's batch error-rate alert (`config.yaml:230`) applied
     * to the validation-split accounting (P3, `stages/Pipeline.scala`):
     * true when the dead-letter fraction trips the 5% circuit breaker —

@@ -2276,14 +2276,28 @@ object ScaleQueries {
         .withColumn("text", concat(lit("fresh "), col("text"))))
   }
 
+  /** The persisted dedup index a production pipeline keeps between
+    * increments: the Bloom filter over history digests AND the history
+    * cardinality that sized it. Building it is the once-per-index cost
+    * (one treeAggregate scan + one metadata-cheap count); every daily
+    * delta then reuses the artifact, paying zero history scans before
+    * the exact-verify join.
+    */
+  case class DedupIndex(bloom: org.apache.spark.util.sketch.BloomFilter, nDigests: Long)
+
+  def buildDedupIndex(hist: DataFrame): DedupIndex = {
+    val histH = hist.select(xxhash64(col("digest")).as("h"))
+    val n = histH.count()
+    DedupIndex(graft.scale.Bloom.build(histH, "h", n, DeltaDedupFpp), n)
+  }
+
   def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.documents(spark, dir).select(md5(col("text")).as("digest"))
     val delta = deltaBatch(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("digest"))
-    val histH = hist.select(xxhash64(col("digest")).as("h"))
-    val bf = graft.scale.Bloom.build(histH, "h", histH.count(), DeltaDedupFpp)
+    val index = buildDedupIndex(hist)
     val gated = delta
-      .filter(graft.scale.Bloom.mightContain(bf, xxhash64(col("digest"))))
+      .filter(graft.scale.Bloom.mightContain(index.bloom, xxhash64(col("digest"))))
       .select(col("digest")).distinct()
     // exact verify: one history scan, gated survivors ride as broadcast
     val confirmed = hist.join(broadcast(gated), Seq("digest"), "left_semi")
@@ -2468,9 +2482,11 @@ object ScaleQueries {
     "q_embed_neardup" -> embedNearDup,
     "q_label_centroids" -> labelCentroids,
     "q_ivf_topk" -> ivfTopK,
-    "q_token_counts" -> tokenCounts)
+    "q_token_counts" -> tokenCounts,
+    "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "q_run_metrics" -> graft.Metrics.runMetricsSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,

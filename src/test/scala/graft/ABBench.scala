@@ -187,6 +187,47 @@ object ABBench {
       min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** Round-≤5 map-stage text features: bpeTokenCount as
+    * size(regexp_extract_all(...)) (materializes every token) and
+    * language over the full lowered word array — the shapes the round-6
+    * codegen'd scan counters (BpeCount/WsTokenCount, split-limit
+    * language) replaced. Same downstream curation plan as
+    * corpusCuration.
+    */
+  private def curationRegexFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Normalize, TextAnalysis}
+    val t = col("text")
+    val words = slice(split(lower(Normalize.wsTrim(t)), "\\s+"), 1, 50)
+    def tokenMatches(list: Seq[String]) =
+      size(filter(words, w => w.isInCollection(list)))
+    val en = tokenMatches(TextAnalysis.EnglishWords)
+    val es = tokenMatches(TextAnalysis.SpanishWords)
+    val fr = tokenMatches(TextAnalysis.FrenchWords)
+    val lang = when(t.isNull || t === "", "unknown")
+      .otherwise(when(en >= es && en >= fr, "english")
+        .when(es > fr, "spanish").when(fr > 0, "french").otherwise("unknown"))
+    val nTokens = when(t.isNull, 0)
+      .otherwise(size(regexp_extract_all(t, lit(TextAnalysis.BpeTokenRe), lit(0))))
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      lang.as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      nTokens.as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored.filter(col("language") === "english" && col("quality") >= 60.0)
+    val canonical = kept
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+        col("c.n_tokens").as("n_tokens"), col("c.quality").as("quality"))
+    canonical.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      Num.savg(sum(col("quality")), count(lit(1)), 0, 4).as("avg_quality"),
+      min(col("doc_id")).as("min_doc_id"))
+  }
+
   private def kmeansStepPosexplode(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
     graft.scale.KMeans.assign(emb, cs)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -250,6 +291,24 @@ object ABBench {
       time(s"q1_pricing_$i") { analytics.Relational.pricingSummary(spark, sfDir).count() }
       time(s"q3_shipping_$i") { analytics.Relational.shippingPriority(spark, sfDir).count() }
       time(s"decontaminate_$i") { analytics.ScaleQueries.decontaminate(spark, sfDir).count() }
+      // r5 bench-anomaly adjudication set (VERDICT r5 "pending A/B"):
+      // unchanged plans timed repeatedly in one JVM to separate host
+      // noise from plan causes
+      time(s"canlsh_$i") { analytics.ScaleQueries.canonicalDocsLsh(spark, sfDir).count() }
+      time(s"revnation_$i") { analytics.Relational.revenueByNation(spark, sfDir).count() }
+      time(s"rollup_$i") { analytics.Relational.rollupRevenue(spark, sfDir).count() }
+      time(s"combined_$i") { analytics.TransformQueries.combinedScore(spark, sfDir).count() }
+      time(s"curation_regexfeat_$i") { curationRegexFeatures(spark, sfDir).count() }
+      time(s"labelcent_posexplode_$i") {
+        emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("x").cast("double")).as("cx"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+          .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+          .count()
+      }
+      time(s"labelcent_vecsum_$i") { graft.scale.Similarity.labelCentroids(emb).count() }
     }
     spark.stop()
   }
