@@ -2140,6 +2140,87 @@ object ScaleQueries {
        |       logit >= 0.0 AS keep
        |FROM l""".stripMargin
 
+  /** Distributed classifier TRAINING — the other half of the
+    * quality-classifier story (q_quality_classifier is inference over
+    * fixed hashed weights; this LEARNS weights): full-batch logistic
+    * regression by gradient descent in the k-means driver-held-model
+    * shape. Per step: ONE aggregate over the corpus computes the
+    * 3-component mean gradient (features are scan-stage expressions, no
+    * shuffle beyond the final partial-agg merge), the driver applies the
+    * update, and the next step inlines the new weights as plan literals.
+    * At 100 TB each step is exactly one corpus scan; model state is 3
+    * doubles.
+    *
+    * Cross-engine determinism: gradient sums are grid-snapped (Num.savg
+    * at 1e-6 — fp error of a partial-aggregation reorder is ~1e-9 here,
+    * far under half a grid step) and weights re-snap to 1e-9 after each
+    * update, so Spark and the unrolled-CTE DuckDB oracle hold
+    * bit-identical weights at every step. Deterministic pseudo-labels
+    * (doc_id % 3 = 0) keep the oracle self-contained.
+    */
+  val LrSteps = 3
+  private def rD(x: Double, s: Int): Double = {
+    val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+  }
+
+  def lrTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ~unit-scaled features so lr=0.5 steps stay stable: log-length / 10
+    // and vowel ratio in [0,1]
+    val f = Tables.documents(spark, dir).select(
+      (log(lit(1.0) + col("n_chars")) / lit(10.0)).as("x1"),
+      ((length(col("text")) - length(translate(col("text"), "aeiou", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")).as("x2"),
+      when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0).as("y"))
+    var w = (0.0, 0.0, 0.0)
+    val rows = (1 to LrSteps).map { step =>
+      val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = f.agg(
+        Num.savg(sum(p - col("y")), count(lit(1)), 6, 9).as("gb"),
+        Num.savg(sum((p - col("y")) * col("x1")), count(lit(1)), 6, 9).as("gc"),
+        Num.savg(sum((p - col("y")) * col("x2")), count(lit(1)), 6, 9).as("gs"))
+        .head()
+      w = (rD(w._1 - 0.5 * g.getDouble(0), 9),
+        rD(w._2 - 0.5 * g.getDouble(1), 9),
+        rD(w._3 - 0.5 * g.getDouble(2), 9))
+      (step, rD(w._1, 6), rD(w._2, 6), rD(w._3, 6))
+    }
+    rows.toDF("step", "w_bias", "w_chars", "w_vowel")
+  }
+
+  val lrTrainSql: String = {
+    val feat = """SELECT ln(1.0 + n_chars) / 10.0 AS x1,
+                 |         CAST(length(text) - length(translate(text, 'aeiou', '')) AS DOUBLE) /
+                 |           CAST(greatest(length(text), 1) AS DOUBLE) AS x2,
+                 |         CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+                 |  FROM documents""".stripMargin
+    def gradCte(i: Int): String = {
+      val p = s"1.0/(1.0 + exp(-(w.b + w.c * x1 + w.s * x2)))"
+      s"""g$i AS (
+         |  SELECT ${Num.savgSql(s"sum(p - y)", "count(*)", 6, 9)} AS gb,
+         |         ${Num.savgSql(s"sum((p - y) * x1)", "count(*)", 6, 9)} AS gc,
+         |         ${Num.savgSql(s"sum((p - y) * x2)", "count(*)", 6, 9)} AS gs
+         |  FROM (SELECT f.y, f.x1, f.x2, $p AS p FROM f CROSS JOIN w${i - 1} w))""".stripMargin
+    }
+    def stepCte(i: Int): String =
+      s"""w$i AS (
+         |  SELECT ${Num.rSql("w.b - 0.5 * g.gb", 9)} AS b,
+         |         ${Num.rSql("w.c - 0.5 * g.gc", 9)} AS c,
+         |         ${Num.rSql("w.s - 0.5 * g.gs", 9)} AS s
+         |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    val ctes = (1 to LrSteps).map(i => gradCte(i) + ",\n" + stepCte(i)).mkString(",\n")
+    val selects = (1 to LrSteps).map(i =>
+      s"""SELECT $i AS step, ${Num.rSql("b", 6)} AS w_bias,
+         |       ${Num.rSql("c", 6)} AS w_chars, ${Num.rSql("s", 6)} AS w_vowel FROM w$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  $feat),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS c, 0.0 AS s),
+       |$ctes
+       |$selects""".stripMargin
+  }
+
   /** BPE pair counting — the hot inner loop of byte-pair-encoding
     * tokenizer training, in its scalable form: aggregate the corpus to
     * WORD TYPES first (the shuffle is bounded by vocabulary, not token
@@ -2483,10 +2564,12 @@ object ScaleQueries {
     "q_label_centroids" -> labelCentroids,
     "q_ivf_topk" -> ivfTopK,
     "q_token_counts" -> tokenCounts,
-    "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)))
+    "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)),
+    "q_lr_train" -> lrTrain)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
+    "q_lr_train" -> lrTrainSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,

@@ -13,12 +13,25 @@ import graft.streaming.Connectors
 class ConnectorsSpec extends AnyFunSuite {
   lazy val spark = Spark.session
 
+  /** eventStream reads a directory of events files (it infers the ts
+    * encoding from the footer schema) — stage the single parquet file
+    * like the streaming suite does, rather than pointing it at the
+    * mixed-table sf root.
+    */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_conn_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
   test("kafka reader/writer builders configure without starting") {
     val reader = Connectors.kafkaReader(spark, "broker:9092",
       Seq("marketo.leads.delta", "frontend.user.interaction", "text.agent.turn.completed"))
     assert(reader != null)
     val writer = Connectors.kafkaWriter(
-      graft.streaming.Streams.eventStream(spark, "/root/testdata/sf0.001"),
+      graft.streaming.Streams.eventStream(spark, eventsDir),
       "broker:9092", "frontend.user.interaction", col("user_id"), "/tmp/ck")
     assert(writer != null)
   }
@@ -54,7 +67,7 @@ class ConnectorsSpec extends AnyFunSuite {
 
   test("jdbc upsert sink builds a foreachBatch writer without starting") {
     val w = Connectors.jdbcUpsertSink(
-      graft.streaming.Streams.eventStream(spark, "/root/testdata/sf0.001"),
+      graft.streaming.Streams.eventStream(spark, eventsDir),
       "jdbc:postgresql://db:5432/etl", "agent_turns", Seq("session_id", "turn_id"))
     assert(w != null)
   }
