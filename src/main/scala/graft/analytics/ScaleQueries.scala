@@ -962,6 +962,81 @@ object ScaleQueries {
        |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE ${Num.rSql(cosSql("a.v", "b.v"), 6)} >= $SemDedupTau""".stripMargin
 
+  /** kNN-GRAPH construction: top-k neighbors for EVERY vector, with
+    * candidates restricted to the vector's k-means cell — the IVF
+    * approximation that makes all-vectors graph building tractable
+    * (SemDeDup/DiverseSampling-style pipelines build exactly this
+    * artifact). The quadratic term drops from n² to n²/K (K cells,
+    * ~n/K per cell); at 100 TB you raise K so cells stay bounded, and
+    * the per-cell compare is a streaming equi-join on cluster — no
+    * per-cluster array in one task — followed by the bounded TopKAgg
+    * (O(n·k) state, no per-vector sort). Scores are rounded BEFORE
+    * ranking with an id tiebreak so rank order can't flip on an ulp.
+    */
+  val KnnGraphK = 3
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val asg = graft.scale.KMeans.assign(emb, trained)
+    val a = asg.select(col("cluster"), col("vec_id"), col("embedding"))
+    val b = asg.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_emb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("cluster"), col("vec_id"), col("nbr_id"),
+        Num.r(Similarity.cosine(col("embedding"), col("nbr_emb")), 6).as("cos_sim"))
+      .groupBy(col("cluster"), col("vec_id"))
+      .agg(graft.scale.TopK.topK(col("cos_sim"), col("nbr_id"), KnnGraphK).as("top"))
+      .select(col("cluster"), col("vec_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("cluster"), col("vec_id"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("nbr_id"), col("e.score").as("cos_sim"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $kmeansCtesSql,
+       |asg AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.cid AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |p AS (
+       |  SELECT a.cluster, a.vec_id, b.vec_id AS nbr_id,
+       |         ${Num.rSql(cosSql("a.v", "b.v"), 6)} AS cos_sim
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+       |SELECT cluster, vec_id, rank, nbr_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, nbr_id ASC) AS rank FROM p)
+       |WHERE rank <= $KnnGraphK""".stripMargin
+
+  /** Deterministic 3-way train/val/test split (80/10/10) from the md5 of
+    * the TEXT (same stable-bucket construction as q_corpus_sample: exact
+    * duplicates land in the same split, re-runs are reproducible across
+    * engines and cluster sizes). Pure map-side assignment, one
+    * accounting aggregate.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("source"), split.as("split"), col("n_chars"), col("doc_id"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val splitAssignSql: String =
+    """SELECT source,
+      |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       min(doc_id) AS min_doc_id
+      |FROM (SELECT source, n_chars, doc_id,
+      |             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Skew-safe per-user event stats via salted two-stage aggregation.
     * `events.user_id` has only ~15 distinct values at every SF — a plain
     * groupBy funnels all 100 TB through ≤15 final tasks for the distinct
@@ -2565,11 +2640,15 @@ object ScaleQueries {
     "q_ivf_topk" -> ivfTopK,
     "q_token_counts" -> tokenCounts,
     "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)),
-    "q_lr_train" -> lrTrain)
+    "q_lr_train" -> lrTrain,
+    "q_knn_graph" -> knnGraph,
+    "q_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
     "q_lr_train" -> lrTrainSql,
+    "q_knn_graph" -> knnGraphSql,
+    "q_split_assign" -> splitAssignSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
