@@ -241,6 +241,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("knn graph: cell-restricted equi-join + bounded top-k, no window, no cartesian") {
+    val p = plan(analytics.ScaleQueries.knnGraph(spark, sf))
+    // the per-cell compare must be a streaming equi-join on cluster, not
+    // an all-pairs product, and ranking must be the bounded aggregate,
+    // not a per-vector window sort
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"knn graph regressed to a window rank:\n$p")
+    assert(p.contains("topk"), s"expected the bounded TopKAgg:\n$p")
+  }
+
+  test("split assignment is map-side: one accounting shuffle only") {
+    val p = plan(analytics.ScaleQueries.splitAssign(spark, sf))
+    assert(nodeCount(p, "Exchange") <= 1, s"split assignment grew shuffles:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("lr training step: gradient is one scan-stage aggregate, no joins") {
+    // the per-step plan the trainer builds: features + sigmoid are
+    // scan-stage expressions feeding a single partial/final aggregate
+    val t = col("text")
+    val f = Tables.documents(spark, sf).select(
+      (log(lit(1.0) + col("n_chars")) / lit(10.0)).as("x1"),
+      when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0).as("y"))
+    val g = f.agg(Num.savg(sum(col("x1") - col("y")), count(lit(1)), 6, 9).as("gb"))
+    val p = plan(g)
+    assert(!p.contains("Join"), p)
+    assert(nodeCount(p, "Exchange") <= 1, s"gradient aggregate grew shuffles:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
