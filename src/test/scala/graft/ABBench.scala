@@ -309,6 +309,10 @@ object ABBench {
           .count()
       }
       time(s"labelcent_vecsum_$i") { graft.scale.Similarity.labelCentroids(emb).count() }
+      time(s"dupclust_exact_$i") { analytics.ScaleQueries.dupClusters(spark, sfDir).count() }
+      time(s"dupclust_lsh_$i") { analytics.ScaleQueries.dupClustersLsh(spark, sfDir).count() }
+      time(s"knngraph_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
+      time(s"lrtrain_$i") { analytics.ScaleQueries.lrTrain(spark, sfDir).count() }
     }
     spark.stop()
   }
