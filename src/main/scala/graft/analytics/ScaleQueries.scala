@@ -974,17 +974,37 @@ object ScaleQueries {
     * ranking with an id tiebreak so rank order can't flip on an ulp.
     */
   val KnnGraphK = 3
+  val KnnGraphSalt = 16
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
     val asg = graft.scale.KMeans.assign(emb, trained)
-    val a = asg.select(col("cluster"), col("vec_id"), col("embedding"))
+    // the cell id alone has only KmeansK distinct values, so a plain
+    // shuffle equi-join runs the whole n²/K pair volume through K tasks
+    // (observed at sf1: 8 tasks carried 50M pairs, 26-82 s). BROADCAST
+    // the candidate side instead: the vector table rides as a hash
+    // relation (vectors are tiny next to the corpus they embed), the
+    // pair stream never shuffles or materializes, and parallelism comes
+    // from the probe side's partitions. Beyond broadcast size, salt the
+    // probe side into hash slices and replicate candidates per slice
+    // (K×S-way shuffle join — the arm kept in ABBench); beyond THAT,
+    // all-vectors graphs use the IVF-PQ tier.
+    // norms precompute once per SIDE (not per pair) — bit-identical to
+    // recomputing inside cosine (same expression over the same array),
+    // so the oracle may still recompute; cuts the pair stage from three
+    // dot products to one
+    val a = asg.select(col("cluster"), col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
     val b = asg.select(col("cluster"), col("vec_id").as("nbr_id"),
-      col("embedding").as("nbr_emb"))
-    a.join(b, Seq("cluster"))
+      col("embedding").as("nbr_emb"),
+      Similarity.norm(col("embedding")).as("nbr_nrm"))
+    val den = col("nrm") * col("nbr_nrm")
+    a.join(broadcast(b), Seq("cluster"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("cluster"), col("vec_id"), col("nbr_id"),
-        Num.r(Similarity.cosine(col("embedding"), col("nbr_emb")), 6).as("cos_sim"))
+        Num.r(when(den > 0,
+          Similarity.dot(col("embedding"), col("nbr_emb")) / den)
+          .otherwise(0.0), 6).as("cos_sim"))
       .groupBy(col("cluster"), col("vec_id"))
       .agg(graft.scale.TopK.topK(col("cos_sim"), col("nbr_id"), KnnGraphK).as("top"))
       .select(col("cluster"), col("vec_id"), posexplode(col("top")).as(Seq("rank0", "e")))

@@ -228,6 +228,38 @@ object ABBench {
       min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** knnGraph's shuffle-join form: probe side salted into hash slices,
+    * candidate side replicated per slice (K×S-way parallelism). The
+    * production fallback when the vector table outgrows a broadcast;
+    * the registered query broadcasts.
+    */
+  private def knnGraphSalted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.ScaleQueries.{KmeansK, KnnGraphK, KnnGraphSalt}
+    import graft.scale.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val asg = graft.scale.KMeans.assign(emb, trained)
+    val a = asg.select(col("cluster"), col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"),
+      pmod(xxhash64(col("vec_id")), lit(KnnGraphSalt.toLong)).as("slice"))
+    val b = asg.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_emb"),
+      Similarity.norm(col("embedding")).as("nbr_nrm"))
+      .withColumn("slice", explode(lit((0L until KnnGraphSalt.toLong).toArray)))
+    val den = col("nrm") * col("nbr_nrm")
+    a.join(b, Seq("cluster", "slice"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("cluster"), col("vec_id"), col("nbr_id"),
+        Num.r(when(den > 0,
+          Similarity.dot(col("embedding"), col("nbr_emb")) / den)
+          .otherwise(0.0), 6).as("cos_sim"))
+      .groupBy(col("cluster"), col("vec_id"))
+      .agg(graft.scale.TopK.topK(col("cos_sim"), col("nbr_id"), KnnGraphK).as("top"))
+      .select(col("cluster"), col("vec_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("cluster"), col("vec_id"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("nbr_id"), col("e.score").as("cos_sim"))
+  }
+
   private def kmeansStepPosexplode(emb: DataFrame, cs: graft.scale.KMeans.Centroids): Long =
     graft.scale.KMeans.assign(emb, cs)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -312,6 +344,7 @@ object ABBench {
       time(s"dupclust_exact_$i") { analytics.ScaleQueries.dupClusters(spark, sfDir).count() }
       time(s"dupclust_lsh_$i") { analytics.ScaleQueries.dupClustersLsh(spark, sfDir).count() }
       time(s"knngraph_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
+      time(s"knngraph_salted_$i") { knnGraphSalted(spark, sfDir).count() }
       time(s"lrtrain_$i") { analytics.ScaleQueries.lrTrain(spark, sfDir).count() }
     }
     spark.stop()
