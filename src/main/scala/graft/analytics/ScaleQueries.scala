@@ -1029,6 +1029,68 @@ object ScaleQueries {
        |    ORDER BY cos_sim DESC, nbr_id ASC) AS rank FROM p)
        |WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** Incremental ANN maintenance — the q_delta_dedup operating mode
+    * applied to the vector tier: a DELTA of new vectors is searched
+    * against the persisted corpus without reshuffling it. The trained
+    * coarse codebook (driver-held, same k-means tier) assigns both sides
+    * as a pure projection; the delta rides as a BROADCAST against one
+    * scan of the history's assigned vectors, restricted to matching
+    * cells; top-k per delta vector through the bounded TopKAgg. At
+    * 100 TB the history is only ever scanned (filter-pruned to probed
+    * cells via the persisted IVF-PQ codes table in the production
+    * layout), never shuffled, and each increment's cost is proportional
+    * to the increment. Delta = every 10th vector re-embedded under a new
+    * id (deterministic, oracle-expressible).
+    */
+  def knnDelta(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val hist = graft.scale.KMeans.assign(emb, trained)
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val deltaRaw = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val delta = graft.scale.KMeans.assign(deltaRaw, trained)
+      .select(col("cluster"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val den = col("nrm") * col("q_nrm")
+    hist.join(broadcast(delta), Seq("cluster"))
+      .select(col("cluster"), col("q_id"), col("vec_id"),
+        Num.r(when(den > 0,
+          Similarity.dot(col("embedding"), col("q_emb")) / den)
+          .otherwise(0.0), 6).as("cos_sim"))
+      .groupBy(col("cluster"), col("q_id"))
+      .agg(graft.scale.TopK.topK(col("cos_sim"), col("vec_id"), KnnGraphK).as("top"))
+      .select(col("cluster"), col("q_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("cluster"), col("q_id"), (col("rank0") + 1).as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cos_sim"))
+  }
+
+  val knnDeltaSql: String =
+    s"""WITH $kmeansCtesSql,
+       |asg AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.cid AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |delta AS (SELECT vec_id + 1000000 AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+       |dasg AS (
+       |  SELECT q_id, qv, cluster FROM (
+       |    SELECT delta.q_id, delta.qv, cent.cid AS cluster,
+       |           row_number() OVER (PARTITION BY delta.q_id
+       |             ORDER BY ${d2Sql("delta.qv", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM delta CROSS JOIN cent) WHERE rn = 1),
+       |p AS (
+       |  SELECT asg.cluster, dasg.q_id, asg.vec_id,
+       |         ${Num.rSql(cosSql("asg.v", "dasg.qv"), 6)} AS cos_sim
+       |  FROM asg JOIN dasg ON asg.cluster = dasg.cluster)
+       |SELECT cluster, q_id, rank, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
+       |WHERE rank <= $KnnGraphK""".stripMargin
+
   /** Deterministic 3-way train/val/test split (80/10/10) from the md5 of
     * the TEXT (same stable-bucket construction as q_corpus_sample: exact
     * duplicates land in the same split, re-runs are reproducible across
@@ -2662,12 +2724,14 @@ object ScaleQueries {
     "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)),
     "q_lr_train" -> lrTrain,
     "q_knn_graph" -> knnGraph,
+    "q_knn_delta" -> knnDelta,
     "q_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
     "q_lr_train" -> lrTrainSql,
     "q_knn_graph" -> knnGraphSql,
+    "q_knn_delta" -> knnDeltaSql,
     "q_split_assign" -> splitAssignSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
