@@ -1834,6 +1834,58 @@ object ScaleQueries {
        |FROM tk JOIN lp USING (term)
        |GROUP BY doc_id""".stripMargin
 
+  /** Bigram CONDITIONAL log-prob fluency — the unigram filter's sharper
+    * sibling: avg over a doc's bigrams of ln(c(wᵢ₋₁ wᵢ) / c_prefix(wᵢ₋₁)),
+    * with c_prefix counting the word as a bigram prefix corpus-wide, so
+    * the ratio is a true conditional probability (Σ over continuations
+    * = 1, every log ≤ 0). Same scale shape as the unigram tier: the
+    * model table is vocab²-bounded (observed bigrams only), the prefix
+    * marginal derives from it with one more vocab-sized aggregate, and
+    * no bigram STRING ever reaches a shuffle — instances travel as
+    * xxhash64 longs. Bigrams build from zip_with over slices (never
+    * element_at inside a HOF — the CollapseProject O(n²) trap).
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val wcol = filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+    val pairs = when(size(col("w")) >= 2,
+      zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("p"), concat(a, lit(" "), b).as("g"))))
+      .otherwise(array().cast("array<struct<p:string,g:string>>"))
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), wcol.as("w"))
+      .select(col("doc_id"), explode(pairs).as("s"))
+      .select(col("doc_id"), xxhash64(col("s.p")).as("ph"), xxhash64(col("s.g")).as("gh"))
+    val cbi = inst.groupBy("ph", "gh").agg(count(lit(1)).as("c"))
+    val cpre = cbi.groupBy("ph").agg(sum(col("c")).as("cp"))
+    val lp = cbi.join(cpre, "ph")
+      .select(col("gh"), log(col("c").cast("double") / col("cp")).as("lp"))
+    inst.join(lp, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+  }
+
+  val bigramLogprobSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |inst AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END) AS p,
+       |         unnest(CASE WHEN len(w) >= 2
+       |           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |           ELSE [] END) AS g
+       |  FROM toks),
+       |cbi AS (SELECT p, g, count(*) AS c FROM inst GROUP BY 1, 2),
+       |cpre AS (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM cbi GROUP BY 1),
+       |lp AS (SELECT g, ln(CAST(c AS DOUBLE) / cp) AS lp FROM cbi JOIN cpre USING (p))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       ${Num.rSql("sum(lp) / count(*)", 4)} AS avg_logprob
+       |FROM inst JOIN lp USING (g)
+       |GROUP BY doc_id""".stripMargin
+
   /** Cross-document duplicated-span filter (the C4-style inter-document
     * boilerplate rule, complementing the intra-doc repetition filter):
     * the fraction of a doc's DISTINCT word-3-gram spans that also occur
@@ -2725,7 +2777,8 @@ object ScaleQueries {
     "q_lr_train" -> lrTrain,
     "q_knn_graph" -> knnGraph,
     "q_knn_delta" -> knnDelta,
-    "q_split_assign" -> splitAssign)
+    "q_split_assign" -> splitAssign,
+    "q_bigram_logprob" -> bigramLogprob)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
@@ -2733,6 +2786,7 @@ object ScaleQueries {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_delta" -> knnDeltaSql,
     "q_split_assign" -> splitAssignSql,
+    "q_bigram_logprob" -> bigramLogprobSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
