@@ -1326,6 +1326,49 @@ object ScaleQueries {
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** Hybrid retrieval: the lexical (BM25) and vector (cosine) top-10
+    * lists fused by reciprocal-rank fusion, rrf = Σ 1/(60 + rank) — the
+    * standard way a retrieval engine combines incomparable scores
+    * without calibration. Both input rankings are round-before-rank
+    * deterministic with id tiebreaks, and the fusion itself uses integer
+    * ranks only, so there is no fp-parity surface beyond one rounded
+    * sum. At scale each retriever keeps its own plan (hashed posting
+    * shuffle / broadcast query vector + one corpus scan); the fusion
+    * joins two k-row relations — driver-trivial. The row_number windows
+    * run over the already-LIMITed 10-row inputs, not the corpus.
+    */
+  val RrfK = 60
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bm25Search(spark, dir)
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_bm25"))
+    val c = cosineTopK(spark, dir)
+      .withColumn("r_cos", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("r_cos"))
+    b.join(c, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("r_bm25"), col("r_cos"),
+        Num.r(coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_cos")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS r_bm25
+       |  FROM ($bm25SearchSql)),
+       |c AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS r_cos
+       |  FROM ($cosineTopKSql))
+       |SELECT coalesce(b.doc_id, c.vec_id) AS doc_id, r_bm25, r_cos,
+       |       ${Num.rSql(s"coalesce(1.0 / ($RrfK + r_bm25), 0.0) + coalesce(1.0 / ($RrfK + r_cos), 0.0)", 6)} AS rrf
+       |FROM b FULL OUTER JOIN c ON b.doc_id = c.vec_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** int8 scalar quantization round-trip summary per vector. Integer
     * outputs (sum/min/max of the codes) keep the oracle compare exact —
     * the fp quantization formula is written identically in both engines
@@ -2778,7 +2821,8 @@ object ScaleQueries {
     "q_knn_graph" -> knnGraph,
     "q_knn_delta" -> knnDelta,
     "q_split_assign" -> splitAssign,
-    "q_bigram_logprob" -> bigramLogprob)
+    "q_bigram_logprob" -> bigramLogprob,
+    "q_hybrid_search" -> hybridSearch)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
@@ -2787,6 +2831,7 @@ object ScaleQueries {
     "q_knn_delta" -> knnDeltaSql,
     "q_split_assign" -> splitAssignSql,
     "q_bigram_logprob" -> bigramLogprobSql,
+    "q_hybrid_search" -> hybridSearchSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
