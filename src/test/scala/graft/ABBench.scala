@@ -346,6 +346,7 @@ object ABBench {
       time(s"knngraph_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
       time(s"knngraph_salted_$i") { knnGraphSalted(spark, sfDir).count() }
       time(s"lrtrain_$i") { analytics.ScaleQueries.lrTrain(spark, sfDir).count() }
+      time(s"deltadedup_$i") { analytics.ScaleQueries.deltaDedup(spark, sfDir).count() }
     }
     spark.stop()
   }
