@@ -1459,6 +1459,81 @@ object ScaleQueries {
        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** The end-to-end "prepare training shards" flagship: curation gates
+    * (language + quality, map-side) → exact dedup (grouped digest
+    * argmin) → deterministic 3-way split keyed on the digest the dedup
+    * already carries (no second pass over text) → greedy sequence
+    * packing per (split, source) → shard accounting (docs, tokens,
+    * bins, fill ratio). Every stage is an already-verified operator;
+    * the composition is the artifact-materialization run a training
+    * pipeline schedules nightly. Three shuffles end to end: the digest
+    * argmin, the pack window on (split, source) — max task one
+    * split-source catalog, never the corpus — and the final accounting
+    * aggregate.
+    */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.language(t).as("language"),
+      graft.functions.Scoring.completenessScore(t).as("quality"),
+      TextAnalysis.bpeTokenCount(t).as("n_tokens"),
+      md5(t).as("digest"))
+    val kept = scored.filter(col("language") === "english" && col("quality") >= 60.0)
+    val canonical = kept
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("c"))
+      .select(col("digest"), col("c.doc_id").as("doc_id"),
+        col("c.source").as("source"), col("c.n_tokens").as("n_tokens"))
+    val bucket = conv(substring(col("digest"), 1, 8), 16, 10).cast("long") % 100
+    val split3 = canonical.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    split3
+      .withColumn("cumx", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .selectExpr("split", "source", s"cumx div $PackCap AS bin", "n_tokens", "doc_id")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("bin")).as("n_bins"),
+        min(col("doc_id")).as("min_doc_id"),
+        Num.r(sum(col("n_tokens")).cast("double") /
+          (countDistinct(col("bin")) * lit(PackCap)), 4).as("fill_ratio"))
+  }
+
+  val trainingShardsSql: String = {
+    val re = TextAnalysis.BpeTokenRe
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |         ${langSql("text")} AS language,
+       |         ${completenessSql("text")} AS quality,
+       |         len(regexp_extract_all(text, '$re')) AS n_tokens,
+       |         md5(text) AS digest
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored WHERE language = 'english' AND quality >= 60.0),
+       |canonical AS (
+       |  SELECT digest, doc_id, source, n_tokens FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |sp AS (
+       |  SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *, ('0x' || substr(digest, 1, 8))::BIGINT % 100 AS b FROM canonical)),
+       |c AS (
+       |  SELECT split, source, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cumx
+       |  FROM sp)
+       |SELECT split, source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(count(DISTINCT cumx // $PackCap) AS BIGINT) AS n_bins,
+       |       min(doc_id) AS min_doc_id,
+       |       ${Num.rSql(s"CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT cumx // $PackCap) * $PackCap)", 4)} AS fill_ratio
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
   /** Word-3-gram distinct shingles per doc — shared by the decontamination
     * paths. Shingle definition matches the Jaccard tier (trim + whitespace
     * split, 3-word windows); built with zip_with over slices (per CLAUDE.md:
@@ -2822,7 +2897,8 @@ object ScaleQueries {
     "q_knn_delta" -> knnDelta,
     "q_split_assign" -> splitAssign,
     "q_bigram_logprob" -> bigramLogprob,
-    "q_hybrid_search" -> hybridSearch)
+    "q_hybrid_search" -> hybridSearch,
+    "q_training_shards" -> trainingShards)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
@@ -2832,6 +2908,7 @@ object ScaleQueries {
     "q_split_assign" -> splitAssignSql,
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,
+    "q_training_shards" -> trainingShardsSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
