@@ -347,6 +347,8 @@ object ABBench {
       time(s"knngraph_salted_$i") { knnGraphSalted(spark, sfDir).count() }
       time(s"lrtrain_$i") { analytics.ScaleQueries.lrTrain(spark, sfDir).count() }
       time(s"deltadedup_$i") { analytics.ScaleQueries.deltaDedup(spark, sfDir).count() }
+      time(s"bigramlp_$i") { analytics.ScaleQueries.bigramLogprob(spark, sfDir).count() }
+      time(s"unigramlp_$i") { analytics.ScaleQueries.unigramLogprob(spark, sfDir).count() }
     }
     spark.stop()
   }
