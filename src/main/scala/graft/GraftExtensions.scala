@@ -48,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("poly_hash", "poly_hash(text) - polynomial rolling-hash fingerprint"),
       (args: Seq[Expression]) => PolyHash(args.head)))
 
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "bpe_token_count(text) - match count of the BPE pre-tokenizer regex in one scan"),
+      (args: Seq[Expression]) => graft.functions.BpeCount(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      info("ws_token_count",
+        "ws_token_count(text) - whitespace-token count (maximal non-\\s runs) in one scan"),
+      (args: Seq[Expression]) => graft.functions.WsTokenCount(args.head)))
+
     // aggregates: the analyzer wraps a returned AggregateFunction in an
     // AggregateExpression, so these work directly in SQL GROUP BY queries
     ext.injectFunction((

@@ -24,6 +24,10 @@ class ExtensionsSpec extends AnyFunSuite {
         graft.scale.MinHashSig(e.head, GraftExtensions.intArg(e, 1), GraftExtensions.intArg(e, 2))),
       ("poly_hash", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.scale.PolyHash(e.head)),
+      ("bpe_token_count", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeCount(e.head)),
+      ("ws_token_count", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WsTokenCount(e.head)),
       ("top_k", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.scale.TopKAgg(e(0), e(1), GraftExtensions.intArg(e, 2))),
       ("top_k_str", (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -84,6 +88,20 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaCol = docs.select(col("doc_id"), graft.scale.PolyHash.polyHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("token-count expressions are callable from SQL and match the Column API") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    docs.createOrReplaceTempView("docs_tc")
+    val viaSql = spark.sql(
+      "SELECT doc_id, bpe_token_count(text) b, ws_token_count(text) w FROM docs_tc")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.BpeCount.bpeCount(col("text")).as("b"),
+      graft.functions.WsTokenCount.wsTokenCount(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(viaSql == viaCol)
   }
 
