@@ -2290,6 +2290,66 @@ object ScaleQueries {
         col("e.id").as("doc_id"), col("e.score").as("es_key"))
   }
 
+  /** Quality-WEIGHTED sampling: the Efraimidis–Spirakis draw keyed by
+    * the quality classifier's probability instead of document length —
+    * the "sample by model score" selection a FineWeb-Edu-style pipeline
+    * runs after scoring. Same machinery end to end: scan-stage classifier
+    * prob (rounded at 6 like q_quality_classifier so both engines weight
+    * identically), hash-derived uniform, key rounded before ranking,
+    * bounded per-source TopK. The probability is floored at 1e-6 so a
+    * hard-zero score can't divide to -inf.
+    */
+  val QualitySampleK = 3
+  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = filter(split(trim(lower(t)), "\\s+"), x => x =!= "")
+    val ws = transform(toks, x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long") / lit(4294967296.0) - lit(0.5))
+    val sw = aggregate(ws, lit(0.0), (a, x) => a + x)
+    val logit = Num.r(sw /
+      sqrt(greatest(size(toks).cast("long"), lit(1L)).cast("double")), 6)
+    val prob = Num.r(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+    val u = (conv(substring(md5(t), 1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+    val key = Num.r(log(u) / greatest(prob, lit(0.000001)), 9)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), key.as("es_key"))
+      .groupBy(col("source"))
+      .agg(graft.scale.TopK.topK(col("es_key"), col("doc_id"), QualitySampleK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank", "e")))
+      .select(col("source"), (col("rank") + 1).as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("es_key"))
+  }
+
+  val qualitySampleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, text, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(w, x ->
+       |             ('0x' || substring(md5(x), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
+       |           (a, b) -> a + b) AS sw
+       |  FROM t),
+       |l AS (
+       |  SELECT doc_id, source, text,
+       |         ${Num.rSql("sw / sqrt(CAST(greatest(n_tokens, 1) AS DOUBLE))", 6)} AS logit
+       |  FROM s),
+       |p AS (
+       |  SELECT doc_id, source, text,
+       |         ${Num.rSql("1.0 / (1.0 + exp(-logit))", 6)} AS prob
+       |  FROM l),
+       |q AS (
+       |  SELECT source, doc_id,
+       |         ${Num.rSql("ln((('0x' || substring(md5(text), 1, 8))::BIGINT + 0.5) / 4294967296.0) / greatest(prob, 0.000001)", 9)} AS es_key
+       |  FROM p)
+       |SELECT source, rank, doc_id, es_key FROM (
+       |  SELECT source, doc_id, es_key,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY es_key DESC, doc_id ASC) AS rank
+       |  FROM q) WHERE rank <= $QualitySampleK""".stripMargin
+
   val weightedSampleSql: String =
     s"""WITH q AS (
        |  SELECT source, doc_id,
@@ -2898,7 +2958,8 @@ object ScaleQueries {
     "q_split_assign" -> splitAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_hybrid_search" -> hybridSearch,
-    "q_training_shards" -> trainingShards)
+    "q_training_shards" -> trainingShards,
+    "q_quality_sample" -> qualitySample)
 
   val oracles: Map[String, String] = Map(
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
@@ -2909,6 +2970,7 @@ object ScaleQueries {
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_training_shards" -> trainingShardsSql,
+    "q_quality_sample" -> qualitySampleSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
