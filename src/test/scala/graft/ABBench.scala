@@ -349,6 +349,11 @@ object ABBench {
       time(s"deltadedup_$i") { analytics.ScaleQueries.deltaDedup(spark, sfDir).count() }
       time(s"bigramlp_$i") { analytics.ScaleQueries.bigramLogprob(spark, sfDir).count() }
       time(s"unigramlp_$i") { analytics.ScaleQueries.unigramLogprob(spark, sfDir).count() }
+      time(s"knndelta_$i") { analytics.ScaleQueries.knnDelta(spark, sfDir).count() }
+      time(s"hybrid_$i") { analytics.ScaleQueries.hybridSearch(spark, sfDir).count() }
+      time(s"shards_$i") { analytics.ScaleQueries.trainingShards(spark, sfDir).count() }
+      time(s"qualitysample_$i") { analytics.ScaleQueries.qualitySample(spark, sfDir).count() }
+      time(s"splitassign_$i") { analytics.ScaleQueries.splitAssign(spark, sfDir).count() }
     }
     spark.stop()
   }

@@ -271,6 +271,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("training shards: three shuffles, no cartesian, partial aggregation") {
+    val p = plan(analytics.ScaleQueries.trainingShards(spark, sf))
+    // digest argmin + pack window on (split, source) + final aggregate
+    assert(nodeCount(p, "Exchange") <= 3, s"shard pipeline grew shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("quality sample ranks through the bounded top-k aggregate, not a window") {
+    val p = plan(analytics.ScaleQueries.qualitySample(spark, sf))
+    assert(!p.contains("Window"), s"quality sampling regressed to a window rank:\n$p")
+    assert(p.contains("topk"), s"expected the bounded TopKAgg:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("knn delta broadcasts the increment against one history scan") {
+    val p = plan(analytics.ScaleQueries.knnDelta(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"delta side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"ranking must be the bounded TopKAgg:\n$p")
+  }
+
+  test("bigram logprob shuffles hashed longs only (no string shuffle keys)") {
+    val p = plan(analytics.ScaleQueries.bigramLogprob(spark, sf))
+    // every Exchange partitions on the hashed columns (ph/gh) or doc_id,
+    // never on a raw bigram string (formatted explain lists partitioning
+    // in the node's Arguments line)
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no hash exchanges found:\n$p")
+    assert(exchanges.forall(l =>
+      l.contains("ph#") || l.contains("gh#") || l.contains("doc_id#")),
+      s"unexpected shuffle keys:\n${exchanges.mkString("\n")}")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
