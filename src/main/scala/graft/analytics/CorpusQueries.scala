@@ -1,0 +1,416 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+import graft.functions.{Pii, TextAnalysis}
+import graft.scale.Dedup
+
+/** Round-7 corpus-preparation operators: the remaining standard stages of
+  * a web-scale training-data pipeline that the dedup/curation tier did not
+  * yet cover — paragraph-granular exact dedup (the RefinedWeb/CCNet line
+  * dedup stage), a corpus PII incidence report, the Gopher quality-rule
+  * flags (Rae et al. 2021, "Scaling Language Models" appendix A), data
+  * recipe token-budget math, near-dup cluster statistics, and distributed
+  * global enumeration for shard offsets.
+  *
+  * Reference analog: the dedup/quality gates of the curation config
+  * (`/root/reference/config/config.yaml` quality section) — these extend
+  * that surface with the public-literature operators a 100 TB corpus run
+  * needs. All follow the repo's cross-engine rules: rounding through
+  * graft.Num only, hashes as md5-prefix 52-bit longs both engines compute
+  * identically, thresholds as identical literals in both expressions.
+  */
+object CorpusQueries {
+
+  // ---------------------------------------------------------------------
+  // Paragraph-level exact dedup (RefinedWeb/CCNet line dedup).
+  // ---------------------------------------------------------------------
+
+  /** Paragraph granularity: the corpus is single-line synthetic text, so
+    * the paragraph boundary is a fixed 16-word chunk — the same stand-in
+    * the chunking tier uses. At 100 TB the splitter is `split(text,
+    * '\n\n')` and everything downstream is unchanged.
+    */
+  val ParaSize = 16
+
+  /** Paragraph-level exact dedup: every 16-word paragraph keeps only its
+    * FIRST occurrence corpus-wide (min (doc_id, para_idx)); later
+    * occurrences — including cross-document boilerplate — are dropped,
+    * and the report accounts tokens removed per source.
+    *
+    * Scale design: paragraph text is hashed to a 52-bit long in the scan
+    * stage, so the only shuffle bytes are (hash, source, counts) — text
+    * never moves. The keeper election is a grouped min-struct over the
+    * (hash, source) partial relation (map-side partial agg, no window,
+    * no per-hash sort), then one more tiny aggregate per hash. Two
+    * hash-keyed shuffles end to end regardless of corpus size; skewed
+    * boilerplate paragraphs (a hash with huge df) cost one combiner row
+    * per upstream partition, not a hot task.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"transform(sequence(1, size(w), $ParaSize), s -> slice(w, s, $ParaSize))"))
+        .as(Seq("para_idx", "p")))
+      .select(col("doc_id"), col("source"), col("para_idx").cast("int").as("para_idx"),
+        size(col("p")).as("n_tokens"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+    // per-(hash, source) partials: instances of one hash share identical
+    // text, hence identical n_tokens — carry it via min
+    val bySrc = inst.groupBy(col("ph"), col("source")).agg(
+      count(lit(1)).as("n_inst"),
+      min(col("n_tokens")).as("tok"),
+      min(struct(col("doc_id"), col("para_idx"))).as("first"))
+    // global keeper per hash: min (doc_id, para_idx) across sources; the
+    // input here is already collapsed to distinct (hash, source) rows
+    val keeper = bySrc.groupBy(col("ph")).agg(
+      min(struct(col("first.doc_id").as("doc_id"),
+        col("first.para_idx").as("para_idx"), col("source").as("src"))).as("k"))
+    bySrc.join(keeper, "ph")
+      .withColumn("kept",
+        when(col("k.src") === col("source") &&
+          col("k.doc_id") === col("first.doc_id") &&
+          col("k.para_idx") === col("first.para_idx"), 1L).otherwise(0L))
+      .groupBy(col("source")).agg(
+        sum(col("n_inst")).as("n_paras"),
+        sum(col("n_inst") - col("kept")).as("n_removed"),
+        sum(col("n_inst") * col("tok")).as("tokens_total"),
+        sum(col("kept") * col("tok")).as("tokens_kept"))
+      .withColumn("pct_tokens_removed",
+        Num.r((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total"), 6))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |inst AS (
+       |  SELECT doc_id, source, CAST((s - 1) // $ParaSize AS INT) AS para_idx,
+       |         len(w[s : s + ${ParaSize - 1}]) AS n_tokens,
+       |         ('0x' || substr(md5(array_to_string(w[s : s + ${ParaSize - 1}], ' ')), 1, 13))::BIGINT AS ph
+       |  FROM toks CROSS JOIN unnest(range(1, len(w) + 1, $ParaSize)) AS t(s)),
+       |keep AS (
+       |  SELECT ph, doc_id AS k_doc, para_idx AS k_idx FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ph
+       |              ORDER BY doc_id, para_idx) AS rn FROM inst) WHERE rn = 1)
+       |SELECT i.source,
+       |  CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(sum(CASE WHEN i.doc_id = k.k_doc AND i.para_idx = k.k_idx
+       |                THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(i.n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN i.doc_id = k.k_doc AND i.para_idx = k.k_idx
+       |                THEN i.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |  ${Num.rSql(
+      "CAST(sum(i.n_tokens) - sum(CASE WHEN i.doc_id = k.k_doc AND i.para_idx = k.k_idx THEN i.n_tokens ELSE 0 END) AS DOUBLE) / sum(i.n_tokens)",
+      6)} AS pct_tokens_removed
+       |FROM inst i JOIN keep k USING (ph)
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus PII incidence report.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic PII fixture: the synthetic corpus carries no PII, so
+    * the report op injects category instances on disjoint doc_id strata —
+    * the same fixture discipline as q_pii_redact, but varied per category
+    * so the counts exercise every detector.
+    */
+  private def piiDocText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" reach user"), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit(" from 10.0.0.1")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit(" card 4111 1111 1111 1111")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")))
+
+  private val piiDocTextSql: String =
+    "text" +
+      " || (CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-4567' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END)"
+
+  /** Corpus PII report: per-source match counts for every detector class
+    * plus the redaction char delta — the audit artifact a pipeline emits
+    * before a training run. Detection is `regexp_count` in the scan stage
+    * (codegen'd, zero shuffles before the per-source aggregate); the
+    * regexes are the F2 chain's own patterns (functions/Pii.scala), so
+    * report and redaction can never disagree on what counts as PII.
+    */
+  def docsPii(spark: SparkSession, dir: String): DataFrame = {
+    val c = piiDocText
+    val redacted = Pii.redactIp(Pii.redact(c))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(c, lit(Pii.EmailRe)).as("e"),
+        (regexp_count(c, lit(Pii.PhoneDashRe)) +
+          regexp_count(c, lit(Pii.PhoneParenRe))).as("p"),
+        regexp_count(c, lit(Pii.CardRe)).as("cd"),
+        regexp_count(c, lit(Pii.SsnRe)).as("s"),
+        regexp_count(c, lit(Pii.IpRe)).as("ip"),
+        (length(c) - length(redacted)).as("delta"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("p") + col("cd") + col("s") + col("ip") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum(col("e").cast("long")).as("n_emails"),
+        sum(col("p").cast("long")).as("n_phones"),
+        sum(col("cd").cast("long")).as("n_cards"),
+        sum(col("s").cast("long")).as("n_ssns"),
+        sum(col("ip").cast("long")).as("n_ips"),
+        sum(col("delta").cast("long")).as("chars_redacted"))
+  }
+
+  val docsPiiSql: String = {
+    def cnt(re: String) = s"len(regexp_extract_all(c, '$re'))"
+    val redacted = s"regexp_replace(${Pii.redactSql("c")}, '${Pii.IpRe}', '[IP_REDACTED]', 'g')"
+    s"""WITH d AS (SELECT source, ($piiDocTextSql) AS c FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ${cnt(Pii.EmailRe)} + ${cnt(Pii.PhoneDashRe)}
+       |      + ${cnt(Pii.PhoneParenRe)} + ${cnt(Pii.CardRe)} + ${cnt(Pii.SsnRe)}
+       |      + ${cnt(Pii.IpRe)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(sum(${cnt(Pii.EmailRe)}) AS BIGINT) AS n_emails,
+       |  CAST(sum(${cnt(Pii.PhoneDashRe)} + ${cnt(Pii.PhoneParenRe)}) AS BIGINT) AS n_phones,
+       |  CAST(sum(${cnt(Pii.CardRe)}) AS BIGINT) AS n_cards,
+       |  CAST(sum(${cnt(Pii.SsnRe)}) AS BIGINT) AS n_ssns,
+       |  CAST(sum(${cnt(Pii.IpRe)}) AS BIGINT) AS n_ips,
+       |  CAST(sum(len(c) - len($redacted)) AS BIGINT) AS chars_redacted
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Gopher quality-rule flags.
+  // ---------------------------------------------------------------------
+
+  /** Gopher rule thresholds, scaled to this corpus's 10-99-word synthetic
+    * documents (the published bounds are 50..100k words / 3..10 mean word
+    * length; the RULE STRUCTURE is what's re-expressed here, with bounds
+    * that actually split the test distribution). Thresholds compare
+    * against grid-rounded values so both engines cut identically.
+    */
+  val GopherMinWords = 30L
+  val GopherMaxWords = 90L
+  val GopherMinWordLen = 3.9
+  val GopherMaxWordLen = 5.0
+  val GopherMaxSymbolRatio = 0.1
+
+  /** Per-document Gopher quality flags (Rae et al. 2021): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio ('#'/'...'),
+    * and stopword presence. Pure scan-stage arithmetic over the token
+    * array — no shuffle at all; at 100 TB this is a free rider on
+    * whatever scan feeds curation.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_sym"))
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        Num.r(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          size(w), 6).as("mean_word_len"),
+        size(array_distinct(array_intersect(w,
+          array(TextAnalysis.EnglishWords.map(lit): _*)))).cast("long").as("n_stop"),
+        Num.r(col("n_sym").cast("double") / size(w), 6).as("symbol_ratio"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop"), col("symbol_ratio"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+          .as("flag_words"),
+        (col("mean_word_len") >= GopherMinWordLen &&
+          col("mean_word_len") <= GopherMaxWordLen).as("flag_word_len"),
+        (col("n_stop") >= 1L).as("flag_stop"),
+        (col("symbol_ratio") < GopherMaxSymbolRatio).as("flag_symbol"))
+      .withColumn("keep",
+        col("flag_words") && col("flag_word_len") && col("flag_stop") &&
+          col("flag_symbol"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = TextAnalysis.EnglishWords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+       |         len(regexp_extract_all(text, '#'))
+       |           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    ${Num.rSql("CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)", 6)} AS mean_word_len,
+       |    CAST(len(list_distinct(list_intersect(w, [$stopList]))) AS BIGINT) AS n_stop,
+       |    ${Num.rSql("CAST(n_sym AS DOUBLE) / len(w)", 6)} AS symbol_ratio
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, n_stop, symbol_ratio,
+       |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS flag_words,
+       |  mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen AS flag_word_len,
+       |  n_stop >= 1 AS flag_stop,
+       |  symbol_ratio < $GopherMaxSymbolRatio AS flag_symbol,
+       |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |    AND (mean_word_len >= $GopherMinWordLen AND mean_word_len <= $GopherMaxWordLen)
+       |    AND n_stop >= 1 AND symbol_ratio < $GopherMaxSymbolRatio AS keep
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Token-budget data recipe.
+  // ---------------------------------------------------------------------
+
+  /** Fixed token budget the recipe allocates (the knob a training run
+    * sets; a literal so both engines share the exact double).
+    */
+  val RecipeBudget = 1000000.0
+
+  /** Data-recipe math (the LLaMA-style mixture table): per-source token
+    * totals → sqrt-scaled sampling weights → allocated token budget and
+    * the epoch/repeat factor each source needs to fill it. One aggregate
+    * shuffle; the per-source relation is bounded by the source catalog,
+    * so the normalizer rides as one broadcast row (same shape as the
+    * mixture-weight tier). sqrt is the IEEE correctly-rounded primitive
+    * in both engines, and the weight is grid-rounded BEFORE the budget
+    * multiply so downstream arithmetic starts from identical doubles.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tokens"))
+      .withColumn("sq", sqrt(col("src_tokens").cast("double")))
+    val z = broadcast(bySrc.agg(sum(col("sq")).as("z")))
+    bySrc.crossJoin(z)
+      .withColumn("weight", Num.r(col("sq") / col("z"), 6))
+      .select(col("source"), col("src_tokens"), col("weight"),
+        floor(lit(RecipeBudget) * col("weight")).cast("long").as("target_tokens"),
+        Num.r(lit(RecipeBudget) * col("weight") / col("src_tokens"), 6).as("epochs"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH bys AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |sq AS (SELECT source, src_tokens, sqrt(CAST(src_tokens AS DOUBLE)) AS sq FROM bys),
+       |tot AS (SELECT sum(sq) AS z FROM sq),
+       |w AS (SELECT source, src_tokens, ${Num.rSql("sq / z", 6)} AS weight
+       |      FROM sq CROSS JOIN tot)
+       |SELECT source, src_tokens, weight,
+       |       CAST(floor($RecipeBudget * weight) AS BIGINT) AS target_tokens,
+       |       ${Num.rSql(s"$RecipeBudget * weight / src_tokens", 6)} AS epochs
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Near-dup cluster statistics.
+  // ---------------------------------------------------------------------
+
+  /** Duplicate-cluster size histogram over the near-dup graph (Jaccard ≥
+    * 0.5 — the exact tier the LSH flagship is verified against), plus the
+    * singleton balance: for each cluster size, how many clusters and docs.
+    * The dedup-rate dashboard row a corpus run reports. Costs one extra
+    * tiny aggregate on top of the already-built cluster relation (cluster
+    * ids are bounded by corpus size, the histogram by log of it).
+    */
+  def dupStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size")).agg(
+      count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+    // components are built from edges, so every cluster has >= 2 members;
+    // the singleton row is the complement against the corpus count
+    val totals = docs.agg(count(lit(1)).as("total")).crossJoin(
+      clusters.agg(count(lit(1)).as("clustered")))
+    val singletons = totals.select(
+      lit(1L).as("cluster_size"),
+      (col("total") - col("clustered")).as("n_clusters"),
+      (col("total") - col("clustered")).as("n_docs"))
+    hist.unionByName(singletons)
+  }
+
+  // Reuses the exact-jaccard recursive-CTE cluster relation (see
+  // ScaleQueries.dupClustersCteSql) as the histogram input.
+  val dupStatsSql: String =
+    s"""${ScaleQueries.dupClustersCteSql},
+       |csz AS (SELECT cluster_id, count(*) AS cs FROM clusters GROUP BY 1),
+       |hist AS (
+       |  SELECT CAST(cs AS BIGINT) AS cluster_size,
+       |         CAST(count(*) AS BIGINT) AS n_clusters,
+       |         CAST(sum(cs) AS BIGINT) AS n_docs
+       |  FROM csz GROUP BY 1)
+       |SELECT * FROM hist
+       |UNION ALL
+       |SELECT 1,
+       |  (SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0),
+       |  (SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Distributed global enumeration.
+  // ---------------------------------------------------------------------
+
+  /** Range-bucket width on the sort key (n_chars). At 100 TB the bucket
+    * histogram is what a range partitioner samples anyway; the width just
+    * has to keep per-bucket row counts within a task.
+    */
+  val IndexBucketWidth = 64L
+
+  /** Global corpus enumeration: a contiguous 0..n-1 index in (n_chars,
+    * doc_id) order — the shard-offset assignment of a length-sorted
+    * export, and the classic operation a naive plan serializes (a global
+    * row_number window is ONE partition holding the corpus).
+    *
+    * Decomposition: bucket rows by a range of the sort key, count per
+    * bucket (tiny relation), turn counts into exclusive prefix offsets
+    * with a window over that bounded relation ONLY, broadcast the offsets
+    * back, and number rows inside each bucket in parallel. The single-
+    * partition window touches one row per bucket — never the corpus.
+    */
+  def globalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") / IndexBucketWidth).cast("long").as("bkt"))
+    val counts = d.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    // bounded relation: one row per occupied bucket
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("n")
+    d.join(broadcast(offs), "bkt")
+      .withColumn("global_idx",
+        row_number().over(Window.partitionBy(col("bkt"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long") + col("off") - 1)
+      .select(col("doc_id"), col("n_chars"), col("global_idx"))
+  }
+
+  val globalIndexSql: String =
+    """SELECT doc_id, n_chars,
+      |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS global_idx
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_paragraph_dedup" -> paragraphDedup,
+    "q_docs_pii" -> docsPii,
+    "q_gopher_rules" -> gopherRules,
+    "q_token_budget" -> tokenBudget,
+    "q_dup_stats" -> dupStats,
+    "q_global_index" -> globalIndex)
+
+  val oracles: Map[String, String] = Map(
+    "q_paragraph_dedup" -> paragraphDedupSql,
+    "q_docs_pii" -> docsPiiSql,
+    "q_gopher_rules" -> gopherRulesSql,
+    "q_token_budget" -> tokenBudgetSql,
+    "q_dup_stats" -> dupStatsSql,
+    "q_global_index" -> globalIndexSql)
+}

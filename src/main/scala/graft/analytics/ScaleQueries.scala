@@ -76,7 +76,11 @@ object ScaleQueries {
     Dedup.dupClusters(
       Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5))
 
-  val dupClustersSql: String = {
+  /** The full recursive-CTE prelude ending in a `clusters(doc_id,
+    * cluster_id)` relation — shared by the cluster/canonical oracles here
+    * and the dup-statistics oracle (CorpusQueries.dupStatsSql).
+    */
+  private[analytics] val dupClustersCteSql: String =
     s"""WITH RECURSIVE $jaccardCtesSql,
        |pairs AS (SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON d1 = s1.doc_id
@@ -87,10 +91,13 @@ object ScaleQueries {
        |reach(node, r) AS (
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
-       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
-       |SELECT node AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY node""".stripMargin
-  }
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+       |clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+       |             FROM reach GROUP BY node)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""$dupClustersCteSql
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
   /** Canonical-document selection per near-dup cluster: keep the
     * highest-quality member, smallest doc_id on ties
@@ -110,19 +117,7 @@ object ScaleQueries {
   }
 
   val canonicalDocsSql: String =
-    s"""WITH RECURSIVE $jaccardCtesSql,
-       |pairs AS (SELECT d1, d2 FROM inter
-       |  JOIN sizes s1 ON d1 = s1.doc_id
-       |  JOIN sizes s2 ON d2 = s2.doc_id
-       |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-       |          UNION ALL SELECT d2, d1 FROM pairs),
-       |reach(node, r) AS (
-       |  SELECT DISTINCT a, a FROM edges
-       |  UNION
-       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
-       |clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
-       |             FROM reach GROUP BY node),
+    s"""$dupClustersCteSql,
        |scored AS (
        |  SELECT c.cluster_id, d.doc_id, ${completenessSql("d.text")} AS q
        |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
