@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++ analytics.Events.queries ++
       analytics.TransformQueries.queries ++ analytics.ScaleQueries.queries ++
-      analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries
+      analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries ++
+      analytics.CorpusStats.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
       analytics.TransformQueries.oracles ++ analytics.ScaleQueries.oracles ++
-      analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles
+      analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles ++
+      analytics.CorpusStats.oracles
 }

@@ -1,0 +1,290 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+import graft.scale.{Dedup, Similarity, VecSum}
+
+/** Corpus-statistics operators: the measurement surface a training-data
+  * run reports alongside the curation gates — vocabulary entropy and
+  * type-token ratios per source, per-source KL divergence against the
+  * corpus unigram distribution (the domain-shift dial DSIR-style
+  * reweighting turns), the cross-source near-duplicate overlap matrix,
+  * embedding-space benchmark decontamination (the semantic sibling of
+  * the shingle-overlap decontaminate tier), and the distributed
+  * second-moment/covariance matrix of the embedding table (the Gram
+  * statistic PCA / whitening / drift monitors start from).
+  *
+  * Reference analog: the quality/monitoring reports of the curation
+  * config (`/root/reference/config/config.yaml` quality section); the
+  * operators themselves are the public-literature corpus diagnostics a
+  * 100 TB pipeline runs on every snapshot. House rules throughout:
+  * rounding via graft.Num only, no term string ever reaches a shuffle
+  * (xxhash64 longs), identical literals and textually parallel
+  * arithmetic in the Spark expression and the DuckDB oracle.
+  */
+object CorpusStats {
+
+  // ---------------------------------------------------------------------
+  // Per-source vocabulary statistics.
+  // ---------------------------------------------------------------------
+
+  /** Per-source unigram Shannon entropy (nats), vocabulary size, and
+    * type-token ratio. Entropy uses the aggregation-friendly identity
+    * H = ln N − (Σ c·ln c)/N, so the per-source relation needs only
+    * (Σ c, count, Σ c·ln c) — two hash-aggregate shuffles end to end
+    * ((source, term-hash) partials, then source), both map-side
+    * combined; no term string and no per-source sort anywhere. At
+    * 100 TB the first shuffle is bounded by Σ per-source vocabularies,
+    * not by token instances.
+    */
+  def vocabEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        Num.r(col("vocab_size").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        Num.r(log(col("n_tokens").cast("double")) - col("clc") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+
+  val vocabEntropySql: String =
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT source, term, count(*) AS c FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |s AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS vocab_size,
+       |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+       |  FROM tf GROUP BY 1)
+       |SELECT source, n_tokens, vocab_size,
+       |       ${Num.rSql("CAST(vocab_size AS DOUBLE) / n_tokens", 6)} AS type_token_ratio,
+       |       ${Num.rSql("ln(CAST(n_tokens AS DOUBLE)) - clc / n_tokens", 6)} AS entropy
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Per-source KL divergence vs the corpus unigram distribution.
+  // ---------------------------------------------------------------------
+
+  /** KL(source ‖ corpus) over unigram distributions — the domain-shift
+    * measure importance-sampling recipes (DSIR et al.) are built on; a
+    * source identical to the corpus mix scores 0, a skewed domain scores
+    * high. Every source term occurs in the corpus, so the ratio is
+    * always finite. Scale shape: the (source, term-hash) partial
+    * relation is reused for BOTH distributions (the corpus counts are an
+    * aggregate of it — the token instances shuffle once, to vocabulary-
+    * bounded rows); the per-term join is hash-keyed on the 8-byte term
+    * hash; source totals and the corpus scalar ride in as broadcasts.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("c"))
+    val corpus = tf.groupBy(col("th")).agg(sum(col("c")).as("ct"))
+    val bySrc = broadcast(tf.groupBy(col("source")).agg(sum(col("c")).as("ns")))
+    val total = broadcast(corpus.agg(sum(col("ct")).as("n")))
+    tf.join(corpus, "th")
+      .join(bySrc, "source")
+      .crossJoin(total)
+      .select(col("source"), col("ns"),
+        ((col("c").cast("double") / col("ns")) *
+          log((col("c").cast("double") / col("ns")) /
+            (col("ct").cast("double") / col("n")))).as("t"))
+      .groupBy(col("source")).agg(
+        max(col("ns")).as("n_tokens"),
+        Num.r(sum(col("t")), 6).as("kl_vs_corpus"))
+  }
+
+  val sourceKlSql: String =
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT source, term, count(*) AS c FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |corpus AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+       |bysrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus)
+       |SELECT tf.source, max(ns) AS n_tokens,
+       |       ${Num.rSql(
+      "sum((CAST(c AS DOUBLE) / ns) * ln((CAST(c AS DOUBLE) / ns) / (CAST(ct AS DOUBLE) / n)))",
+      6)} AS kl_vs_corpus
+       |FROM tf JOIN corpus USING (term) JOIN bysrc ON tf.source = bysrc.source
+       |CROSS JOIN tot
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cross-source near-duplicate overlap matrix.
+  // ---------------------------------------------------------------------
+
+  /** Which sources duplicate each other: the exact Jaccard ≥ 0.5
+    * near-dup pairs rolled up to an unordered (source, source) matrix —
+    * the provenance dashboard a dedup run emits (mirror-site detection,
+    * crawl overlap). The pair relation is tiny relative to the corpus,
+    * so the two provenance joins shuffle pairs + a two-column id→source
+    * projection, never document text; the matrix itself is bounded by
+    * (sources choose 2).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcs = docs.select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .join(srcs.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(srcs.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH ${ScaleQueries.jaccardCtesSql},
+       |pairs AS (SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5)
+       |SELECT least(da.source, db.source) AS src_a,
+       |       greatest(da.source, db.source) AS src_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON pairs.d1 = da.doc_id
+       |JOIN documents db ON pairs.d2 = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding-space (semantic) decontamination.
+  // ---------------------------------------------------------------------
+
+  /** Cosine threshold for "too close to an eval item". Chosen to split
+    * the synthetic distribution at every gate scale (max-sim quartiles
+    * sit at ~0.19/0.23/0.28); a literal so both engines share the double.
+    */
+  val SemDecontThreshold = 0.3
+
+  /** Embedding-space benchmark decontamination: flag corpus vectors
+    * whose max cosine to ANY eval-set vector reaches the threshold —
+    * the semantic sibling of the shingle-overlap decontaminate tier
+    * (catches paraphrased eval leakage that n-gram overlap misses).
+    * Eval membership uses the same deterministic synthesis as
+    * q_decontaminate (vec_id % 25 — testdata wiring only; the operator
+    * takes whatever eval relation is broadcast). Scale shape: the eval
+    * set is bounded by the benchmark, so it broadcasts; one corpus scan
+    * computes all pairs map-side; the per-vector max is a hash
+    * aggregate. Similarity is rounded BEFORE the max so the comparison
+    * never rides an ulp.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val eval = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_embedding"))
+    emb.filter(col("vec_id") % 25 =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        Num.r(Similarity.cosine(col("embedding"), col("e_embedding")), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cs")).as("max_eval_sim"))
+      .withColumn("contaminated", col("max_eval_sim") >= SemDecontThreshold)
+  }
+
+  private val dblEmbSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)) > 0
+       | THEN list_dot_product($a,$b) /
+       |      (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))
+       | ELSE 0.0 END""".stripMargin.replace("\n", " ")
+
+  val semanticDecontaminateSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, v AS evv FROM e WHERE vec_id % 25 = 0),
+       |s AS (
+       |  SELECT e.vec_id, max(${Num.rSql(cosSql("e.v", "evv"), 6)}) AS max_eval_sim
+       |  FROM e CROSS JOIN ev WHERE e.vec_id % 25 <> 0
+       |  GROUP BY 1)
+       |SELECT vec_id, max_eval_sim,
+       |       max_eval_sim >= $SemDecontThreshold AS contaminated
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Distributed embedding covariance (Gram / second-moment matrix).
+  // ---------------------------------------------------------------------
+
+  val Dim = 64
+
+  /** Upper-triangle covariance matrix of the embedding table — the
+    * d×d statistic PCA, whitening, and embedding-drift monitors are
+    * built from, and the classic "all second moments in ONE pass"
+    * distributed computation: each row contributes its d(d+1)/2
+    * products map-side, the bounded VecSumAgg holds ONE 2080-slot
+    * buffer per task (never a row expansion — the same aggregate that
+    * cured the k-means update's dim× posexplode), and the single
+    * result row fans back out to (i, j, cov) only after aggregation.
+    * Products are built directly over the scan column, not a derived
+    * array, so no lambda re-evaluation trap applies. At 100 TB: one
+    * scan, zero shuffles before a 2 KB-per-task aggregate.
+    */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dim
+    // flattened upper triangle in (i asc, j asc) order; position of
+    // (i, j) is i*d - i(i-1)/2 + (j - i)
+    val prods = expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(i, ${d - 1}), j ->
+         |    CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))"""
+        .stripMargin)
+    val idx = expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(i, ${d - 1}), j ->
+         |    struct(i AS i, j AS j,
+         |           CAST(i * $d - (i * (i - 1)) DIV 2 + (j - i) AS INT) AS k))))"""
+        .stripMargin)
+    Tables.embeddings(spark, dir)
+      .agg(VecSum.vecSum(prods).as("p"), VecSum.vecSum(col("embedding")).as("m"))
+      .select(col("p.sums").as("ps"), col("m.sums").as("ms"), col("m.n").as("n"))
+      .select(col("ps"), col("ms"), col("n"), explode(idx).as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"),
+        Num.r(element_at(col("ps"), col("x.k") + 1) / col("n") -
+          (element_at(col("ms"), col("x.i") + 1) / col("n")) *
+            (element_at(col("ms"), col("x.j") + 1) / col("n")), 6).as("cov"))
+  }
+
+  val embedCovarianceSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |idx AS (
+       |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
+       |  FROM range(0, $Dim) t(i) CROSS JOIN range(0, $Dim) u(j) WHERE j >= i),
+       |s AS (
+       |  SELECT i, j, sum(v[i + 1] * v[j + 1]) AS s2,
+       |         sum(v[i + 1]) AS si, sum(v[j + 1]) AS sj
+       |  FROM e CROSS JOIN idx GROUP BY 1, 2)
+       |SELECT i, j,
+       |       ${Num.rSql("s2 / n - (si / n) * (sj / n)", 6)} AS cov
+       |FROM s CROSS JOIN n""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_entropy" -> vocabEntropy,
+    "q_source_kl" -> sourceKl,
+    "q_source_overlap" -> sourceOverlap,
+    "q_semantic_decontaminate" -> semanticDecontaminate,
+    "q_embed_covariance" -> embedCovariance)
+
+  val oracles: Map[String, String] = Map(
+    "q_vocab_entropy" -> vocabEntropySql,
+    "q_source_kl" -> sourceKlSql,
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_semantic_decontaminate" -> semanticDecontaminateSql,
+    "q_embed_covariance" -> embedCovarianceSql)
+}

@@ -44,7 +44,7 @@ object ScaleQueries {
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
 
   /** Shared shingle/intersection CTEs for the Jaccard-family oracles. */
-  private val jaccardCtesSql: String =
+  private[analytics] val jaccardCtesSql: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.CorpusQueries
+
+/** Property + plan gates for the corpus-preparation tier
+  * (analytics/CorpusQueries.scala) — accounting identities the oracle
+  * hash-compare cannot articulate, and the plan shapes that make these
+  * operators survive 100 TB (no corpus-wide single-partition window in
+  * the global enumeration, no text in the paragraph-dedup shuffle).
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("paragraph dedup accounting: kept + removed = total, tokens conserve") {
+    val rows = CorpusQueries.paragraphDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val paras = r.getAs[Long]("n_paras")
+      val removed = r.getAs[Long]("n_removed")
+      assert(removed >= 0 && removed < paras)
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+    }
+    // every distinct paragraph hash is kept exactly once corpus-wide:
+    // total kept paras == distinct paragraph count
+    val totKept = rows.map(r => r.getAs[Long]("n_paras") - r.getAs[Long]("n_removed")).sum
+    val distinctParas = Tables.documents(spark, sf)
+      .select(posexplode(expr(
+        s"transform(sequence(1, size(split(trim(text), '\\\\s+')), ${CorpusQueries.ParaSize})," +
+          s" s -> array_join(slice(split(trim(text), '\\\\s+'), s, ${CorpusQueries.ParaSize}), ' '))"))
+        .as(Seq("idx", "p")))
+      .select(col("p")).distinct().count()
+    assert(totKept == distinctParas, s"kept $totKept vs distinct $distinctParas")
+  }
+
+  test("gopher flags: keep is exactly the conjunction of the four rules") {
+    val rows = CorpusQueries.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length, "thresholds must split the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("flag_words") && r.getAs[Boolean]("flag_word_len") &&
+          r.getAs[Boolean]("flag_stop") && r.getAs[Boolean]("flag_symbol")))
+    }
+  }
+
+  test("token budget: weights sum to ~1, targets fill the budget") {
+    val rows = CorpusQueries.tokenBudget(spark, sf).collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val tsum = rows.map(_.getAs[Long]("target_tokens")).sum.toDouble
+    assert(tsum <= CorpusQueries.RecipeBudget &&
+      tsum > CorpusQueries.RecipeBudget * 0.999)
+  }
+
+  test("dup stats: docs column accounts the whole corpus exactly once") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = CorpusQueries.dupStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val cs = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_docs") == cs * r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("global index is a contiguous permutation consistent with the sort") {
+    val rows = CorpusQueries.globalIndex(spark, sf)
+      .orderBy(col("global_idx")).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("global_idx") == i.toLong)
+    }
+    // sorted by (n_chars, doc_id)
+    val keys = rows.map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("global index plan: the corpus-wide window is partitioned by bucket, " +
+    "never a single global partition") {
+    val p = plan(CorpusQueries.globalIndex(spark, sf))
+    // the offset window runs over the bounded per-bucket count relation;
+    // the row_number window must be hash-partitioned on bkt
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(bkt"),
+      s"per-bucket window not partitioned by bkt:\n$p")
+  }
+
+  test("paragraph dedup plan: no text column past the scan stage shuffles") {
+    val p = plan(CorpusQueries.paragraphDedup(spark, sf))
+    // shuffles carry (ph, source, counts) — assert exchanges partition by
+    // the hash key, and no Window node appears (keeper is an argmin agg)
+    assert(!p.contains("Window"), s"window in paragraph dedup:\n$p")
+    assert(p.contains("hashpartitioning(ph"), s"no ph-keyed exchange:\n$p")
+  }
+}

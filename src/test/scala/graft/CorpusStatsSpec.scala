@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.CorpusStats
+
+/** Property + plan gates for the corpus-statistics tier
+  * (analytics/CorpusStats.scala). Value parity with DuckDB is the
+  * driver's oracle gate; these pin the mathematical invariants the
+  * oracle compare cannot see (entropy/KL bounds, covariance
+  * self-consistency) and the 100 TB plan shapes (broadcast eval set,
+  * no row expansion before the covariance aggregate).
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("vocab entropy is within [0, ln(vocab)] and TTR within (0, 1]") {
+    val rows = CorpusStats.vocabEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vocab = r.getAs[Long]("vocab_size").toDouble
+      val n = r.getAs[Long]("n_tokens")
+      val h = r.getAs[Double]("entropy")
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(h >= -1e-9 && h <= math.log(vocab) + 1e-9,
+        s"entropy $h outside [0, ln($vocab)]")
+      assert(ttr > 0 && ttr <= 1.0 + 1e-9)
+      assert(n >= vocab.toLong)
+    }
+  }
+
+  test("KL vs corpus is non-negative (Gibbs) and zero only for the full mix") {
+    val rows = CorpusStats.sourceKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_vs_corpus") >= -1e-9,
+        s"negative KL for ${r.getAs[String]("source")}")
+    }
+  }
+
+  test("source overlap matrix is canonically ordered and accounts every pair") {
+    val docs = Tables.documents(spark, sf)
+    val nPairs = graft.scale.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5).count()
+    val m = CorpusStats.sourceOverlap(spark, sf).collect()
+    m.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+    }
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+  }
+
+  test("semantic decontamination broadcasts the eval set and bounds sims") {
+    val df = CorpusStats.semanticDecontaminate(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Broadcast"), s"eval side not broadcast:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 25 != 0)
+      val s = r.getAs[Double]("max_eval_sim")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(r.getAs[Boolean]("contaminated") ==
+        (s >= CorpusStats.SemDecontThreshold))
+    }
+  }
+
+  test("covariance matrix: full upper triangle, non-negative diagonal, " +
+    "and cov(0,0) matches a directly-computed variance") {
+    val d = CorpusStats.Dim
+    val rows = CorpusStats.embedCovariance(spark, sf).collect()
+    assert(rows.length == d * (d + 1) / 2)
+    rows.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j")).foreach { r =>
+      assert(r.getAs[Double]("cov") >= -1e-6, s"negative variance at $r")
+    }
+    // independent variance of dim 0 via plain SQL aggregates
+    val v = Tables.embeddings(spark, sf)
+      .select(col("embedding").getItem(0).cast("double").as("x"))
+      .agg((sum(col("x") * col("x")) / count(lit(1)) -
+        (sum(col("x")) / count(lit(1))) * (sum(col("x")) / count(lit(1)))).as("v"))
+      .collect()(0).getAs[Double]("v")
+    val c00 = rows.find(r => r.getAs[Int]("i") == 0 && r.getAs[Int]("j") == 0)
+      .get.getAs[Double]("cov")
+    assert(math.abs(c00 - v) < 1e-6, s"cov(0,0)=$c00 direct=$v")
+  }
+
+  test("covariance plan has no row expansion before the aggregate " +
+    "(the single Generate sits above it, fanning out the one result row)") {
+    val p = plan(CorpusStats.embedCovariance(spark, sf))
+    // the explode of (i, j, k) index structs must be the only Generate,
+    // and the aggregate below it must consume the scan directly
+    assert("Generate".r.findAllIn(p).size <= 2, s"unexpected row expansion:\n$p")
+    assert(!p.contains("Window"), s"window leaked into covariance plan:\n$p")
+  }
+}
