@@ -258,8 +258,12 @@ object CorpusStats {
             (element_at(col("ms"), col("x.j") + 1) / col("n")), 6).as("cov"))
   }
 
-  val embedCovarianceSql: String =
-    s"""WITH e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
+  /** Shared covariance CTE prefix (ends with the raw second-moment
+    * relation `s` + scalar `n`) — used by the covariance oracle and the
+    * PCA power-iteration oracle below.
+    */
+  private val covCtesSql: String =
+    s"""e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |idx AS (
        |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
@@ -267,10 +271,106 @@ object CorpusStats {
        |s AS (
        |  SELECT i, j, sum(v[i + 1] * v[j + 1]) AS s2,
        |         sum(v[i + 1]) AS si, sum(v[j + 1]) AS sj
-       |  FROM e CROSS JOIN idx GROUP BY 1, 2)
+       |  FROM e CROSS JOIN idx GROUP BY 1, 2)""".stripMargin
+
+  val embedCovarianceSql: String =
+    s"""WITH $covCtesSql
        |SELECT i, j,
        |       ${Num.rSql("s2 / n - (si / n) * (sj / n)", 6)} AS cov
        |FROM s CROSS JOIN n""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Distributed PCA: top principal component by power iteration.
+  // ---------------------------------------------------------------------
+
+  /** Power-iteration count. 12 doublings from e₀ are plenty for a top
+    * eigenvalue separated from the rest — and the count is part of the
+    * operator's DETERMINISTIC definition (both engines run exactly this
+    * many snapped iterations, so they agree bit-wise regardless of
+    * convergence).
+    */
+  val PcaIters = 12
+
+  /** Snap grid for the per-iteration eigenvector components: every
+    * mat-vec result and every normalized component is re-snapped to 1e-9
+    * before the next step, so the engines' different summation orders
+    * (driver loop vs SQL aggregate) can never compound across
+    * iterations — the same stage-snapping discipline as q_lr_train.
+    */
+  private def snap(x: Double, s: Double): Double = math.floor(x * s + 0.5) / s
+
+  /** First principal component of the embedding table, distributed the
+    * way PCA actually scales: ONE corpus scan aggregates the d×d second
+    * moments (the bounded VecSumAgg covariance above), the driver runs
+    * power iteration on the d×d matrix (64² doubles — model-sized, like
+    * the k-means codebook and the LR weight vector), and ONE more scan
+    * projects every embedding onto the eigenvector map-side (broadcast
+    * literal, codegen'd dot product). Nothing quadratic in corpus size
+    * ever forms. Output: per-vector first-PC coordinate plus the shared
+    * eigenvalue column (the variance-explained numerator). The oracle
+    * unrolls the identical snapped iterations as chained CTEs over the
+    * same rounded covariance relation.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dim
+    val a = Array.ofDim[Double](d, d)
+    embedCovariance(spark, dir).collect().foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val c = r.getAs[Double]("cov")
+      a(i)(j) = c; a(j)(i) = c
+    }
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += a(i)(j) * x(j); j += 1 }
+        snap(acc, 1e9)
+      }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to PcaIters) {
+      val y = matvec(v)
+      var nn = 0.0; var i = 0
+      while (i < d) { nn += y(i) * y(i); i += 1 }
+      val nv = math.sqrt(nn)
+      v = y.map(x => snap(x / nv, 1e9))
+    }
+    val yF = matvec(v)
+    val lambda = snap(math.sqrt(yF.map(x => x * x).sum), 1e6)
+    val vLit = array(v.map(lit): _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Num.r(graft.scale.VectorOps.dot(col("embedding"), vLit), 6).as("pc1"),
+        lit(lambda).as("lambda"))
+  }
+
+  val pcaProjectSql: String = {
+    // every per-iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    // and a 12-deep chain each referencing its predecessor twice would
+    // re-expand the covariance scan 2^12 times
+    val iters = (1 to PcaIters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""y$k AS MATERIALIZED (
+         |  SELECT covf.i AS i, ${Num.rSql(s"sum(covf.c * $prev.x)", 9)} AS y
+         |  FROM covf JOIN $prev ON covf.j = $prev.i GROUP BY 1),
+         |n$k AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nv FROM y$k),
+         |v$k AS MATERIALIZED (SELECT i, ${Num.rSql("y / nv", 9)} AS x FROM y$k CROSS JOIN n$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $covCtesSql,
+       |cov AS MATERIALIZED (SELECT i, j, ${Num.rSql("s2 / n - (si / n) * (sj / n)", 6)} AS c
+       |        FROM s CROSS JOIN n),
+       |covf AS MATERIALIZED (SELECT i, j, c FROM cov
+       |         UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+       |v0 AS (SELECT CAST(i AS INT) AS i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS x
+       |       FROM range(0, $Dim) t(i)),
+       |$iters,
+       |yf AS (
+       |  SELECT covf.i AS i, ${Num.rSql(s"sum(covf.c * v$PcaIters.x)", 9)} AS y
+       |  FROM covf JOIN v$PcaIters ON covf.j = v$PcaIters.i GROUP BY 1),
+       |lam AS (SELECT ${Num.rSql("sqrt(sum(y * y))", 6)} AS lambda FROM yf),
+       |vec AS (SELECT array_agg(x ORDER BY i) AS pv FROM v$PcaIters)
+       |SELECT e.vec_id, ${Num.rSql("list_dot_product(e.v, pv)", 6)} AS pc1, lambda
+       |FROM e CROSS JOIN vec CROSS JOIN lam""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
 
@@ -279,12 +379,14 @@ object CorpusStats {
     "q_source_kl" -> sourceKl,
     "q_source_overlap" -> sourceOverlap,
     "q_semantic_decontaminate" -> semanticDecontaminate,
-    "q_embed_covariance" -> embedCovariance)
+    "q_embed_covariance" -> embedCovariance,
+    "q_pca_project" -> pcaProject)
 
   val oracles: Map[String, String] = Map(
     "q_vocab_entropy" -> vocabEntropySql,
     "q_source_kl" -> sourceKlSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_semantic_decontaminate" -> semanticDecontaminateSql,
-    "q_embed_covariance" -> embedCovarianceSql)
+    "q_embed_covariance" -> embedCovarianceSql,
+    "q_pca_project" -> pcaProjectSql)
 }

@@ -98,4 +98,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(p).size <= 2, s"unexpected row expansion:\n$p")
     assert(!p.contains("Window"), s"window leaked into covariance plan:\n$p")
   }
+
+  test("PCA projection: variance along pc1 approaches the reported " +
+    "eigenvalue, and the projection scan is shuffle-free") {
+    val df = CorpusStats.pcaProject(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(lambda > 0)
+    assert(rows.forall(_.getAs[Double]("lambda") == lambda))
+    val xs = rows.map(_.getAs[Double]("pc1"))
+    val n = xs.length.toDouble
+    val mean = xs.sum / n
+    val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+    // v'Av <= lambda_max with equality at the eigenvector; 12 snapped
+    // power iterations land within a few percent on this spectrum
+    assert(variance <= lambda * 1.02 && variance >= lambda * 0.8,
+      s"Var(pc1)=$variance vs lambda=$lambda")
+    // the projection itself is one scan: a literal-vector dot product,
+    // no Exchange in the final plan
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"projection plan shuffles:\n$p")
+  }
 }
