@@ -210,9 +210,16 @@ object CorpusQueries {
     * array — no shuffle at all; at 100 TB this is a free rider on
     * whatever scan feeds curation.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, dir))
+
+  /** Core form over any documents relation — pure scan-stage
+    * expressions, so the streaming form (Streams.gopherStream) is this
+    * same code over the ingest stream.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
     val w = col("w")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"),
         (regexp_count(col("text"), lit("#")) +
           regexp_count(col("text"), lit("\\.\\.\\."))).as("n_sym"))

@@ -188,14 +188,24 @@ object CorpusStats {
     val emb = Tables.embeddings(spark, dir)
     val eval = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("e_id"), col("embedding").as("e_embedding"))
-    emb.filter(col("vec_id") % 25 =!= 0)
+    semanticDecontaminateAgainst(emb.filter(col("vec_id") % 25 =!= 0), eval)
+  }
+
+  /** Core form against an EXTERNAL eval relation (vec_id/embedding as
+    * e_id/e_embedding) — the eval broadcast is bounded by the benchmark
+    * suite, never the corpus, and the whole computation is a stateless
+    * map + hash aggregate, so the streaming form
+    * (Streams.semanticDecontStream) is this same code over the ingest
+    * stream of new embeddings.
+    */
+  def semanticDecontaminateAgainst(corpus: DataFrame, eval: DataFrame): DataFrame =
+    corpus
       .crossJoin(broadcast(eval))
       .select(col("vec_id"),
         Num.r(Similarity.cosine(col("embedding"), col("e_embedding")), 6).as("cs"))
       .groupBy(col("vec_id"))
       .agg(max(col("cs")).as("max_eval_sim"))
       .withColumn("contaminated", col("max_eval_sim") >= SemDecontThreshold)
-  }
 
   private val dblEmbSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String) =

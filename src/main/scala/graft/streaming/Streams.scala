@@ -155,6 +155,36 @@ object Streams {
   def documentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(DocumentSchema).parquet(dir)
 
+  /** Embeddings file-stream (same parquet schema as Tables.embeddings) —
+    * the ingest form of the vector tier for the streaming ANN/decontam
+    * operators.
+    */
+  val EmbeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def embeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EmbeddingSchema).parquet(dir)
+
+  /** q_gopher_rules streaming form: the rule flags are pure scan-stage
+    * arithmetic (zero shuffles), so flagging the ingest stream is the
+    * SAME code — stateless, append-mode, no watermark needed.
+    * StreamingSpec pins stream≡batch row equality.
+    */
+  def gopherStream(docs: DataFrame): DataFrame =
+    graft.analytics.CorpusQueries.gopherFlags(docs)
+
+  /** q_semantic_decontaminate streaming form: the eval-set vectors
+    * broadcast (bounded by the benchmark suite) and each arriving
+    * embedding is scored map-side + one streaming hash aggregate for
+    * the per-vector max — the ingest-time gate that keeps paraphrased
+    * eval leakage out of a continuously-growing corpus. Complete mode
+    * over a finite source equals the batch operator (StreamingSpec).
+    */
+  def semanticDecontStream(embStream: DataFrame, eval: DataFrame): DataFrame =
+    graft.analytics.CorpusStats.semanticDecontaminateAgainst(embStream, eval)
+
   /** q_span_dedup streaming form: incrementally maintained span document
     * frequency. The batch operator's heavy half is the corpus-wide
     * df(span) aggregate — here that relation is maintained as a

@@ -220,6 +220,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSet == expSet)
   }
 
+  test("streaming gopher flags equal the batch rules row-for-row") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_gopher")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("documents.parquet"))
+    val out = Streams.runToCompletion(
+      Streams.gopherStream(Streams.documentStream(spark, d.toString)),
+      OutputMode.Append(), "gopher_stream")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("mean_word_len"),
+          r.getAs[Boolean]("keep"))).toMap
+    val got = keyed(out.collect())
+    val exp = keyed(graft.analytics.CorpusQueries.gopherRules(spark, sf).collect())
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming semantic decontamination equals the batch gate") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_emb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"), d.resolve("embeddings.parquet"))
+    val eval = Tables.embeddings(spark, sf).filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_embedding"))
+    val out = Streams.runToCompletion(
+      Streams.semanticDecontStream(
+        Streams.embeddingStream(spark, d.toString).filter(col("vec_id") % 25 =!= 0),
+        eval),
+      OutputMode.Complete(), "semdecont_stream")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_eval_sim"), r.getAs[Boolean]("contaminated"))).toMap
+    val got = keyed(out.collect())
+    val exp = keyed(graft.analytics.CorpusStats.semanticDecontaminate(spark, sf).collect())
+    assert(got == exp)
+    assert(got.exists(_._2._2), "fixture must contain contaminated vectors")
+  }
+
   test("streaming classifier inference equals the batch scores row-for-row") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_cls")
     java.nio.file.Files.copy(
