@@ -354,7 +354,64 @@ object ABBench {
       time(s"shards_$i") { analytics.ScaleQueries.trainingShards(spark, sfDir).count() }
       time(s"qualitysample_$i") { analytics.ScaleQueries.qualitySample(spark, sfDir).count() }
       time(s"splitassign_$i") { analytics.ScaleQueries.splitAssign(spark, sfDir).count() }
+      // round-6 second-session wave: legacy shapes vs registered plans
+      time(s"paradedup_window_$i") { paragraphDedupWindow(spark, sfDir).count() }
+      time(s"paradedup_argmin_$i") { analytics.CorpusQueries.paragraphDedup(spark, sfDir).count() }
+      time(s"globalindex_naive_$i") {
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("n_chars"),
+            (org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("n_chars"), col("doc_id"))).cast("long") - 1)
+              .as("global_idx"))
+          .count()
+      }
+      time(s"globalindex_bucketed_$i") { analytics.CorpusQueries.globalIndex(spark, sfDir).count() }
+      time(s"cov_posexplode_$i") {
+        // dim²-ish row expansion baseline: one row per (vector, i, j)
+        emb.select(posexplode(col("embedding")).as(Seq("i", "x")), col("embedding"))
+          .select(col("i"), col("x"), posexplode(col("embedding")).as(Seq("j", "y")))
+          .filter(col("j") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("x").cast("double") * col("y").cast("double")).as("s2"))
+          .count()
+      }
+      time(s"cov_vecsum_$i") { analytics.CorpusStats.embedCovariance(spark, sfDir).count() }
+      time(s"pca_project_$i") { analytics.CorpusStats.pcaProject(spark, sfDir).count() }
+      time(s"vocabentropy_$i") { analytics.CorpusStats.vocabEntropy(spark, sfDir).count() }
+      time(s"sourcekl_$i") { analytics.CorpusStats.sourceKl(spark, sfDir).count() }
+      time(s"semdecont_$i") { analytics.CorpusStats.semanticDecontaminate(spark, sfDir).count() }
     }
     spark.stop()
+  }
+
+  /** Legacy keeper election for paragraph dedup: a row_number window
+    * over every paragraph instance per hash — the per-hash sort the
+    * registered grouped-min-struct plan avoids.
+    */
+  private def paragraphDedupWindow(spark: SparkSession, dir: String): DataFrame = {
+    import analytics.CorpusQueries.ParaSize
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"transform(sequence(1, size(w), $ParaSize), s -> slice(w, s, $ParaSize))"))
+        .as(Seq("para_idx", "p")))
+      .select(col("doc_id"), col("source"), col("para_idx").cast("int").as("para_idx"),
+        size(col("p")).as("n_tokens"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+    val keeper = inst.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
+          .orderBy(col("doc_id"), col("para_idx"))))
+    keeper
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 0L).otherwise(1L)).as("n_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("pct_tokens_removed",
+        Num.r((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total"), 6))
   }
 }
