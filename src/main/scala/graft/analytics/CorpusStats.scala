@@ -383,6 +383,70 @@ object CorpusStats {
   }
 
   // ---------------------------------------------------------------------
+  // Embedding outlier scoring (diagonal Mahalanobis).
+  // ---------------------------------------------------------------------
+
+  /** Outlier threshold on the dimension-normalized score (E[m²/d] = 1
+    * for in-distribution vectors; the synthetic corpus tops out ~1.06).
+    * A literal so both engines share the double.
+    */
+  val OutlierThreshold = 1.02
+
+  /** Per-vector embedding outlier score — the diagonal-covariance
+    * Mahalanobis distance m²/d against the corpus distribution, the
+    * standard embedding-space quality gate (drop encoder failures /
+    * garbage inputs before ANN indexing or semantic dedup). Scale
+    * shape: per-dim mean/std come from ONE scan (two bounded VecSumAgg
+    * buffers), ride back as a broadcast single-row relation, and the
+    * scoring is a stateless map over the corpus — the same
+    * stats-broadcast shape as int8 quantization. Stats are snapped to
+    * 1e-9 before use (the PCA discipline) so both engines score from
+    * identical doubles; the score is rounded before the threshold
+    * compare.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val sq = expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val stats = Tables.embeddings(spark, dir)
+      .agg(VecSum.vecSum(col("embedding")).as("s1"), VecSum.vecSum(sq).as("s2"))
+      .select(col("s1.n").as("n"),
+        expr(s"transform(s1.sums, s -> floor((s / s1.n) * 1.0E9 + 0.5) / 1.0E9)")
+          .as("mus"),
+        expr(("zip_with(s1.sums, s2.sums, (a, b) -> " +
+          "floor(sqrt(b / s1.n - (a / s1.n) * (a / s1.n)) * 1.0E9 + 0.5) / 1.0E9)"))
+          .as("sds"))
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        Num.r(expr(
+          """aggregate(
+            |  zip_with(zip_with(embedding, mus, (x, m) -> CAST(x AS DOUBLE) - m),
+            |           sds, (z, s) -> (z / s) * (z / s)),
+            |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin) /
+          lit(Dim), 6).as("m2d"))
+      .withColumn("outlier", col("m2d") >= OutlierThreshold)
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |dim AS (SELECT CAST(i AS INT) AS i FROM range(1, ${Dim + 1}) t(i)),
+       |st AS (
+       |  SELECT i, ${Num.rSql("sum(v[i]) / n", 9)} AS mu,
+       |         ${Num.rSql("sqrt(sum(v[i] * v[i]) / n - (sum(v[i]) / n) * (sum(v[i]) / n))", 9)} AS sd
+       |  FROM e CROSS JOIN dim CROSS JOIN n GROUP BY i, n.n),
+       |ms AS (SELECT array_agg(mu ORDER BY i) AS mus, array_agg(sd ORDER BY i) AS sds
+       |       FROM st)
+       |SELECT e.vec_id,
+       |  ${Num.rSql(
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ((v[i] - mus[i]) / sds[i]) * ((v[i] - mus[i]) / sds[i]))) / $Dim",
+      6)} AS m2d,
+       |  ${Num.rSql(
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ((v[i] - mus[i]) / sds[i]) * ((v[i] - mus[i]) / sds[i]))) / $Dim",
+      6)} >= $OutlierThreshold AS outlier
+       |FROM e CROSS JOIN ms""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_entropy" -> vocabEntropy,
@@ -390,7 +454,8 @@ object CorpusStats {
     "q_source_overlap" -> sourceOverlap,
     "q_semantic_decontaminate" -> semanticDecontaminate,
     "q_embed_covariance" -> embedCovariance,
-    "q_pca_project" -> pcaProject)
+    "q_pca_project" -> pcaProject,
+    "q_embed_outliers" -> embedOutliers)
 
   val oracles: Map[String, String] = Map(
     "q_vocab_entropy" -> vocabEntropySql,
@@ -398,5 +463,6 @@ object CorpusStats {
     "q_source_overlap" -> sourceOverlapSql,
     "q_semantic_decontaminate" -> semanticDecontaminateSql,
     "q_embed_covariance" -> embedCovarianceSql,
-    "q_pca_project" -> pcaProjectSql)
+    "q_pca_project" -> pcaProjectSql,
+    "q_embed_outliers" -> embedOutliersSql)
 }

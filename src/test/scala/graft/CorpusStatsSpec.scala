@@ -120,4 +120,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     val p = plan(df)
     assert(!p.contains("Exchange"), s"projection plan shuffles:\n$p")
   }
+
+  test("embedding outliers: mean score ~1 (Mahalanobis/d), threshold " +
+    "splits, stats ride a broadcast") {
+    val df = CorpusStats.embedOutliers(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    val scores = rows.map(_.getAs[Double]("m2d"))
+    val mean = scores.sum / scores.length
+    assert(math.abs(mean - 1.0) < 0.05, s"E[m2/d]=$mean")
+    val nOut = rows.count(_.getAs[Boolean]("outlier"))
+    assert(nOut > 0 && nOut < rows.length, "threshold must split the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("outlier") ==
+        (r.getAs[Double]("m2d") >= CorpusStats.OutlierThreshold))
+    }
+    val p = plan(df)
+    assert(p.contains("Broadcast"), s"stats not broadcast:\n$p")
+  }
 }
