@@ -383,6 +383,93 @@ object CorpusStats {
   }
 
   // ---------------------------------------------------------------------
+  // DoReMi-style mixture reweighting step.
+  // ---------------------------------------------------------------------
+
+  /** Multiplicative-weights step size (the DoReMi η) — a literal so both
+    * engines exponentiate the identical double.
+    */
+  val DoremiEta = 1.0
+
+  /** One DoReMi-style mirror-descent step on the domain mixture (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures"): sources whose proxy
+    * loss exceeds the corpus average get upweighted multiplicatively,
+    * w'ₛ ∝ w⁰ₛ · exp(η · (Lₛ − L̄)), starting from token-share weights.
+    * The proxy loss is the per-source cross-entropy against the corpus
+    * unigram LM (the self-trained stand-in for DoReMi's reference-model
+    * excess loss), and L̄ is the corpus unigram entropy — all three
+    * statistics derive from the SAME (source, term-hash, count) relation
+    * the entropy/KL tier builds, so the whole step costs the one token
+    * shuffle plus vocab-bounded aggregates. Every stage value (loss,
+    * base weight, unnormalized score) is snapped to 1e-9 before the next
+    * multiply — the q_lr_train discipline — making the engines agree
+    * bit-wise through the exp and the normalization.
+    */
+  def mixtureDoremi(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("c"))
+    val corpus = tf.groupBy(col("th")).agg(sum(col("c")).as("ct"))
+    val tot = broadcast(corpus.agg(sum(col("ct")).as("n")))
+    // corpus unigram entropy L̄ = −Σ (ct/n)·ln(ct/n), snapped
+    val href = broadcast(corpus.crossJoin(tot)
+      .agg(Num.r(-sum((col("ct").cast("double") / col("n")) *
+        log(col("ct").cast("double") / col("n"))), 9).as("h_ref")))
+    // per-source cross-entropy Lₛ = −(Σ c·ln(ct/n))/ns, snapped
+    val bySrc = tf.join(corpus, "th").crossJoin(tot)
+      .groupBy(col("source")).agg(
+        sum(col("c")).as("ns"),
+        max(col("n")).as("n"),
+        Num.r(-sum(col("c").cast("double") *
+          log(col("ct").cast("double") / col("n"))) /
+          sum(col("c")), 9).as("loss"))
+      .select(col("source"), col("ns"), col("loss"),
+        Num.r(col("ns").cast("double") / col("n"), 9).as("w0"))
+    val scored = bySrc.crossJoin(href)
+      .select(col("source"), col("ns"), col("loss"), col("w0"),
+        Num.r(col("w0") * exp(lit(DoremiEta) * (col("loss") - col("h_ref"))), 9)
+          .as("score"))
+    val z = broadcast(scored.agg(sum(col("score")).as("z")))
+    scored.crossJoin(z)
+      .select(col("source"), col("ns").as("n_tokens"),
+        Num.r(col("loss"), 6).as("loss"),
+        Num.r(col("w0"), 6).as("w_base"),
+        Num.r(col("score") / col("z"), 6).as("w_new"))
+  }
+
+  val mixtureDoremiSql: String =
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT source, term, count(*) AS c FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |corpus AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus),
+       |href AS (
+       |  SELECT ${Num.rSql("-sum((CAST(ct AS DOUBLE) / n) * ln(CAST(ct AS DOUBLE) / n))", 9)} AS h_ref
+       |  FROM corpus CROSS JOIN tot),
+       |bysrc AS (
+       |  SELECT tf.source, CAST(sum(c) AS BIGINT) AS ns, max(n) AS n,
+       |         ${Num.rSql("-sum(CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE) / n)) / sum(c)", 9)} AS loss
+       |  FROM tf JOIN corpus USING (term) CROSS JOIN tot
+       |  GROUP BY 1),
+       |w AS (
+       |  SELECT source, ns, loss, ${Num.rSql("CAST(ns AS DOUBLE) / n", 9)} AS w0
+       |  FROM bysrc),
+       |sc AS (
+       |  SELECT source, ns, loss, w0,
+       |         ${Num.rSql(s"w0 * exp($DoremiEta * (loss - h_ref))", 9)} AS score
+       |  FROM w CROSS JOIN href),
+       |z AS (SELECT sum(score) AS z FROM sc)
+       |SELECT source, ns AS n_tokens,
+       |       ${Num.rSql("loss", 6)} AS loss,
+       |       ${Num.rSql("w0", 6)} AS w_base,
+       |       ${Num.rSql("score / z", 6)} AS w_new
+       |FROM sc CROSS JOIN z""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Embedding outlier scoring (diagonal Mahalanobis).
   // ---------------------------------------------------------------------
 
@@ -455,7 +542,8 @@ object CorpusStats {
     "q_semantic_decontaminate" -> semanticDecontaminate,
     "q_embed_covariance" -> embedCovariance,
     "q_pca_project" -> pcaProject,
-    "q_embed_outliers" -> embedOutliers)
+    "q_embed_outliers" -> embedOutliers,
+    "q_mixture_doremi" -> mixtureDoremi)
 
   val oracles: Map[String, String] = Map(
     "q_vocab_entropy" -> vocabEntropySql,
@@ -464,5 +552,6 @@ object CorpusStats {
     "q_semantic_decontaminate" -> semanticDecontaminateSql,
     "q_embed_covariance" -> embedCovarianceSql,
     "q_pca_project" -> pcaProjectSql,
-    "q_embed_outliers" -> embedOutliersSql)
+    "q_embed_outliers" -> embedOutliersSql,
+    "q_mixture_doremi" -> mixtureDoremiSql)
 }

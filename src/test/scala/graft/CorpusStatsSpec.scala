@@ -138,4 +138,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("Broadcast"), s"stats not broadcast:\n$p")
   }
+
+  test("DoReMi step: new weights are a distribution and upweight " +
+    "above-average-loss sources") {
+    val rows = CorpusStats.mixtureDoremi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("w_new")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"w_new sums to $wsum")
+    rows.foreach(r => assert(r.getAs[Double]("w_new") > 0))
+    // multiplicative-weights direction: the hardest source's weight
+    // ratio must exceed the easiest source's (adjacent-pair order can
+    // flip inside the 1e-6 display rounding on this near-uniform
+    // corpus; the extremes are separated by exp(η·Δloss) ≈ 0.4%)
+    def ratio(r: org.apache.spark.sql.Row) =
+      r.getAs[Double]("w_new") / r.getAs[Double]("w_base")
+    val hardest = rows.maxBy(_.getAs[Double]("loss"))
+    val easiest = rows.minBy(_.getAs[Double]("loss"))
+    assert(ratio(hardest) > ratio(easiest),
+      s"hardest ${ratio(hardest)} !> easiest ${ratio(easiest)}")
+  }
 }
