@@ -1,0 +1,336 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+import graft.functions.TextAnalysis
+import graft.scale.VectorOps
+
+/** Corpus-diversity operators: the statistical-law fits and diversity
+  * measures a training-data run reports next to the entropy/KL tier
+  * (graft.analytics.CorpusStats), plus greedy coreset selection on the
+  * embedding table — the data-pruning primitive behind diverse-subset
+  * recipes.
+  *
+  * Reference analog: the quality/monitoring reporting surface of the
+  * curation config (`/root/reference/config/config.yaml` quality
+  * section); the operators themselves are standard public-literature
+  * corpus diagnostics (Zipf's law, distinct-n diversity, tokenizer
+  * fertility, k-center greedy from the active-learning/coreset
+  * literature). House rules throughout: rounding via graft.Num only,
+  * term/gram strings never reach a shuffle (xxhash64 longs), identical
+  * literals and textually parallel arithmetic in the Spark expression
+  * and the DuckDB oracle.
+  */
+object CorpusDiversity {
+
+  // ---------------------------------------------------------------------
+  // Zipf's-law fit per source.
+  // ---------------------------------------------------------------------
+
+  /** Number of top-frequency terms the rank–frequency regression runs
+    * over. Part of the operator's deterministic definition — both
+    * engines fit exactly this many points (fewer only if a source's
+    * vocabulary is smaller).
+    */
+  val ZipfTopK = 100
+
+  /** Per-source Zipf's-law fit: least-squares slope/intercept of
+    * ln(frequency) on ln(rank) over the top-`ZipfTopK` terms. Natural
+    * corpora fit slope ≈ −1; a source whose slope is far off (too flat:
+    * template/boilerplate spam; too steep: tiny effective vocabulary) is
+    * a curation signal no per-document gate sees.
+    *
+    * Scale shape: token instances shuffle ONCE into the (source,
+    * term-hash) count relation (map-side combined, vocabulary-bounded);
+    * the top-K per source comes from the bounded TopKAgg (O(sources·k)
+    * state per task, no per-source sort); the regression then runs over
+    * sources×k rows. No term string and no Window node anywhere.
+    *
+    * Determinism across engines: ranks only matter through the multiset
+    * of (rank, count) points, which is tiebreak-invariant — any top-K
+    * cut under (count desc, any-total-tiebreak) yields the same sorted
+    * count sequence — so the hash-keyed Spark heap and the string-keyed
+    * oracle window agree exactly. Regression sums are snapped to 1e-9
+    * before the slope division (the q_lr_train stage discipline).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("c"))
+    val top = tf.groupBy(col("source"))
+      .agg(graft.scale.TopK.topK(col("c").cast("double"), col("th"), ZipfTopK).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("double").as("rank"),
+        col("col.score").as("c"))
+    val s = top.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      Num.r(sum(log(col("rank"))), 9).as("sx"),
+      Num.r(sum(log(col("c"))), 9).as("sy"),
+      Num.r(sum(log(col("rank")) * log(col("c"))), 9).as("sxy"),
+      Num.r(sum(log(col("rank")) * log(col("rank"))), 9).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("source"), col("n").as("n_terms"),
+      Num.r(slope, 6).as("slope"),
+      Num.r((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  val zipfFitSql: String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT source, term, count(*) AS c FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, CAST(rank AS DOUBLE) AS rank, CAST(c AS DOUBLE) AS c FROM (
+       |    SELECT source, c,
+       |           row_number() OVER (PARTITION BY source
+       |                              ORDER BY c DESC, term ASC) AS rank
+       |    FROM tf) WHERE rank <= $ZipfTopK),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |         ${Num.rSql("sum(ln(rank))", 9)} AS sx,
+       |         ${Num.rSql("sum(ln(c))", 9)} AS sy,
+       |         ${Num.rSql("sum(ln(rank) * ln(c))", 9)} AS sxy,
+       |         ${Num.rSql("sum(ln(rank) * ln(rank))", 9)} AS sxx
+       |  FROM top GROUP BY 1)
+       |SELECT source, n AS n_terms,
+       |       ${Num.rSql(slope, 6)} AS slope,
+       |       ${Num.rSql(s"(sy - ($slope) * sx) / n", 6)} AS intercept
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenizer fertility per source.
+  // ---------------------------------------------------------------------
+
+  /** Per-source tokenizer fertility — BPE-ish tokens per whitespace word
+    * and characters per token, the tokenizer-efficiency report a
+    * data-recipe run uses to convert document budgets into token budgets
+    * (and to spot sources the tokenizer fragments badly, e.g. code or
+    * non-Latin scripts). Runs entirely in the scan stage through the
+    * codegen'd single-scan counters (`WsTokenCount`/`BpeCount` behind
+    * TextAnalysis) plus ONE tiny per-source aggregate — zero joins, all
+    * integer sums, so the engines agree exactly with no snapping needed
+    * before the display rounding.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(
+        sum(TextAnalysis.wordCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        Num.r(col("bpe_tokens").cast("double") / col("ws_tokens"), 6)
+          .as("fertility"),
+        Num.r(col("n_chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_token"))
+
+  val tokenFertilitySql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS wst,
+       |    CASE WHEN text IS NULL THEN 0
+       |         ELSE len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) END AS bpet,
+       |    n_chars
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(sum(wst) AS BIGINT) AS ws_tokens,
+       |         CAST(sum(bpet) AS BIGINT) AS bpe_tokens,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM t GROUP BY 1)
+       |SELECT source, ws_tokens, bpe_tokens, n_chars,
+       |       ${Num.rSql("CAST(bpe_tokens AS DOUBLE) / ws_tokens", 6)} AS fertility,
+       |       ${Num.rSql("CAST(n_chars AS DOUBLE) / bpe_tokens", 6)} AS chars_per_token
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // N-gram diversity + cross-source novelty.
+  // ---------------------------------------------------------------------
+
+  /** Per-source word-trigram diversity: distinct-n ratio (distinct
+    * trigrams / trigram instances — the standard text-diversity measure;
+    * low = repetitive/templated output) and cross-source novelty (share
+    * of the source's distinct trigrams occurring in NO other source —
+    * high = genuinely new content, low = mirrored/duplicated provenance,
+    * the same dial q_source_overlap reads from the near-dup graph but at
+    * n-gram granularity).
+    *
+    * Scale shape: trigrams are built map-side with zip_with over slices
+    * (per CLAUDE.md — indexing the split array inside a HOF lambda
+    * re-evaluates the split per element) and leave the scan as xxhash64
+    * longs; gram instances shuffle once into the (source, gram-hash)
+    * relation, everything after is gram-vocabulary-bounded: the
+    * source-count aggregate and the hash-keyed join back are both over
+    * distinct grams, co-partitioned on the 8-byte hash. 64-bit gram-hash
+    * collisions undercount novelty by ~n²/2⁶⁵ — negligible at any
+    * realistic gram vocabulary (the shingle tier's standing trade).
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val tri = when(size(w) >= 3,
+      zip_with(slice(w, lit(1), size(w) - 2),
+        zip_with(slice(w, lit(2), size(w) - 2), slice(w, lit(3), size(w) - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc)))
+      .otherwise(array().cast("array<string>"))
+    val sg = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("source"), explode(tri).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("gh"))
+      .groupBy(col("source"), col("gh")).agg(count(lit(1)).as("c"))
+    val per = sg.groupBy(col("source")).agg(
+      sum(col("c")).as("n_trigrams"),
+      count(lit(1)).as("distinct_trigrams"))
+    val ns = sg.groupBy(col("gh")).agg(count(lit(1)).as("nsrc"))
+    val nov = sg.join(ns, "gh").filter(col("nsrc") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("novel"))
+    per.join(nov, Seq("source"), "left")
+      .select(col("source"), col("n_trigrams"), col("distinct_trigrams"),
+        coalesce(col("novel"), lit(0L)).as("novel_distinct"),
+        Num.r(col("distinct_trigrams").cast("double") / col("n_trigrams"), 6)
+          .as("distinct_ratio"),
+        Num.r(coalesce(col("novel"), lit(0L)).cast("double") /
+          col("distinct_trigrams"), 6).as("novelty"))
+  }
+
+  val ngramDiversitySql: String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |tg AS (
+       |  SELECT source, unnest(CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |      ELSE [] END) AS g
+       |  FROM toks),
+       |sg AS (SELECT source, g, count(*) AS c FROM tg GROUP BY 1, 2),
+       |per AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+       |         CAST(count(*) AS BIGINT) AS distinct_trigrams
+       |  FROM sg GROUP BY 1),
+       |ns AS (SELECT g, count(*) AS nsrc FROM sg GROUP BY 1),
+       |nov AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS novel
+       |  FROM sg JOIN ns USING (g) WHERE nsrc = 1 GROUP BY 1)
+       |SELECT per.source, n_trigrams, distinct_trigrams,
+       |       CAST(coalesce(novel, 0) AS BIGINT) AS novel_distinct,
+       |       ${Num.rSql("CAST(distinct_trigrams AS DOUBLE) / n_trigrams", 6)} AS distinct_ratio,
+       |       ${Num.rSql("CAST(coalesce(novel, 0) AS DOUBLE) / distinct_trigrams", 6)} AS novelty
+       |FROM per LEFT JOIN nov USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // K-center greedy coreset selection.
+  // ---------------------------------------------------------------------
+
+  /** Number of greedy k-center steps — part of the operator's
+    * deterministic definition (both engines run exactly this many).
+    */
+  val KcSteps = 8
+
+  /** Greedy k-center coreset selection over the embedding table (the
+    * farthest-point-first 2-approximation from the facility-location /
+    * active-learning literature — the selection primitive behind
+    * diverse-subset data-pruning recipes): seed with the lowest vec_id,
+    * then `KcSteps` times pick the point farthest from its nearest
+    * already-selected center. Output: one row per step with the chosen
+    * vector and the coverage radius² at selection time (non-increasing —
+    * the curve a pruning run reads to pick its subset size).
+    *
+    * Scale shape — the driver-held-model pattern (q_lr_train, PCA, the
+    * k-means codebook): each step is ONE corpus scan with the ≤`KcSteps`
+    * selected centers as broadcast literals (codegen'd DotProduct per
+    * center, v·v hoisted so the scan pays one self-dot), reduced by a
+    * tiny max-struct aggregate; the driver holds only the selected
+    * vectors. Nothing quadratic in corpus size forms. Determinism: d² is
+    * computed bit-identically in both engines (left-to-right double dot
+    * products, `least` is exact), ranking uses the 1e-6-snapped distance
+    * with a vec_id tiebreak (round-before-rank per CLAUDE.md). The
+    * oracle unrolls the same steps as MATERIALIZED CTEs, carrying the
+    * running min-distance relation forward (least(prev, d²(v, new)) —
+    * the same values Spark's k-way least sees).
+    */
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def vecOf(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+      r.getSeq[Any](i).map(_.asInstanceOf[Number].doubleValue).toSeq
+    val seed = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding")).collect()(0)
+    var centers = Seq(vecOf(seed, 0))
+    val picks = Seq.newBuilder[(Int, Long, Double)]
+    for (t <- 1 to KcSteps) {
+      val dExprs: Seq[Column] = centers.map { c =>
+        val cl = typedLit(c)
+        col("__vv") - lit(2.0) * VectorOps.dot(col("embedding"), cl) +
+          VectorOps.dot(cl, cl)
+      }
+      val dMin = if (dExprs.size == 1) dExprs.head else least(dExprs: _*)
+      val best = emb
+        .withColumn("__vv", VectorOps.dot(col("embedding"), col("embedding")))
+        .select(Num.r(dMin, 6).as("d"), col("vec_id"))
+        .agg(max(struct(col("d"), negate(col("vec_id")).as("nid"))).as("best"))
+        .select(col("best.d").as("d"), negate(col("best.nid")).as("vec_id"))
+        .collect()(0)
+      val vid = best.getLong(1)
+      picks += ((t, vid, best.getDouble(0)))
+      val cRow = emb.filter(col("vec_id") === vid)
+        .select(col("embedding")).collect()(0)
+      centers = centers :+ vecOf(cRow, 0)
+    }
+    import spark.implicits._
+    picks.result().toDF("step", "vec_id", "radius2")
+      .select(col("step").cast("int").as("step"), col("vec_id"), col("radius2"))
+  }
+
+  val coresetKcenterSql: String = {
+    def d2(v: String, c: String): String =
+      s"(list_dot_product($v,$v) - 2.0 * list_dot_product($v,$c) + list_dot_product($c,$c))"
+    val steps = (1 to KcSteps).map { k =>
+      val dPrev = if (k == 1) "d1" else s"d$k"
+      val dDef =
+        if (k == 1)
+          s"""d1 AS MATERIALIZED (
+             |  SELECT e.vec_id, e.v, ${d2("e.v", "c0.v")} AS d
+             |  FROM e CROSS JOIN c0)""".stripMargin
+        else
+          s"""d$k AS MATERIALIZED (
+             |  SELECT d${k - 1}.vec_id, d${k - 1}.v,
+             |         least(d${k - 1}.d, ${d2(s"d${k - 1}.v", s"p${k - 1}.pv")}) AS d
+             |  FROM d${k - 1} CROSS JOIN p${k - 1})""".stripMargin
+      s"""$dDef,
+         |p$k AS MATERIALIZED (
+         |  SELECT vec_id AS pid, v AS pv, ${Num.rSql("d", 6)} AS pd
+         |  FROM $dPrev ORDER BY ${Num.rSql("d", 6)} DESC, vec_id ASC LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to KcSteps)
+      .map(k => s"SELECT $k AS step, pid, pd FROM p$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+       |$steps
+       |SELECT CAST(step AS INT) AS step, pid AS vec_id, pd AS radius2
+       |FROM ($rows)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> zipfFit,
+    "q_token_fertility" -> tokenFertility,
+    "q_ngram_diversity" -> ngramDiversity,
+    "q_coreset_kcenter" -> coresetKcenter)
+
+  val oracles: Map[String, String] = Map(
+    "q_zipf_fit" -> zipfFitSql,
+    "q_token_fertility" -> tokenFertilitySql,
+    "q_ngram_diversity" -> ngramDiversitySql,
+    "q_coreset_kcenter" -> coresetKcenterSql)
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{CorpusDiversity, ScaleQueries}
+
+/** Property + plan gates for the corpus-diversity tier
+  * (analytics/CorpusDiversity.scala). Value parity with DuckDB is the
+  * driver's oracle gate; these pin the invariants the oracle compare
+  * cannot see (regression math vs a local replica, greedy k-center
+  * optimality per step, exact-set trigram accounting) and the 100 TB
+  * plan shapes (no Window in the Zipf fit, zero shuffles before the
+  * fertility aggregate).
+  */
+class CorpusDiversitySpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  // each physical node appears once in the formatted tree as "Name (id)"
+  private def nodeCount(p: String, name: String): Int =
+    (name + " \\(\\d+\\)").r.findAllIn(p).size
+
+  test("zipf fit matches a local replica and slopes are negative") {
+    val rows = CorpusDiversity.zipfFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // local replica: same tokenization (Java \s+ on trimmed lowered text),
+    // same top-K multiset, same snapped regression — fp sum order may
+    // differ from the distributed aggregate, hence the 1e-6 tolerance.
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = bySrc(src).iterator
+        .flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty)
+        .foldLeft(Map.empty[String, Long]) { (m, t) => m.updated(t, m.getOrElse(t, 0L) + 1) }
+      val top = counts.values.toSeq.sorted(Ordering[Long].reverse)
+        .take(CorpusDiversity.ZipfTopK).map(_.toDouble)
+      val n = top.size
+      assert(r.getAs[Long]("n_terms") === n.toLong)
+      val pts = top.zipWithIndex.map { case (c, i) => (math.log(i + 1.0), math.log(c)) }
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+        s"$src slope ${r.getAs[Double]("slope")} vs local $slope")
+      assert(r.getAs[Double]("slope") < 0, s"$src slope not negative")
+    }
+  }
+
+  test("zipf fit plan: bounded top-k, no Window node") {
+    val p = plan(CorpusDiversity.zipfFit(spark, sf))
+    assert(!p.contains("Window"), s"zipf fit must not window the vocab:\n$p")
+  }
+
+  test("token fertility is consistent with the per-doc token counts") {
+    val fert = CorpusDiversity.tokenFertility(spark, sf).collect()
+    assert(fert.nonEmpty)
+    val perDoc = ScaleQueries.tokenCounts(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens").cast("long")).as("ws"),
+        sum(col("bpe_tokens").cast("long")).as("bpe"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("ws"), r.getAs[Long]("bpe"))).toMap
+    fert.foreach { r =>
+      val (ws, bpe) = perDoc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("ws_tokens") === ws)
+      assert(r.getAs[Long]("bpe_tokens") === bpe)
+      assert(r.getAs[Double]("fertility") > 0)
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
+
+  test("token fertility plan: single aggregate, no join") {
+    val p = plan(CorpusDiversity.tokenFertility(spark, sf))
+    assert(!p.contains("Join"), s"fertility must not join:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1,
+      s"fertility is one scan + one tiny aggregate:\n$p")
+  }
+
+  test("ngram diversity matches exact trigram sets computed locally") {
+    val rows = CorpusDiversity.ngramDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def grams(t: String): Seq[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size < 3) Seq.empty
+      else (0 to w.size - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.toSeq.flatMap(d => grams(d._2))
+    }
+    val srcSets = bySrc.map { case (s, g) => s -> g.toSet }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val all = bySrc(src)
+      val set = srcSets(src)
+      val others = srcSets.filter(_._1 != src).values.foldLeft(Set.empty[String])(_ ++ _)
+      assert(r.getAs[Long]("n_trigrams") === all.size.toLong)
+      assert(r.getAs[Long]("distinct_trigrams") === set.size.toLong)
+      assert(r.getAs[Long]("novel_distinct") === set.diff(others).size.toLong)
+      assert(r.getAs[Double]("novelty") >= 0 && r.getAs[Double]("novelty") <= 1)
+    }
+  }
+
+  test("k-center greedy: radius non-increasing, picks distinct, step-1 optimal") {
+    val rows = CorpusDiversity.coresetKcenter(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length === CorpusDiversity.KcSteps)
+    val radii = rows.map(_.getAs[Double]("radius2"))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"radius increased: $a -> $b")
+    }
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length, "re-picked a center")
+    // brute-force check of the first greedy pick: farthest point from the
+    // lowest-vec_id seed under the same left-to-right double arithmetic.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
+      .sortBy(_._1)
+    val seed = vecs.head._2
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val best = vecs.map { case (id, v) =>
+      (snap(dot(v, v) - 2.0 * dot(v, seed) + dot(seed, seed)), id)
+    }.maxBy { case (d, id) => (d, -id) }
+    assert(rows.head.getAs[Long]("vec_id") === best._2)
+    assert(rows.head.getAs[Double]("radius2") === best._1)
+  }
+}
