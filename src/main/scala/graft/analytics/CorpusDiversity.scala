@@ -225,6 +225,117 @@ object CorpusDiversity {
        |FROM per LEFT JOIN nov USING (source)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Heaps'-law fit per source (vocabulary growth).
+  // ---------------------------------------------------------------------
+
+  /** Bucket width for the cumulative-sum decomposition — the same
+    * range-bucket + broadcast-prefix-offset shape as q_global_index, so
+    * no corpus-wide window ever forms.
+    */
+  val HeapsBucketWidth = 256L
+
+  /** Per-source Heaps'-law fit: V = K·n^β — vocabulary size as a power
+    * law of tokens read, fit as the least-squares line of ln(V) on
+    * ln(n) over the per-document cumulative points in doc_id order.
+    * β far below the corpus norm means a source stops contributing new
+    * vocabulary early (templated/repetitive content); the (β, ln K)
+    * pair also extrapolates vocabulary cost for a planned token budget.
+    *
+    * Scale shape — no corpus-wide window anywhere: each term's FIRST
+    * document is a vocab-bounded min-aggregate (one token shuffle, the
+    * same relation family as the entropy/KL tier); per-document new-term
+    * and token counts join hash-keyed on (source, doc_id); the running
+    * sums decompose into doc_id range-buckets (per-bucket sums → prefix
+    * offsets over the bounded bucket relation, broadcast → within-bucket
+    * pane-local windows — the q_global_index decomposition); the
+    * regression is the Zipf-fit aggregate with the same 1e-9 stage
+    * snapping. Documents with a zero running count (empty prefixes) are
+    * excluded from the fit in both engines (ln is undefined there).
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tc = docs.select(col("source"), col("doc_id"),
+      TextAnalysis.wordCount(col("text")).cast("long").as("t"))
+    val nw = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"), col("doc_id"))
+      .groupBy(col("source"), col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("newt"))
+    val j = tc.join(nw, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("t"),
+        coalesce(col("newt"), lit(0L)).as("newt"),
+        (col("doc_id") / HeapsBucketWidth).cast("long").as("bkt"))
+    val offs = j.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("t")).as("bt"), sum(col("newt")).as("bn"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum(col("bt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offt"),
+        coalesce(sum(col("bn")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offn"))
+    val pane = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val pts = j.join(broadcast(offs), Seq("source", "bkt"))
+      .select(col("source"),
+        (sum(col("t")).over(pane) + col("offt")).as("n"),
+        (sum(col("newt")).over(pane) + col("offn")).as("v"))
+      .filter(col("n") > 0 && col("v") > 0)
+      .select(col("source"),
+        log(col("n").cast("double")).as("x"), log(col("v").cast("double")).as("y"))
+    val s = pts.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      Num.r(sum(col("x")), 9).as("sx"),
+      Num.r(sum(col("y")), 9).as("sy"),
+      Num.r(sum(col("x") * col("y")), 9).as("sxy"),
+      Num.r(sum(col("x") * col("x")), 9).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("source"), col("n").as("n_docs"),
+      Num.r(slope, 6).as("beta"),
+      Num.r((col("sy") - slope * col("sx")) / col("n"), 6).as("lnk"))
+  }
+
+  val heapsFitSql: String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH tk AS (
+       |  SELECT source, doc_id,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |nw AS (
+       |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS newt FROM (
+       |    SELECT source, term, min(doc_id) AS doc_id
+       |    FROM tk WHERE term <> '' GROUP BY 1, 2) GROUP BY 1, 2),
+       |tc AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS t
+       |  FROM documents),
+       |cum AS (
+       |  SELECT tc.source,
+       |         sum(t) OVER (PARTITION BY tc.source ORDER BY tc.doc_id) AS n,
+       |         sum(coalesce(newt, 0)) OVER (PARTITION BY tc.source ORDER BY tc.doc_id) AS v
+       |  FROM tc LEFT JOIN nw USING (source, doc_id)),
+       |pts AS (
+       |  SELECT source, ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+       |  FROM cum WHERE n > 0 AND v > 0),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |         ${Num.rSql("sum(x)", 9)} AS sx,
+       |         ${Num.rSql("sum(y)", 9)} AS sy,
+       |         ${Num.rSql("sum(x * y)", 9)} AS sxy,
+       |         ${Num.rSql("sum(x * x)", 9)} AS sxx
+       |  FROM pts GROUP BY 1)
+       |SELECT source, n AS n_docs,
+       |       ${Num.rSql(slope, 6)} AS beta,
+       |       ${Num.rSql(s"(sy - ($slope) * sx) / n", 6)} AS lnk
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // K-center greedy coreset selection.
   // ---------------------------------------------------------------------
 
@@ -326,11 +437,13 @@ object CorpusDiversity {
     "q_zipf_fit" -> zipfFit,
     "q_token_fertility" -> tokenFertility,
     "q_ngram_diversity" -> ngramDiversity,
+    "q_heaps_fit" -> heapsFit,
     "q_coreset_kcenter" -> coresetKcenter)
 
   val oracles: Map[String, String] = Map(
     "q_zipf_fit" -> zipfFitSql,
     "q_token_fertility" -> tokenFertilitySql,
     "q_ngram_diversity" -> ngramDiversitySql,
+    "q_heaps_fit" -> heapsFitSql,
     "q_coreset_kcenter" -> coresetKcenterSql)
 }

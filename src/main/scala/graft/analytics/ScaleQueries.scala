@@ -667,6 +667,47 @@ object ScaleQueries {
        |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
 
+  /** Prototypes per cluster for the SemDeDup-style keep-list. */
+  val ProtoK = 5
+
+  /** Per-cluster prototype selection: the `ProtoK` vectors closest to
+    * their k-means centroid — the representative subset cluster-level
+    * pruning recipes (SemDeDup prototypes, cluster-balanced subset
+    * picks) keep per cell. Scale shape: the assignment is the one-scan
+    * map-side argmin over broadcast centroids (KMeans.assign), and the
+    * per-cluster bottom-k runs through the bounded TopKAgg on the
+    * NEGATED snapped distance — O(clusters·k) state per task, no
+    * per-cluster sort, no Window. Ranking rounds before ranking
+    * (CLAUDE.md) with a vec_id tiebreak so an ulp can never flip the
+    * keep-list.
+    */
+  def clusterPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    graft.scale.KMeans.assign(emb, trained)
+      .select(col("cluster"), Num.r(col("dist2"), 6).as("d"), col("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(graft.scale.TopK.topK(negate(col("d")), col("vec_id"), ProtoK).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"), negate(col("col.score")).as("dist2"))
+  }
+
+  val clusterPrototypesSql: String =
+    s"""WITH $kmeansCtesSql,
+       |asg AS (
+       |  SELECT vec_id, cluster, d2r FROM (
+       |    SELECT e.vec_id, cent.cid AS cluster,
+       |           ${Num.rSql(d2Sql("e.v", "cent.c"), 6)} AS d2r,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1)
+       |SELECT cluster, CAST(rank AS INT) AS rank, vec_id, d2r AS dist2 FROM (
+       |  SELECT cluster, vec_id, d2r,
+       |         row_number() OVER (PARTITION BY cluster
+       |                            ORDER BY d2r ASC, vec_id ASC) AS rank
+       |  FROM asg) WHERE rank <= $ProtoK""".stripMargin
+
   /** Product quantization codes (Jégou et al. 2011): per-subspace
     * deterministic codebooks + one-scan assignment — the compressed
     * representation an IVF-PQ vector index stores. The oracle unrolls
@@ -2913,6 +2954,7 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchase,
     "q_salted_user_stats" -> saltedUserStats,
     "q_kmeans_assign" -> kmeansAssign,
+    "q_cluster_prototypes" -> clusterPrototypes,
     "q_pq_codes" -> pqCodes,
     "q_pq_adc_topk" -> pqAdcTopK,
     "q_ivfpq_topk" -> ivfPqTopK,
@@ -2999,6 +3041,7 @@ object ScaleQueries {
     "q_asof_purchase" -> asofPurchaseSql,
     "q_salted_user_stats" -> saltedUserStatsSql,
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcTopKSql,
     "q_ivfpq_topk" -> ivfPqTopKSql,

@@ -116,6 +116,63 @@ class CorpusDiversitySpec extends AnyFunSuite {
     }
   }
 
+  test("heaps fit matches a local cumulative replica, beta in (0, 1)") {
+    val rows = CorpusDiversity.heapsFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      var n = 0L; var seen = Set.empty[String]
+      val pts = ds.sortBy(_._2).toSeq.flatMap { case (_, _, t) =>
+        val terms = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        n += (if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length)
+        seen = seen ++ terms
+        if (n > 0 && seen.nonEmpty) Some((math.log(n.toDouble), math.log(seen.size.toDouble)))
+        else None
+      }
+      val m = pts.size
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+      val r = rows.find(_.getAs[String]("source") == src).get
+      assert(r.getAs[Long]("n_docs") === m.toLong)
+      assert(math.abs(r.getAs[Double]("beta") - slope) < 1e-5,
+        s"$src beta ${r.getAs[Double]("beta")} vs local $slope")
+      // y is non-decreasing in x so the regression slope is >= 0
+      // (beta == 0 is a real signal: a source whose vocab never grows);
+      // beta < 1 because vocabulary cannot outgrow tokens read.
+      assert(r.getAs[Double]("beta") >= 0 && r.getAs[Double]("beta") < 1,
+        s"$src beta outside [0,1)")
+    }
+  }
+
+  test("heaps fit plan: windows only over bounded bucket panes") {
+    val p = plan(CorpusDiversity.heapsFit(spark, sf))
+    // every Window node must partition (no corpus-wide unpartitioned sort)
+    assert(!p.toLowerCase.contains("partitionspec=[]"),
+      s"unpartitioned window in heaps fit:\n$p")
+  }
+
+  test("cluster prototypes are the ProtoK nearest per cluster, no Window") {
+    import graft.analytics.ScaleQueries
+    val proto = ScaleQueries.clusterPrototypes(spark, sf).collect()
+    assert(proto.nonEmpty)
+    val asg = ScaleQueries.kmeansAssign(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Double]("dist2"), r.getAs[Long]("vec_id")))
+    asg.groupBy(_._1).foreach { case (c, members) =>
+      val expect = members.toSeq.map(m => (m._2, m._3)).sorted
+        .take(ScaleQueries.ProtoK)
+      val got = proto.filter(_.getAs[Int]("cluster") == c)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Double]("dist2"), r.getAs[Long]("vec_id"))).toSeq
+      assert(got === expect, s"cluster $c prototypes differ")
+    }
+    val p = plan(ScaleQueries.clusterPrototypes(spark, sf))
+    assert(!p.contains("Window"), s"prototype selection must not window:\n$p")
+  }
+
   test("k-center greedy: radius non-increasing, picks distinct, step-1 optimal") {
     val rows = CorpusDiversity.coresetKcenter(spark, sf).collect()
       .sortBy(_.getAs[Int]("step"))
