@@ -432,12 +432,68 @@ object CorpusDiversity {
   }
 
   // ---------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection of the embedding table.
+  // ---------------------------------------------------------------------
+
+  /** Input/output dimensions of the JL sketch. */
+  val JlInDim = 64
+  val JlOutDim = 16
+
+  /** Deterministic Rademacher sign matrix: sign(k, j) from Knuth
+    * multiplicative hashing of the flat index — pure 64-bit integer
+    * arithmetic, so both engines see the IDENTICAL ±1 literals (the
+    * matrix is materialized into the plan and the oracle SQL from this
+    * one function; no RNG, no seed drift).
+    */
+  private def jlSign(k: Int, j: Int): Double = {
+    val h = ((k.toLong * JlInDim + j) * 2654435761L) % 4294967296L
+    if (h < 2147483648L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss sketch of the embedding table: project each
+    * 64-d vector onto `JlOutDim` Rademacher sign vectors (scaled by
+    * 1/√k, here exactly 4.0) — the cheap distance-preserving reduction
+    * an ANN tier uses for candidate generation when even PQ codes are
+    * too wide, and the standard first stage of a streaming similarity
+    * sketch. Entirely map-side: the sign matrix rides in the plan as
+    * foldable literals, each output coordinate is one codegen'd
+    * DotProduct over the scan — zero shuffles, zero joins, nothing
+    * collected. Output is flat (vec_id, k, x) rows so the oracle
+    * compares scalars. Determinism: the ±1 matrix is integer-derived
+    * (same literals both engines), dots accumulate left-to-right, and
+    * coordinates are rounded at 1e-6 for display.
+    */
+  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    val comps = (0 until JlOutDim).map { k =>
+      val s = typedLit((0 until JlInDim).map(j => jlSign(k, j)))
+      Num.r(VectorOps.dot(col("embedding"), s) / lit(4.0), 6)
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(array(comps: _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("k"), col("col").as("x"))
+  }
+
+  val jlProjectSql: String = {
+    val rows = (0 until JlOutDim).map { k =>
+      val s = (0 until JlInDim).map(j =>
+        if (jlSign(k, j) > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"SELECT vec_id, CAST($k AS INT) AS k, " +
+        Num.rSql(s"list_dot_product(v, $s) / 4.0", 6) + " AS x FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |$rows""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf_fit" -> zipfFit,
     "q_token_fertility" -> tokenFertility,
     "q_ngram_diversity" -> ngramDiversity,
     "q_heaps_fit" -> heapsFit,
+    "q_jl_project" -> jlProject,
     "q_coreset_kcenter" -> coresetKcenter)
 
   val oracles: Map[String, String] = Map(
@@ -445,5 +501,6 @@ object CorpusDiversity {
     "q_token_fertility" -> tokenFertilitySql,
     "q_ngram_diversity" -> ngramDiversitySql,
     "q_heaps_fit" -> heapsFitSql,
+    "q_jl_project" -> jlProjectSql,
     "q_coreset_kcenter" -> coresetKcenterSql)
 }

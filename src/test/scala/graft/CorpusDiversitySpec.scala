@@ -173,6 +173,28 @@ class CorpusDiversitySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"prototype selection must not window:\n$p")
   }
 
+  test("JL projection preserves norms on average and never shuffles") {
+    val proj = CorpusDiversity.jlProject(spark, sf).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) => id -> rs.map(r => {
+        val x = r.getAs[Double]("x"); x * x
+      }).sum }
+    val norms = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)
+        r.getLong(0) -> v.map(x => x * x).sum
+      }.toMap
+    val ratios = proj.map { case (id, p2) => p2 / norms(id) }
+    assert(ratios.nonEmpty)
+    // JL with k=16: per-vector distortion is loose, the MEAN ratio is
+    // an unbiased estimate of 1 — corpus-level it concentrates hard.
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean far from 1")
+    val p = plan(CorpusDiversity.jlProject(spark, sf))
+    assert(nodeCount(p, "Exchange") === 0, s"JL projection must not shuffle:\n$p")
+  }
+
   test("k-center greedy: radius non-increasing, picks distinct, step-1 optimal") {
     val rows = CorpusDiversity.coresetKcenter(spark, sf).collect()
       .sortBy(_.getAs[Int]("step"))
