@@ -381,8 +381,91 @@ object ABBench {
       time(s"vocabentropy_$i") { analytics.CorpusStats.vocabEntropy(spark, sfDir).count() }
       time(s"sourcekl_$i") { analytics.CorpusStats.sourceKl(spark, sfDir).count() }
       time(s"semdecont_$i") { analytics.CorpusStats.semanticDecontaminate(spark, sfDir).count() }
+      // round-6 third-session wave: legacy window shapes vs the
+      // registered bounded-aggregate / bucket-decomposed plans
+      time(s"zipf_window_$i") { zipfWindow(spark, sfDir).count() }
+      time(s"zipf_topk_$i") { analytics.CorpusDiversity.zipfFit(spark, sfDir).count() }
+      time(s"heaps_window_$i") { heapsWindow(spark, sfDir).count() }
+      time(s"heaps_bucketed_$i") { analytics.CorpusDiversity.heapsFit(spark, sfDir).count() }
+      time(s"proto_window_$i") { prototypesWindow(spark, sfDir).count() }
+      time(s"proto_topk_$i") { analytics.ScaleQueries.clusterPrototypes(spark, sfDir).count() }
+      time(s"ngramdiv_$i") { analytics.CorpusDiversity.ngramDiversity(spark, sfDir).count() }
+      time(s"fertility_$i") { analytics.CorpusDiversity.tokenFertility(spark, sfDir).count() }
+      time(s"jlproject_$i") { analytics.CorpusDiversity.jlProject(spark, sfDir).count() }
+      time(s"kcenter_$i") { analytics.CorpusDiversity.coresetKcenter(spark, sfDir).count() }
     }
     spark.stop()
+  }
+
+  /** Legacy top-K for the Zipf fit: a row_number window over the whole
+    * per-source vocabulary — the per-source sort the bounded TopKAgg
+    * heap avoids.
+    */
+  private def zipfWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("c"))
+    val top = tf
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("th").asc)))
+      .filter(col("rank") <= analytics.CorpusDiversity.ZipfTopK)
+      .select(col("source"), col("rank").cast("double").as("rank"),
+        col("c").cast("double").as("c"))
+    val s = top.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      Num.r(sum(log(col("rank"))), 9).as("sx"),
+      Num.r(sum(log(col("c"))), 9).as("sy"),
+      Num.r(sum(log(col("rank")) * log(col("c"))), 9).as("sxy"),
+      Num.r(sum(log(col("rank")) * log(col("rank"))), 9).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("source"), col("n").as("n_terms"), Num.r(slope, 6).as("slope"))
+  }
+
+  /** Legacy cumulative sums for the Heaps fit: one per-source window
+    * over every document — a single task holds a whole source's history
+    * (the shape the bucket decomposition replaces).
+    */
+  private def heapsWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tc = docs.select(col("source"), col("doc_id"),
+      graft.functions.TextAnalysis.wordCount(col("text")).cast("long").as("t"))
+    val nw = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), xxhash64(col("term")).as("th"), col("doc_id"))
+      .groupBy(col("source"), col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("newt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = tc.join(nw, Seq("source", "doc_id"), "left")
+      .select(col("source"), sum(col("t")).over(w).as("n"),
+        sum(coalesce(col("newt"), lit(0L))).over(w).as("v"))
+      .filter(col("n") > 0 && col("v") > 0)
+      .select(col("source"), log(col("n").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"))
+    pts.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), Num.r(sum(col("x") * col("y")), 9).as("sxy"))
+  }
+
+  /** Legacy prototype selection: row_number window over every cluster
+    * member — the per-cluster sort the negated-score TopKAgg avoids.
+    */
+  private def prototypesWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val trained = graft.scale.KMeans.fit(emb, analytics.ScaleQueries.KmeansK, iters = 1)
+    graft.scale.KMeans.assign(emb, trained)
+      .select(col("cluster"), Num.r(col("dist2"), 6).as("d"), col("vec_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= analytics.ScaleQueries.ProtoK)
   }
 
   /** Legacy keeper election for paragraph dedup: a row_number window
