@@ -487,6 +487,107 @@ object CorpusDiversity {
   }
 
   // ---------------------------------------------------------------------
+  // ANN through the JL sketch: candidates on 16 dims, exact rerank.
+  // ---------------------------------------------------------------------
+
+  /** Candidate-set size per query for the sketch stage. */
+  val JlCand = 50
+
+  /** Approximate kNN through the JL sketch — the two-stage shape a
+    * production sketch index runs: stage 1 scores every corpus vector
+    * against each query IN THE 16-d SKETCH SPACE (the projected dot
+    * p(v)·p(q) = Σₖ pₖ(v)·pₖ(q), an unbiased estimate of v·q) and keeps
+    * the top `JlCand` candidates per query through the bounded TopKAgg;
+    * stage 2 fetches only the candidates' full vectors (a broadcast
+    * hash join on ~queries·JlCand ids) and reranks by EXACT cosine,
+    * keeping top 3. At 100 TB the sketch table is what's persisted and
+    * scanned (16 doubles/vector instead of 64 floats) and the exact
+    * tier touches only candidates. Determinism: the query projections
+    * enter both engines snapped at 1e-9 (driver-computed literals in
+    * Spark, a CTE of the identical expression in the oracle), the
+    * 16-term candidate score accumulates left-to-right, and both stages
+    * round before ranking with a vec_id tiebreak.
+    */
+  def annJl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.scale.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val qids = ScaleQueries.KnnQueryIds
+    def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val signs = (0 until JlOutDim).map(k =>
+      (0 until JlInDim).map(j => jlSign(k, j)))
+    val qs = emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray
+        val p = signs.map { s =>
+          var acc = 0.0; var j = 0
+          while (j < JlInDim) { acc += v(j) * s(j); j += 1 }
+          snap9(acc / 4.0)
+        }
+        (r.getLong(0), p)
+      }.sortBy(_._1)
+    val scored = qs.map { case (qid, qp) =>
+      val ps = (0 until JlOutDim).map { k =>
+        (VectorOps.dot(col("embedding"), typedLit(signs(k))) / lit(4.0)) * lit(qp(k))
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("q_id"), Num.r(ps, 6).as("ps"))
+    }
+    val cands = emb
+      .select(col("vec_id"), explode(array(scored: _*)).as("s"))
+      .select(col("vec_id"), col("s.q_id").as("q_id"), col("s.ps").as("ps"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.scale.TopK.topK(col("ps"), col("vec_id"), JlCand).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.id").as("vec_id"))
+    val queries = emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    emb.join(broadcast(cands.join(queries, "q_id")), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        Num.r(Similarity.cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.scale.TopK.topK(col("cos_sim"), col("vec_id"), 3).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos_sim"))
+  }
+
+  val annJlSql: String = {
+    val qids = ScaleQueries.KnnQueryIds.mkString(",")
+    def sList(k: Int): String = (0 until JlInDim).map(j =>
+      if (jlSign(k, j) > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val qpList = (0 until JlOutDim).map(k =>
+      Num.rSql(s"list_dot_product(qv, ${sList(k)}) / 4.0", 9))
+      .mkString("list_value(", ",\n      ", ")")
+    val psExpr = (0 until JlOutDim).map(k =>
+      s"(list_dot_product(e.v, ${sList(k)}) / 4.0) * p[${k + 1}]")
+      .mkString(" + ")
+    val cos = s"""CASE WHEN sqrt(list_dot_product(e.v,e.v)) * sqrt(list_dot_product(qv,qv)) > 0
+                 | THEN list_dot_product(e.v,qv) /
+                 |      (sqrt(list_dot_product(e.v,e.v)) * sqrt(list_dot_product(qv,qv)))
+                 | ELSE 0.0 END""".stripMargin.replace("\n", " ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |            FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+       |qp AS (SELECT q_id, $qpList AS p FROM q),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY ps DESC, vec_id ASC) AS rn
+       |    FROM (SELECT qp.q_id, e.vec_id, ${Num.rSql("$PS$", 6)} AS ps
+       |          FROM e CROSS JOIN qp WHERE e.vec_id <> qp.q_id))
+       |  WHERE rn <= $JlCand)
+       |SELECT q_id, vec_id, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |  FROM (SELECT cand.q_id, cand.vec_id, ${Num.rSql(cos, 6)} AS cos_sim
+       |        FROM cand JOIN e ON cand.vec_id = e.vec_id
+       |        JOIN q ON cand.q_id = q.q_id))
+       |WHERE rn <= 3""".stripMargin.replace("$PS$", psExpr)
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf_fit" -> zipfFit,
@@ -494,6 +595,7 @@ object CorpusDiversity {
     "q_ngram_diversity" -> ngramDiversity,
     "q_heaps_fit" -> heapsFit,
     "q_jl_project" -> jlProject,
+    "q_ann_jl" -> annJl,
     "q_coreset_kcenter" -> coresetKcenter)
 
   val oracles: Map[String, String] = Map(
@@ -502,5 +604,6 @@ object CorpusDiversity {
     "q_ngram_diversity" -> ngramDiversitySql,
     "q_heaps_fit" -> heapsFitSql,
     "q_jl_project" -> jlProjectSql,
+    "q_ann_jl" -> annJlSql,
     "q_coreset_kcenter" -> coresetKcenterSql)
 }
