@@ -404,6 +404,55 @@ object CorpusQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Classifier-vs-rules calibration curve.
+  // ---------------------------------------------------------------------
+
+  /** Calibration of the hashed-linear quality classifier against the
+    * Gopher rule gate: per classifier-probability decile, how often do
+    * the hand-written rules agree ("keep")? This is the curve a curation
+    * run reads to pick the classifier threshold — a well-calibrated
+    * classifier shows rule-pass rate rising with probability; a flat
+    * curve means the model and the rules measure different things and
+    * the threshold can't be transferred. Scale shape: both inputs are
+    * zero-shuffle scan-stage expression chains over the same table; the
+    * join is doc_id-keyed and the output is 10 bucket rows — the only
+    * shuffles are the join and the tiny decile aggregate.
+    */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val probs = ScaleQueries.qualityClassify(docs).select(col("doc_id"), col("prob"))
+    val rules = gopherFlags(docs).select(col("doc_id"), col("keep").as("rule_keep"))
+    probs.join(rules, "doc_id")
+      .select(least(floor(col("prob") * 10).cast("int"), lit(9)).as("bucket"),
+        col("rule_keep"), col("prob"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rule_keep"), 1L).otherwise(0L)).as("n_rule_pass"),
+        Num.savg(sum(col("prob")), count(lit(1)), 6, 6).as("avg_prob"))
+      .select(col("bucket"), col("n_docs"), col("n_rule_pass"),
+        Num.r(col("n_rule_pass").cast("double") / col("n_docs"), 6)
+          .as("rule_pass_rate"),
+        col("avg_prob"))
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH p AS (${ScaleQueries.qualityClassifierSql}),
+       |g AS ($gopherRulesSql),
+       |b AS (
+       |  SELECT least(CAST(floor(p.prob * 10) AS INT), 9) AS bucket,
+       |         g.keep AS rule_keep, p.prob
+       |  FROM p JOIN g USING (doc_id)),
+       |s AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_pass,
+       |         ${Num.savgSql("sum(prob)", "count(*)", 6, 6)} AS avg_prob
+       |  FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, n_rule_pass,
+       |       ${Num.rSql("CAST(n_rule_pass AS DOUBLE) / n_docs", 6)} AS rule_pass_rate,
+       |       avg_prob
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_paragraph_dedup" -> paragraphDedup,
@@ -411,7 +460,8 @@ object CorpusQueries {
     "q_gopher_rules" -> gopherRules,
     "q_token_budget" -> tokenBudget,
     "q_dup_stats" -> dupStats,
-    "q_global_index" -> globalIndex)
+    "q_global_index" -> globalIndex,
+    "q_classifier_calibration" -> classifierCalibration)
 
   val oracles: Map[String, String] = Map(
     "q_paragraph_dedup" -> paragraphDedupSql,
@@ -419,5 +469,6 @@ object CorpusQueries {
     "q_gopher_rules" -> gopherRulesSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_dup_stats" -> dupStatsSql,
-    "q_global_index" -> globalIndexSql)
+    "q_global_index" -> globalIndexSql,
+    "q_classifier_calibration" -> classifierCalibrationSql)
 }

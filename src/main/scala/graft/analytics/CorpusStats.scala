@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Num, Tables}
@@ -534,6 +534,205 @@ object CorpusStats {
        |FROM e CROSS JOIN ms""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Exact-digest cross-source duplication matrix.
+  // ---------------------------------------------------------------------
+
+  /** Cross-source EXACT-duplicate matrix at paragraph granularity: for
+    * every source pair, how many distinct 16-word paragraphs appear
+    * verbatim in both — the byte-identical provenance complement of
+    * q_source_overlap's near-dup matrix (shared-boilerplate detection is
+    * how a crawl audit distinguishes verbatim re-hosting from paraphrase
+    * overlap; whole-document digests are too coarse — this corpus has
+    * zero cross-source document-level duplicates but dozens of shared
+    * paragraphs). Scale shape: paragraphs collapse to the paragraph-
+    * dedup tier's 52-bit md5-prefix hash in the scan stage, the (hash,
+    * source) relation is distinct-paragraph-bounded after one hash
+    * aggregate, and the pair expansion is a self-join on the hash key —
+    * per-hash fan-out is bounded by the SOURCE count (a config-sized
+    * dimension, not a data-sized one). Output is canonically ordered
+    * src_a < src_b.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ps = CorpusQueries.ParaSize
+    val sd = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(w), $ps), s -> slice(w, s, $ps))")).as("p"))
+      .select(col("source"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+      .groupBy(col("ph"), col("source")).agg(count(lit(1)).as("c"))
+    val a = sd.select(col("ph"), col("source").as("src_a"), col("c").as("c_a"))
+    val b = sd.select(col("ph"), col("source").as("src_b"), col("c").as("c_b"))
+    a.join(b, "ph")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_paras"),
+        sum(least(col("c_a"), col("c_b"))).as("n_dup_instances"))
+  }
+
+  val sourceDupMatrixSql: String = {
+    val ps = CorpusQueries.ParaSize
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sd AS (
+       |  SELECT source,
+       |         ('0x' || substr(md5(array_to_string(w[s : s + ${ps - 1}], ' ')), 1, 13))::BIGINT AS ph,
+       |         count(*) AS c
+       |  FROM toks CROSS JOIN unnest(range(1, len(w) + 1, $ps)) AS t(s)
+       |  GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared_paras,
+       |       CAST(sum(least(a.c, b.c)) AS BIGINT) AS n_dup_instances
+       |FROM sd a JOIN sd b ON a.ph = b.ph AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Vocabulary drift between ingestion halves.
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary drift between the two doc_id halves of the corpus — the
+    * snapshot-over-snapshot monitor an ingestion pipeline runs to catch
+    * a source changing under it (new template, language flip, crawler
+    * breakage): smoothed KL(late ‖ early) over the union vocabulary plus
+    * the share of late-half terms unseen in the early half. Additive
+    * 0.5-smoothing over the union vocabulary keeps the KL finite on
+    * never-before-seen terms. Scale shape: token instances shuffle once
+    * into (half, term-hash) counts; everything after — the full outer
+    * join on the 8-byte hash, the totals, the KL sum — is union-vocab-
+    * bounded. The doc_id midpoint stands in for the ingestion timestamp
+    * the production table would carry.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = broadcast(docs.agg(max(col("doc_id")).as("mx"))
+      .select(expr("mx div 2").as("half")))
+    val tf = docs.crossJoin(half)
+      .select(when(col("doc_id") <= col("half"), lit(1)).otherwise(lit(2)).as("b"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("b"), xxhash64(col("term")).as("th"))
+      .groupBy(col("b"), col("th")).agg(count(lit(1)).as("c"))
+    val j = tf.filter(col("b") === 1).select(col("th"), col("c").as("c1"))
+      .join(tf.filter(col("b") === 2).select(col("th"), col("c").as("c2")),
+        Seq("th"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val stats = broadcast(j.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("v"),
+      sum(when(col("c1") > 0, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("c2") > 0, 1L).otherwise(0L)).as("v2"),
+      sum(when(col("c1") === 0 && col("c2") > 0, 1L).otherwise(0L)).as("new2")))
+    val p2 = (col("c2").cast("double") + lit(0.5)) /
+      (col("n2").cast("double") + lit(0.5) * col("v"))
+    val p1 = (col("c1").cast("double") + lit(0.5)) /
+      (col("n1").cast("double") + lit(0.5) * col("v"))
+    j.crossJoin(stats)
+      .select(col("n1"), col("n2"), col("v1"), col("v2"), col("new2"),
+        (p2 * log(p2 / p1)).as("t"))
+      .groupBy(col("n1"), col("n2"), col("v1"), col("v2"), col("new2"))
+      .agg(Num.r(sum(col("t")), 6).as("kl_drift"))
+      .select(col("n1"), col("n2"), col("v1").as("vocab_1"), col("v2").as("vocab_2"),
+        Num.r(col("new2").cast("double") / col("v2"), 6).as("new_term_share"),
+        col("kl_drift"))
+  }
+
+  val vocabDriftSql: String = {
+    val p2 = "(CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * v)"
+    val p1 = "(CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * v)"
+    s"""WITH mx AS (SELECT max(doc_id) // 2 AS half FROM documents),
+       |tk AS (
+       |  SELECT CASE WHEN doc_id <= half THEN 1 ELSE 2 END AS b,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents CROSS JOIN mx),
+       |tf AS (SELECT b, term, count(*) AS c FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |j AS (
+       |  SELECT coalesce(a.c, 0) AS c1, coalesce(bb.c, 0) AS c2
+       |  FROM (SELECT term, c FROM tf WHERE b = 1) a
+       |  FULL JOIN (SELECT term, c FROM tf WHERE b = 2) bb USING (term)),
+       |st AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |         CAST(count(*) AS BIGINT) AS v,
+       |         CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |         CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       |         CAST(sum(CASE WHEN c1 = 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new2
+       |  FROM j)
+       |SELECT n1, n2, v1 AS vocab_1, v2 AS vocab_2,
+       |       ${Num.rSql("CAST(new2 AS DOUBLE) / v2", 6)} AS new_term_share,
+       |       ${Num.rSql(s"sum(($p2) * ln(($p2) / ($p1)))", 6)} AS kl_drift
+       |FROM j CROSS JOIN st
+       |GROUP BY n1, n2, v1, v2, new2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding-centroid drift between ingestion halves.
+  // ---------------------------------------------------------------------
+
+  /** Embedding-space drift between the two vec_id halves: cosine between
+    * the per-half mean vectors and the L2 centroid shift — the semantic
+    * sibling of the vocabulary drift monitor (a source can keep its
+    * vocabulary while its CONTENT distribution moves; the centroid sees
+    * that). Scale shape: each half's mean is ONE VecSumAgg buffer (64
+    * doubles per task), so the whole monitor is one corpus scan plus a
+    * 2-row join; the per-dim means are snapped to 1e-9 (the covariance
+    * tier's grid) before the cosine/L2 arithmetic, which then evaluates
+    * over identical doubles in both engines.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val half = broadcast(emb.agg(max(col("vec_id")).as("mx"))
+      .select(expr("mx div 2").as("half")))
+    val means = emb.crossJoin(half)
+      .withColumn("b", when(col("vec_id") <= col("half"), lit(1)).otherwise(lit(2)))
+      .groupBy(col("b"))
+      .agg(VecSum.vecSum(col("embedding")).as("s"))
+      .select(col("b"), col("s.n").as("n"),
+        expr("transform(s.sums, x -> floor((x / s.n) * 1.0E9 + 0.5) / 1.0E9)")
+          .as("mus"))
+    val m1 = means.filter(col("b") === 1)
+      .select(col("n").as("n1"), col("mus").as("ma"))
+    val m2 = means.filter(col("b") === 2)
+      .select(col("n").as("n2"), col("mus").as("mb"))
+    def dotHof(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+    m1.crossJoin(m2)
+      .select(col("n1"), col("n2"),
+        Num.r(dotHof("ma", "mb") /
+          (sqrt(dotHof("ma", "ma")) * sqrt(dotHof("mb", "mb"))), 6).as("centroid_cos"),
+        Num.r(sqrt(expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")), 6)
+          .as("l2_shift"))
+  }
+
+  val embedDriftSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+    s"""WITH e AS (SELECT vec_id, $dblEmbSql AS v FROM embeddings),
+       |mx AS (SELECT max(vec_id) // 2 AS half FROM e),
+       |eb AS (SELECT CASE WHEN vec_id <= half THEN 1 ELSE 2 END AS b, v
+       |       FROM e CROSS JOIN mx),
+       |st AS (
+       |  SELECT b, i, floor((sum(v[i]) / count(*)) * 1.0E9 + 0.5) / 1.0E9 AS mu
+       |  FROM eb CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY b, i),
+       |n AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM eb GROUP BY b),
+       |mv AS (SELECT b, array_agg(mu ORDER BY i) AS mus FROM st GROUP BY b)
+       |SELECT na.n AS n1, nb.n AS n2,
+       |  ${Num.rSql(
+      s"${dotSql("a.mus", "b.mus")} / (sqrt(${dotSql("a.mus", "a.mus")}) * sqrt(${dotSql("b.mus", "b.mus")}))",
+      6)} AS centroid_cos,
+       |  ${Num.rSql(
+      s"sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> (a.mus[i] - b.mus[i]) * (a.mus[i] - b.mus[i]))))",
+      6)} AS l2_shift
+       |FROM (SELECT mus FROM mv WHERE b = 1) a
+       |CROSS JOIN (SELECT mus FROM mv WHERE b = 2) b
+       |CROSS JOIN (SELECT n FROM n WHERE b = 1) na
+       |CROSS JOIN (SELECT n FROM n WHERE b = 2) nb""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_entropy" -> vocabEntropy,
@@ -543,7 +742,10 @@ object CorpusStats {
     "q_embed_covariance" -> embedCovariance,
     "q_pca_project" -> pcaProject,
     "q_embed_outliers" -> embedOutliers,
-    "q_mixture_doremi" -> mixtureDoremi)
+    "q_mixture_doremi" -> mixtureDoremi,
+    "q_source_dup_matrix" -> sourceDupMatrix,
+    "q_vocab_drift" -> vocabDrift,
+    "q_embed_drift" -> embedDrift)
 
   val oracles: Map[String, String] = Map(
     "q_vocab_entropy" -> vocabEntropySql,
@@ -553,5 +755,8 @@ object CorpusStats {
     "q_embed_covariance" -> embedCovarianceSql,
     "q_pca_project" -> pcaProjectSql,
     "q_embed_outliers" -> embedOutliersSql,
-    "q_mixture_doremi" -> mixtureDoremiSql)
+    "q_mixture_doremi" -> mixtureDoremiSql,
+    "q_source_dup_matrix" -> sourceDupMatrixSql,
+    "q_vocab_drift" -> vocabDriftSql,
+    "q_embed_drift" -> embedDriftSql)
 }

@@ -103,4 +103,22 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window in paragraph dedup:\n$p")
     assert(p.contains("hashpartitioning(ph"), s"no ph-keyed exchange:\n$p")
   }
+
+  test("classifier calibration: buckets partition the corpus, curve consistent") {
+    val rows = CorpusQueries.classifierCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 9)
+      assert(r.getAs[Long]("n_rule_pass") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("rule_pass_rate")
+      assert(rate >= 0 && rate <= 1)
+      val ap = r.getAs[Double]("avg_prob")
+      // mean probability must lie inside its own decile (inclusive edges)
+      assert(ap >= b / 10.0 - 1e-6 && ap <= (b + 1) / 10.0 + 1e-6,
+        s"bucket $b avg_prob $ap outside its decile")
+    }
+  }
 }

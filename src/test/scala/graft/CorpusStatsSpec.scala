@@ -157,4 +157,55 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(ratio(hardest) > ratio(easiest),
       s"hardest ${ratio(hardest)} !> easiest ${ratio(easiest)}")
   }
+
+  test("source dup matrix matches exact paragraph sets computed locally") {
+    val m = CorpusStats.sourceDupMatrix(spark, sf).collect()
+    assert(m.nonEmpty, "testdata is known to share cross-source paragraphs")
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ps = graft.analytics.CorpusQueries.ParaSize
+    def paras(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      (0 until w.size by ps).map(i => w.slice(i, i + ps).mkString(" "))
+    }
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.toSeq.flatMap(d => paras(d._2)).toSet
+    }
+    m.foreach { r =>
+      val a = r.getAs[String]("src_a"); val b = r.getAs[String]("src_b")
+      assert(a < b)
+      val shared = bySrc(a).intersect(bySrc(b))
+      assert(r.getAs[Long]("n_shared_paras") === shared.size.toLong)
+    }
+    // every overlapping pair is present
+    val expectPairs = bySrc.keys.toSeq.sorted.combinations(2).count { case Seq(a, b) =>
+      bySrc(a).intersect(bySrc(b)).nonEmpty
+    }
+    assert(m.length === expectPairs)
+  }
+
+  test("vocab drift: KL non-negative, shares within [0,1], totals add up") {
+    val r = CorpusStats.vocabDrift(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Double]("kl_drift") >= -1e-9)
+    val share = row.getAs[Double]("new_term_share")
+    assert(share >= 0 && share <= 1)
+    // half totals must reconstruct the corpus token count
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(row.getAs[Long]("n1") + row.getAs[Long]("n2") === total)
+  }
+
+  test("embed drift: cosine in [-1,1], shift >= 0, halves partition the table") {
+    val r = CorpusStats.embedDrift(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(math.abs(row.getAs[Double]("centroid_cos")) <= 1.0 + 1e-9)
+    assert(row.getAs[Double]("l2_shift") >= 0)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(row.getAs[Long]("n1") + row.getAs[Long]("n2") === n)
+  }
 }
