@@ -463,12 +463,20 @@ object CorpusDiversity {
     * (same literals both engines), dots accumulate left-to-right, and
     * coordinates are rounded at 1e-6 for display.
     */
-  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+  def jlProject(spark: SparkSession, dir: String): DataFrame =
+    jlProjectOf(Tables.embeddings(spark, dir))
+
+  /** Core form over any (vec_id, embedding) relation — stateless
+    * scan-stage expressions only, so the streaming form
+    * (Streams.jlStream) is this same code over the embedding ingest
+    * stream.
+    */
+  def jlProjectOf(emb: DataFrame): DataFrame = {
     val comps = (0 until JlOutDim).map { k =>
       val s = typedLit((0 until JlInDim).map(j => jlSign(k, j)))
       Num.r(VectorOps.dot(col("embedding"), s) / lit(4.0), 6)
     }
-    Tables.embeddings(spark, dir)
+    emb
       .select(col("vec_id"), posexplode(array(comps: _*)))
       .select(col("vec_id"), col("pos").cast("int").as("k"), col("col").as("x"))
   }

@@ -175,6 +175,16 @@ object Streams {
   def gopherStream(docs: DataFrame): DataFrame =
     graft.analytics.CorpusQueries.gopherFlags(docs)
 
+  /** q_jl_project streaming form: the sketch coordinates are pure
+    * scan-stage dot products against plan-literal sign vectors (zero
+    * shuffles), so sketching the embedding ingest stream — the index-
+    * maintenance write path a JL-based ANN tier runs — is the SAME
+    * code. Stateless, append-mode, no watermark. StreamingSpec pins
+    * stream≡batch row equality.
+    */
+  def jlStream(embStream: DataFrame): DataFrame =
+    graft.analytics.CorpusDiversity.jlProjectOf(embStream)
+
   /** q_semantic_decontaminate streaming form: the eval-set vectors
     * broadcast (bounded by the benchmark suite) and each arriving
     * embedding is scored map-side + one streaming hash aggregate for

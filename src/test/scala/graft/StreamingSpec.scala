@@ -257,6 +257,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2._2), "fixture must contain contaminated vectors")
   }
 
+  test("streaming JL sketch equals the batch projection row-for-row") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_emb_jl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"), d.resolve("embeddings.parquet"))
+    val out = Streams.runToCompletion(
+      Streams.jlStream(Streams.embeddingStream(spark, d.toString)),
+      OutputMode.Append(), "jl_stream")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("k")) ->
+        r.getAs[Double]("x")).toMap
+    val got = keyed(out.collect())
+    val exp = keyed(graft.analytics.CorpusDiversity.jlProject(spark, sf).collect())
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming classifier inference equals the batch scores row-for-row") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_cls")
     java.nio.file.Files.copy(
