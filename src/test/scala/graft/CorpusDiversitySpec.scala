@@ -212,6 +212,13 @@ class CorpusDiversitySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"JL ANN recall $recall not above the random-candidate baseline")
   }
 
+  test("JL ANN plan: no Window, candidates broadcast into the rerank join") {
+    val p = plan(graft.analytics.CorpusDiversity.annJl(spark, sf))
+    assert(!p.contains("Window"), s"sketch ANN must not window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"candidate set should broadcast into the rerank join:\n$p")
+  }
+
   test("k-center greedy: radius non-increasing, picks distinct, step-1 optimal") {
     val rows = CorpusDiversity.coresetKcenter(spark, sf).collect()
       .sortBy(_.getAs[Int]("step"))
