@@ -19,11 +19,13 @@ object SparkEntry {
     analytics.Relational.queries ++ analytics.Events.queries ++
       analytics.TransformQueries.queries ++ analytics.ScaleQueries.queries ++
       analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries ++
-      analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries
+      analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries ++
+      analytics.CorpusAudit.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
       analytics.TransformQueries.oracles ++ analytics.ScaleQueries.oracles ++
       analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles ++
-      analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles
+      analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles ++
+      analytics.CorpusAudit.oracles
 }

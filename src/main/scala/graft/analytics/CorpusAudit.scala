@@ -1,0 +1,421 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+import graft.functions.TextAnalysis
+
+/** Corpus AUDIT tier — the checks a training-data run publishes about its
+  * own pipeline rather than about the corpus: cross-split contamination,
+  * classifier discrimination (AUC) against the rule gate, line/paragraph
+  * boilerplate incidence, the stage-by-stage survival funnel, and an
+  * encoding-anomaly (mojibake) report.
+  *
+  * Reference analog: the quality/validation gates of the curation config
+  * (`/root/reference/config/config.yaml` quality section) — these are the
+  * public-literature audit artifacts (CCNet line dedup accounting, the
+  * Gopher appendix's filter-funnel tables, ROC/AUC model-vs-rules checks,
+  * ftfy-style encoding triage) a 100 TB run reports next to them.
+  *
+  * Cross-engine discipline as everywhere in the repo: rounding through
+  * graft.Num only, hashes as md5-prefix longs both engines compute
+  * identically, thresholds as identical literals in both expressions,
+  * integer arithmetic kept exact until the final display division.
+  */
+object CorpusAudit {
+
+  // ---------------------------------------------------------------------
+  // Cross-split paragraph leakage.
+  // ---------------------------------------------------------------------
+
+  /** Cross-split contamination audit at PARAGRAPH granularity. The 80/10/10
+    * split keys on md5(text), so exact-duplicate DOCUMENTS can never leak
+    * across splits by construction (CorpusAuditSpec pins that) — but two
+    * near-duplicate documents hash to different buckets while still sharing
+    * verbatim paragraphs, and a shared paragraph in train and test is
+    * leakage a doc-level split cannot see.
+    *
+    * Scale shape (same as paragraphDedup): paragraphs hash to 52-bit longs
+    * in the scan stage, the (hash, split) partial collapses instances, the
+    * per-hash spread count runs over distinct (hash, split) rows. Two
+    * hash-keyed shuffles; text never moves.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val splitCol = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val inst = docs
+      .select(splitCol.as("split"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("split"), explode(expr(
+        s"transform(sequence(1, size(w), ${CorpusQueries.ParaSize}), s -> slice(w, s, ${CorpusQueries.ParaSize}))"))
+        .as("p"))
+      .select(col("split"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+    val bySplit = inst.groupBy(col("ph"), col("split"))
+      .agg(count(lit(1)).as("n_inst"))
+    // input rows here are distinct (ph, split): a plain count is the spread
+    val spread = bySplit.groupBy(col("ph")).agg(count(lit(1)).as("n_splits"))
+    bySplit.join(spread, "ph")
+      .groupBy(col("split")).agg(
+        sum(col("n_inst")).as("n_paras"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaked_hashes"),
+        sum(when(col("n_splits") > 1, col("n_inst")).otherwise(0L)).as("n_leaked_paras"))
+      .withColumn("pct_leaked",
+        Num.r(col("n_leaked_paras").cast("double") / col("n_paras"), 6))
+  }
+
+  def splitLeakageQ(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+
+  val splitLeakageSql: String = {
+    val P = CorpusQueries.ParaSize
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, w
+       |  FROM (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b,
+       |               string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)),
+       |inst AS (
+       |  SELECT split,
+       |         ('0x' || substr(md5(array_to_string(w[s : s + ${P - 1}], ' ')), 1, 13))::BIGINT AS ph
+       |  FROM toks CROSS JOIN unnest(range(1, len(w) + 1, $P)) AS t(s)),
+       |bysp AS (
+       |  SELECT ph, split, CAST(count(*) AS BIGINT) AS n_inst FROM inst GROUP BY 1, 2),
+       |spread AS (SELECT ph, CAST(count(*) AS BIGINT) AS n_splits FROM bysp GROUP BY 1)
+       |SELECT split,
+       |  CAST(sum(n_inst) AS BIGINT) AS n_paras,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_hashes,
+       |  CAST(sum(CASE WHEN n_splits > 1 THEN n_inst ELSE 0 END) AS BIGINT) AS n_leaked_paras,
+       |  ${Num.rSql(
+        "CAST(sum(CASE WHEN n_splits > 1 THEN n_inst ELSE 0 END) AS DOUBLE) / sum(n_inst)",
+        6)} AS pct_leaked
+       |FROM bysp JOIN spread USING (ph)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Classifier AUC against the rule gate.
+  // ---------------------------------------------------------------------
+
+  /** Tie-aware AUC from a (prob, keep) relation, without ranking the
+    * corpus: instances collapse to one row per DISTINCT probability value
+    * (pos/neg counts) in a single hash-aggregate shuffle, and the rank
+    * arithmetic — Mann–Whitney with midrank tie handling — runs as a
+    * window over that bounded relation only (probs are grid-rounded at 6
+    * decimals upstream, so the relation is ≤1e6 rows regardless of corpus
+    * size; in practice far smaller). The pairwise statistic stays in exact
+    * integer arithmetic (2× scaling absorbs the tie half-credit) until the
+    * one final display division.
+    */
+  def aucOf(scored: DataFrame): DataFrame = {
+    val byProb = scored.groupBy(col("prob")).agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("pos"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("neg"))
+    // bounded relation: one row per distinct rounded probability
+    val w = Window.orderBy(col("prob")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byProb.withColumn("cneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+    cum.agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"),
+      sum(col("pos") * (lit(2L) * col("cneg") + col("neg"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        Num.r(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      .withColumn("gini", Num.r(lit(2.0) * col("auc") - lit(1.0), 6))
+  }
+
+  /** AUC of the hashed-linear quality classifier's probability against the
+    * Gopher rule gate's keep label — the discrimination number next to the
+    * q_classifier_calibration curve: calibration says whether a threshold
+    * transfers, AUC says whether the model ORDERS documents the way the
+    * rules would gate them at all.
+    */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val probs = ScaleQueries.qualityClassify(docs).select(col("doc_id"), col("prob"))
+    val labels = CorpusQueries.gopherFlags(docs)
+      .select(col("doc_id"), col("keep"))
+    aucOf(probs.join(labels, "doc_id"))
+  }
+
+  val classifierAucSql: String =
+    s"""WITH p AS (${ScaleQueries.qualityClassifierSql}),
+       |g AS (${CorpusQueries.gopherRulesSql}),
+       |j AS (SELECT p.prob, g.keep FROM p JOIN g USING (doc_id)),
+       |bp AS (
+       |  SELECT prob,
+       |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM j GROUP BY 1),
+       |cum AS (
+       |  SELECT prob, pos, neg,
+       |         CAST(coalesce(sum(neg) OVER (ORDER BY prob
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+       |  FROM bp),
+       |a AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |         CAST(sum(neg) AS BIGINT) AS n_neg,
+       |         CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) AS num2
+       |  FROM cum),
+       |f AS (
+       |  SELECT n_pos, n_neg,
+       |         ${Num.rSql("CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)", 6)} AS auc
+       |  FROM a)
+       |SELECT n_pos, n_neg, auc, ${Num.rSql("2.0 * auc - 1.0", 6)} AS gini
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Line/paragraph boilerplate incidence.
+  // ---------------------------------------------------------------------
+
+  /** Corpus-wide instance-count threshold above which a paragraph counts
+    * as boilerplate (CCNet removes lines duplicated across documents; the
+    * published cut is a document-frequency threshold — this corpus's
+    * synthetic near-dup rate makes 3 the smallest value that separates
+    * genuinely repeated boilerplate from the near-dup pairs themselves).
+    */
+  val BoilerDf = 3L
+
+  /** Line-level boilerplate report: unlike q_paragraph_dedup (which keeps
+    * the FIRST occurrence of every paragraph), the boilerplate gate drops
+    * ALL instances — including the first — of any paragraph repeated ≥
+    * BoilerDf times corpus-wide; headers, footers and navigation chrome
+    * are noise in every document they appear in. Same scale shape as the
+    * dedup: hashes leave the scan, two hash-keyed shuffles, text never
+    * moves, a hot boilerplate hash costs one combiner row per upstream
+    * partition.
+    */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val inst = docs
+      .select(col("source"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(w), ${CorpusQueries.ParaSize}), s -> slice(w, s, ${CorpusQueries.ParaSize}))"))
+        .as("p"))
+      .select(col("source"), size(col("p")).as("n_tokens"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+    // instances of one hash share identical text, hence identical n_tokens
+    val bySrc = inst.groupBy(col("ph"), col("source")).agg(
+      count(lit(1)).as("n_inst"), min(col("n_tokens")).as("tok"))
+    val dfRel = bySrc.groupBy(col("ph")).agg(sum(col("n_inst")).as("df"))
+    bySrc.join(dfRel, "ph")
+      .groupBy(col("source")).agg(
+        sum(col("n_inst")).as("n_paras"),
+        sum(col("n_inst") * col("tok")).as("n_tokens"),
+        sum(when(col("df") >= BoilerDf, col("n_inst")).otherwise(0L)).as("boiler_paras"),
+        sum(when(col("df") >= BoilerDf, col("n_inst") * col("tok")).otherwise(0L))
+          .as("boiler_tokens"))
+      .withColumn("pct_boiler_tokens",
+        Num.r(col("boiler_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
+  def boilerplateQ(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(spark, dir))
+
+  val boilerplateSql: String = {
+    val P = CorpusQueries.ParaSize
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |inst AS (
+       |  SELECT source, len(w[s : s + ${P - 1}]) AS n_tokens,
+       |         ('0x' || substr(md5(array_to_string(w[s : s + ${P - 1}], ' ')), 1, 13))::BIGINT AS ph
+       |  FROM toks CROSS JOIN unnest(range(1, len(w) + 1, $P)) AS t(s)),
+       |bysrc AS (
+       |  SELECT ph, source, CAST(count(*) AS BIGINT) AS n_inst,
+       |         min(n_tokens) AS tok
+       |  FROM inst GROUP BY 1, 2),
+       |dfrel AS (SELECT ph, CAST(sum(n_inst) AS BIGINT) AS df FROM bysrc GROUP BY 1)
+       |SELECT source,
+       |  CAST(sum(n_inst) AS BIGINT) AS n_paras,
+       |  CAST(sum(n_inst * tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN df >= $BoilerDf THEN n_inst ELSE 0 END) AS BIGINT) AS boiler_paras,
+       |  CAST(sum(CASE WHEN df >= $BoilerDf THEN n_inst * tok ELSE 0 END) AS BIGINT) AS boiler_tokens,
+       |  ${Num.rSql(
+        s"CAST(sum(CASE WHEN df >= $BoilerDf THEN n_inst * tok ELSE 0 END) AS DOUBLE) / sum(n_inst * tok)",
+        6)} AS pct_boiler_tokens
+       |FROM bysrc JOIN dfrel USING (ph)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Pipeline survival funnel.
+  // ---------------------------------------------------------------------
+
+  /** Stage-by-stage survival funnel: docs and tokens remaining after each
+    * curation gate, applied cumulatively in pipeline order — all →
+    * language (english) → Gopher rules → classifier → exact dedup. The
+    * Gopher-appendix-style accounting table a corpus run publishes.
+    *
+    * This is the ACCOUNTING view — a production run fuses all four gate
+    * expressions into the single curation scan (exactly what
+    * q_corpus_curation does); here each gate's own chain is reused
+    * verbatim so funnel numbers can never drift from the gates they
+    * describe, at the cost of doc_id-keyed joins that sf-scale audit runs
+    * absorb. Stages 0–3 are conditional sums in ONE aggregate; the dedup
+    * stage adds one digest-keyed argmin over the survivors.
+    */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lang = docs.select(col("doc_id"),
+      (TextAnalysis.language(col("text")) === "english").as("lang_ok"),
+      md5(col("text")).as("digest"))
+    val g = CorpusQueries.gopherFlags(docs)
+      .select(col("doc_id"), col("n_words"), col("keep").as("g_ok"))
+    val c = ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("keep").as("c_ok"))
+    val j = lang.join(g, "doc_id").join(c, "doc_id")
+      .select(col("digest"), col("n_words"), col("lang_ok"),
+        (col("lang_ok") && col("g_ok")).as("s2"),
+        (col("lang_ok") && col("g_ok") && col("c_ok")).as("s3"))
+    val base = j.agg(
+      count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("lang_ok"), col("n_words")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s2"), col("n_words")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s3"), col("n_words")).otherwise(0L)).as("t3"))
+    // exact duplicates share text hence n_words: min is the keeper's count
+    val dedup = j.filter(col("s3")).groupBy(col("digest"))
+      .agg(min(col("n_words")).as("tok"))
+      .agg(count(lit(1)).as("n4"), coalesce(sum(col("tok")), lit(0L)).as("t4"))
+    base.crossJoin(dedup)
+      .select(explode(array(
+        struct(lit(0).as("stage"), lit("all").as("gate"),
+          col("n0").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit(1).as("stage"), lit("language").as("gate"),
+          col("n1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2).as("stage"), lit("gopher").as("gate"),
+          col("n2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3).as("stage"), lit("classifier").as("gate"),
+          col("n3").as("n_docs"), col("t3").as("n_tokens")),
+        struct(lit(4).as("stage"), lit("dedup").as("gate"),
+          col("n4").as("n_docs"), col("t4").as("n_tokens")))).as("s"),
+        col("n0"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
+        Num.r(col("s.n_docs").cast("double") / col("n0"), 6).as("pct_docs"))
+  }
+
+  val pipelineFunnelSql: String =
+    s"""WITH g AS (${CorpusQueries.gopherRulesSql}),
+       |c AS (${ScaleQueries.qualityClassifierSql}),
+       |l AS (SELECT doc_id, (${ScaleQueries.langSql("text")}) = 'english' AS lang_ok,
+       |             md5(text) AS digest
+       |      FROM documents),
+       |j AS (
+       |  SELECT l.digest, g.n_words, l.lang_ok,
+       |         l.lang_ok AND g.keep AS s2,
+       |         l.lang_ok AND g.keep AND c.keep AS s3
+       |  FROM l JOIN g USING (doc_id) JOIN c USING (doc_id)),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(n_words) AS BIGINT) AS t0,
+       |    CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN lang_ok THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN s2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN s3 THEN n_words ELSE 0 END) AS BIGINT) AS t3
+       |  FROM j),
+       |ded AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n4,
+       |         CAST(coalesce(sum(tok), 0) AS BIGINT) AS t4
+       |  FROM (SELECT digest, min(n_words) AS tok FROM j WHERE s3 GROUP BY 1)),
+       |st AS (
+       |  SELECT CAST(0 AS INT) AS stage, 'all' AS gate, n0 AS n_docs, t0 AS n_tokens, n0
+       |    FROM base CROSS JOIN ded
+       |  UNION ALL SELECT CAST(1 AS INT), 'language', n1, t1, n0 FROM base CROSS JOIN ded
+       |  UNION ALL SELECT CAST(2 AS INT), 'gopher', n2, t2, n0 FROM base CROSS JOIN ded
+       |  UNION ALL SELECT CAST(3 AS INT), 'classifier', n3, t3, n0 FROM base CROSS JOIN ded
+       |  UNION ALL SELECT CAST(4 AS INT), 'dedup', n4, t4, n0 FROM base CROSS JOIN ded)
+       |SELECT stage, gate, n_docs, n_tokens,
+       |       ${Num.rSql("CAST(n_docs AS DOUBLE) / n0", 6)} AS pct_docs
+       |FROM st""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Encoding-anomaly (mojibake) report.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic encoding-anomaly fixture: the synthetic corpus is clean
+    * ASCII, so the report op injects the three classic damage classes on
+    * disjoint doc_id strata — the same fixture discipline as q_docs_pii:
+    * UTF-8-read-as-Latin-1 mojibake digraphs, U+FFFD replacement
+    * characters (lossy transcoding), and raw C0 control bytes.
+    */
+  private def mojiText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0, lit(" cafÃ© naÃ¯ve")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit(" donâ€™t")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit(" bad�byte")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit(" ctl\u0007bell")).otherwise(lit("")))
+
+  private val mojiTextSql: String =
+    "text" +
+      " || (CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 5 = 0 THEN ' donâ€™t' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 7 = 0 THEN ' bad�byte' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 11 = 0 THEN ' ctl' || chr(7) || 'bell' ELSE '' END)"
+
+  val MojiRe = "Ã©|Ã¯|Ã¨|â€™|â€œ"
+  val ReplRe = "�"
+  val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+  /** Per-source encoding-anomaly incidence (the ftfy triage report): how
+    * many documents carry mojibake digraphs, replacement characters, or
+    * raw control bytes, and the per-class match counts. Detection is
+    * `regexp_count` in the scan stage — codegen'd, zero shuffles before
+    * the per-source aggregate; at 100 TB this rides the curation scan.
+    */
+  def mojibake(spark: SparkSession, dir: String): DataFrame = {
+    val c = mojiText
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(c, lit(MojiRe)).as("m"),
+        regexp_count(c, lit(ReplRe)).as("r"),
+        regexp_count(c, lit(CtrlRe)).as("k"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("m") + col("r") + col("k") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("m").cast("long")).as("n_mojibake"),
+        sum(col("r").cast("long")).as("n_replacement"),
+        sum(col("k").cast("long")).as("n_control"))
+      .withColumn("pct_flagged",
+        Num.r(col("n_flagged").cast("double") / col("n_docs"), 6))
+  }
+
+  val mojibakeSql: String = {
+    def cnt(re: String) = s"len(regexp_extract_all(c, '$re'))"
+    s"""WITH d AS (SELECT source, ($mojiTextSql) AS c FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ${cnt(MojiRe)} + ${cnt(ReplRe)} + ${cnt(CtrlRe)} > 0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(${cnt(MojiRe)}) AS BIGINT) AS n_mojibake,
+       |  CAST(sum(${cnt(ReplRe)}) AS BIGINT) AS n_replacement,
+       |  CAST(sum(${cnt(CtrlRe)}) AS BIGINT) AS n_control,
+       |  ${Num.rSql(
+        s"CAST(sum(CASE WHEN ${cnt(MojiRe)} + ${cnt(ReplRe)} + ${cnt(CtrlRe)} > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+        6)} AS pct_flagged
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> splitLeakageQ,
+    "q_classifier_auc" -> classifierAuc,
+    "q_line_boilerplate" -> boilerplateQ,
+    "q_pipeline_funnel" -> pipelineFunnel,
+    "q_mojibake" -> mojibake)
+
+  val oracles: Map[String, String] = Map(
+    "q_split_leakage" -> splitLeakageSql,
+    "q_classifier_auc" -> classifierAucSql,
+    "q_line_boilerplate" -> boilerplateSql,
+    "q_pipeline_funnel" -> pipelineFunnelSql,
+    "q_mojibake" -> mojibakeSql)
+}

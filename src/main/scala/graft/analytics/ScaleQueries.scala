@@ -458,7 +458,7 @@ object ScaleQueries {
 
   // ---- corpus curation / mixing — the end-to-end training-data shape ----
 
-  private def langSql(t: String): String = {
+  private[analytics] def langSql(t: String): String = {
     def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
     def cnt(words: Seq[String]) =
       s"len(list_filter((string_split_regex(trim(lower($t)), '\\s+'))[1:50], x -> x IN ${inList(words)}))"

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{CorpusAudit, CorpusQueries}
+
+/** Property + plan gates for the corpus-audit tier
+  * (analytics/CorpusAudit.scala): hand-computed AUC fixtures the oracle
+  * hash-compare cannot articulate, crafted-leak detection for the split
+  * audit, boilerplate threshold behavior, funnel monotonicity, mojibake
+  * stratum arithmetic, and the plan shapes (hash-keyed exchanges, no
+  * corpus-wide window) that make these survive 100 TB.
+  */
+class CorpusAuditSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  /** The split-assignment bucket, computed JVM-side with the same
+    * md5-prefix formula the queries use — for crafting fixture docs that
+    * land in chosen splits.
+    */
+  private def bucket(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+  }
+
+  test("auc: hand-computed fixtures — separation, ties, midrank mix") {
+    val s = spark; import s.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): (Double, Long, Long) = {
+      val r = CorpusAudit.aucOf(rows.toDF("prob", "keep")).collect().head
+      (r.getAs[Double]("auc"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    }
+    // perfect separation
+    val (a1, p1, n1) = auc(Seq((0.1, false), (0.2, false), (0.3, true), (0.4, true)))
+    assert(a1 == 1.0 && p1 == 2 && n1 == 2)
+    // inverted separation
+    val (a0, _, _) = auc(Seq((0.9, false), (0.8, false), (0.3, true), (0.4, true)))
+    assert(a0 == 0.0)
+    // all tied: midrank gives exactly 0.5
+    val (at, _, _) = auc(Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false)))
+    assert(at == 0.5)
+    // mixed with one tie: pairs (.2T vs .1F)=1, (.2T vs .2F)=.5,
+    // (.3T vs .1F)=1, (.3T vs .2F)=1 → 3.5/4
+    val (am, _, _) = auc(Seq((0.1, false), (0.2, true), (0.2, false), (0.3, true)))
+    assert(am == 0.875)
+  }
+
+  test("auc on the corpus: well-defined, both classes present, gini consistent") {
+    val r = CorpusAudit.classifierAuc(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-9)
+  }
+
+  test("auc plan: instances collapse to a per-prob aggregate before any window") {
+    val p = plan(CorpusAudit.classifierAuc(spark, sf))
+    // the window may only see the bounded distinct-prob relation — the
+    // grouping exchange on prob must exist upstream of it
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(prob"), s"no per-prob aggregate:\n$p")
+  }
+
+  test("split leakage: a crafted shared paragraph across splits is caught") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 16).map(i => s"tok$i").mkString(" ")
+    // force one doc into train (bucket < 80) and one into test (>= 90)
+    def find(pred: Long => Boolean, tag: String): String =
+      Iterator.from(0).map(i => s"$shared $tag$i").find(t => pred(bucket(t))).get
+    val trainDoc = find(_ < 80, "extraa")
+    val testDoc = find(_ >= 90, "extrab")
+    val docs = Seq((1L, "src0", trainDoc), (2L, "src1", testDoc))
+      .toDF("doc_id", "source", "text")
+    val rows = CorpusAudit.splitLeakage(docs).collect()
+    val bySplit = rows.map(r => r.getAs[String]("split") -> r).toMap
+    assert(bySplit.contains("train") && bySplit.contains("test"))
+    // the shared 16-word leading paragraph leaks; the distinct tails don't
+    Seq("train", "test").foreach { sp =>
+      assert(bySplit(sp).getAs[Long]("n_leaked_hashes") == 1L, sp)
+      assert(bySplit(sp).getAs[Long]("n_leaked_paras") == 1L, sp)
+    }
+  }
+
+  test("split leakage: exact-duplicate documents can never leak (same split)") {
+    val s = spark; import s.implicits._
+    // identical text ⇒ identical bucket ⇒ same split: the leakage audit
+    // over a corpus of exact duplicates reports zero leaked hashes
+    val t = (1 to 32).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((1L, "a", t), (2L, "b", t), (3L, "c", t))
+      .toDF("doc_id", "source", "text")
+    val rows = CorpusAudit.splitLeakage(docs).collect()
+    assert(rows.length == 1) // one split only
+    assert(rows.head.getAs[Long]("n_leaked_hashes") == 0L)
+  }
+
+  test("boilerplate: df >= 3 flags all instances, df == 2 flags none") {
+    val s = spark; import s.implicits._
+    val boiler = (1 to 16).map(i => s"nav$i").mkString(" ")
+    val pair = (1 to 16).map(i => s"dup$i").mkString(" ")
+    def uniq(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s0", s"$boiler ${uniq("a")}"),
+      (2L, "s0", s"$boiler ${uniq("b")}"),
+      (3L, "s1", s"$boiler ${uniq("c")}"),
+      (4L, "s1", s"$pair ${uniq("d")}"),
+      (5L, "s1", s"$pair ${uniq("e")}"))
+      .toDF("doc_id", "source", "text")
+    val rows = CorpusAudit.boilerplate(docs).collect()
+    val byS = rows.map(r => r.getAs[String]("source") -> r).toMap
+    // s0: 2 boiler instances of the df=3 paragraph; s1: 1 (the pair stays)
+    assert(byS("s0").getAs[Long]("boiler_paras") == 2L)
+    assert(byS("s1").getAs[Long]("boiler_paras") == 1L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("boiler_tokens") <= r.getAs[Long]("n_tokens"))
+      val pct = r.getAs[Double]("pct_boiler_tokens")
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("boilerplate plan: text never shuffles, keeper logic is agg-only") {
+    val p = plan(CorpusAudit.boilerplateQ(spark, sf))
+    assert(!p.contains("Window"), s"window in boilerplate:\n$p")
+    assert(p.contains("hashpartitioning(ph"), s"no ph-keyed exchange:\n$p")
+  }
+
+  test("funnel: stages are monotone non-increasing and anchored at the corpus") {
+    val rows = CorpusAudit.pipelineFunnel(spark, sf)
+      .orderBy(col("stage")).collect()
+    assert(rows.length == 5)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_docs") == n)
+    assert(rows.head.getAs[Double]("pct_docs") == 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+      assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+    }
+    // thresholds must actually gate something and leave something
+    assert(rows.last.getAs[Long]("n_docs") > 0)
+    assert(rows.last.getAs[Long]("n_docs") < n)
+  }
+
+  test("mojibake: per-class counts follow the injection strata exactly") {
+    val docs = Tables.documents(spark, sf)
+    def stratum(m: Int): Long = docs.filter(col("doc_id") % m === 0).count()
+    val rows = CorpusAudit.mojibake(spark, sf).collect()
+    // ' cafÃ© naÃ¯ve' carries TWO mojibake digraphs; the others one each
+    assert(rows.map(_.getAs[Long]("n_mojibake")).sum ==
+      2 * stratum(3) + stratum(5))
+    assert(rows.map(_.getAs[Long]("n_replacement")).sum == stratum(7))
+    assert(rows.map(_.getAs[Long]("n_control")).sum == stratum(11))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      val pct = r.getAs[Double]("pct_flagged")
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+  }
+}
