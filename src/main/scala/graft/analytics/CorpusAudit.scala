@@ -369,13 +369,23 @@ object CorpusAudit {
     * `regexp_count` in the scan stage — codegen'd, zero shuffles before
     * the per-source aggregate; at 100 TB this rides the curation scan.
     */
-  def mojibake(spark: SparkSession, dir: String): DataFrame = {
+  def mojibake(spark: SparkSession, dir: String): DataFrame =
+    mojibakeOf(mojiFlags(Tables.documents(spark, dir)))
+
+  /** Per-document anomaly counts — pure scan-stage expressions, so the
+    * streaming form (Streams.mojibakeStream) is this same code over the
+    * document ingest stream.
+    */
+  def mojiFlags(docs: DataFrame): DataFrame = {
     val c = mojiText
-    Tables.documents(spark, dir)
-      .select(col("source"),
-        regexp_count(c, lit(MojiRe)).as("m"),
-        regexp_count(c, lit(ReplRe)).as("r"),
-        regexp_count(c, lit(CtrlRe)).as("k"))
+    docs.select(col("doc_id"), col("source"),
+      regexp_count(c, lit(MojiRe)).as("m"),
+      regexp_count(c, lit(ReplRe)).as("r"),
+      regexp_count(c, lit(CtrlRe)).as("k"))
+  }
+
+  def mojibakeOf(flags: DataFrame): DataFrame =
+    flags
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("m") + col("r") + col("k") > 0, 1L).otherwise(0L))
@@ -385,7 +395,6 @@ object CorpusAudit {
         sum(col("k").cast("long")).as("n_control"))
       .withColumn("pct_flagged",
         Num.r(col("n_flagged").cast("double") / col("n_docs"), 6))
-  }
 
   val mojibakeSql: String = {
     def cnt(re: String) = s"len(regexp_extract_all(c, '$re'))"
@@ -404,18 +413,255 @@ object CorpusAudit {
   }
 
   // ---------------------------------------------------------------------
+  // Dedup threshold sweep.
+  // ---------------------------------------------------------------------
+
+  /** The Jaccard thresholds the sweep evaluates (identical literals in
+    * both engines). 0.5 is the floor because that is the LSH family's
+    * banding operating point — the candidate relation is only
+    * recall-complete at or above it.
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+
+  /** Dedup-rate-vs-threshold curve: for each candidate Jaccard cut, how
+    * many near-dup pairs survive and how many documents they touch — the
+    * curve a corpus run reads to pick its dedup threshold (too low eats
+    * genuine documents, too high leaves templated spam).
+    *
+    * Scale shape: the pair input is the LSH scale path
+    * (Dedup.minhashDupPairs — banded candidates, exact-verified on the
+    * candidate set only), NOT the corpus-quadratic shingle self-join; the
+    * sweep itself is one explode over six literals + two tiny aggregates.
+    * Oracle: the exact-Jaccard pair relation (same argument as
+    * q_minhash_pairs — precision is exact by construction, recall
+    * set-equality against the exact tier is pinned in ScaleSpec).
+    */
+  def dupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.scale.Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5)
+      .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("j"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_corpus")))
+    val byT = pairs
+      .select(col("j"), col("d1"), col("d2"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("j") >= col("threshold"))
+    val pairAgg = byT.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val docAgg = byT
+      .select(col("threshold"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_dup_docs"))
+    pairAgg.join(docAgg, "threshold")
+      .crossJoin(n)
+      .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
+        Num.r(col("n_dup_docs").cast("double") / col("n_corpus"), 6)
+          .as("pct_dup_docs"))
+  }
+
+  val dupThresholdSweepSql: String = {
+    val ts = SweepThresholds.mkString("[", ", ", "]")
+    s"""WITH ${ScaleQueries.jaccardCtesSql},
+       |pr AS (
+       |  SELECT d1, d2, ${Num.rSql("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 6)} AS j
+       |  FROM inter
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5),
+       |f AS (
+       |  SELECT t.threshold, d1, d2, j
+       |  FROM pr CROSS JOIN (SELECT unnest($ts::DOUBLE[]) AS threshold) t
+       |  WHERE j >= t.threshold),
+       |pa AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+       |da AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT DISTINCT threshold, doc
+       |        FROM (SELECT threshold, unnest([d1, d2]) AS doc FROM f))
+       |  GROUP BY 1)
+       |SELECT threshold, n_pairs, n_dup_docs,
+       |       ${Num.rSql("CAST(n_dup_docs AS DOUBLE) / (SELECT count(*) FROM documents)", 6)} AS pct_dup_docs
+       |FROM pa JOIN da USING (threshold)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-source score normalization.
+  // ---------------------------------------------------------------------
+
+  /** Per-source z-normalization of the classifier score — the step that
+    * makes quality scores comparable ACROSS sources before mixing (a raw
+    * threshold transfers badly between a curated and a crawled source;
+    * the z-score is relative to each source's own distribution), plus a
+    * ±3 winsorized variant for downstream weighting.
+    *
+    * Scale shape: per-source moments are one hash aggregate over the
+    * scan (bounded by the source catalog), broadcast back onto a second
+    * scan for the map-side z — nothing ever shuffles at document
+    * granularity. Cross-engine: sums snap to an 1e-8 grid (well above
+    * fp partial-order noise, and coarse enough that the x*1e8 product
+    * stays exactly representable at any realistic corpus sum), then
+    * every derived moment re-snaps at 1e-9 — both engines walk the same
+    * staircase of doubles.
+    */
+  def scoreZnorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = ScaleQueries.qualityClassify(docs).select(col("doc_id"), col("prob"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val stats = p.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      Num.r(sum(col("prob")), 8).as("sp"),
+      Num.r(sum(col("prob") * col("prob")), 8).as("sp2"))
+      .withColumn("mu", Num.r(col("sp") / col("n"), 9))
+      .withColumn("m2", Num.r(col("sp2") / col("n"), 9))
+      .withColumn("sigma",
+        Num.r(sqrt(greatest(Num.r(col("m2") - col("mu") * col("mu"), 9), lit(0.0))), 9))
+      .select(col("source"), col("mu"), col("sigma"))
+    p.join(broadcast(stats), "source")
+      .withColumn("z",
+        when(col("sigma") > 0.0, Num.r((col("prob") - col("mu")) / col("sigma"), 6))
+          .otherwise(0.0))
+      .select(col("doc_id"), col("source"), col("prob"), col("z"),
+        greatest(least(col("z"), lit(3.0)), lit(-3.0)).as("z_winsor"))
+  }
+
+  val scoreZnormSql: String =
+    s"""WITH c AS (${ScaleQueries.qualityClassifierSql}),
+       |p AS (SELECT c.doc_id, d.source, c.prob
+       |      FROM c JOIN documents d USING (doc_id)),
+       |stats AS (
+       |  SELECT source, count(*) AS n,
+       |         ${Num.rSql("sum(prob)", 8)} AS sp,
+       |         ${Num.rSql("sum(prob * prob)", 8)} AS sp2
+       |  FROM p GROUP BY 1),
+       |mom AS (
+       |  SELECT source,
+       |         ${Num.rSql("sp / n", 9)} AS mu,
+       |         ${Num.rSql("sp2 / n", 9)} AS m2
+       |  FROM stats),
+       |sg AS (
+       |  SELECT source, mu,
+       |         ${Num.rSql(s"sqrt(greatest(${Num.rSql("m2 - mu * mu", 9)}, 0.0))", 9)} AS sigma
+       |  FROM mom),
+       |z AS (
+       |  SELECT p.doc_id, p.source, p.prob,
+       |         CASE WHEN s.sigma > 0.0
+       |              THEN ${Num.rSql("(p.prob - s.mu) / s.sigma", 6)}
+       |              ELSE 0.0 END AS z
+       |  FROM p JOIN sg s USING (source))
+       |SELECT doc_id, source, prob, z,
+       |       greatest(least(z, 3.0), -3.0) AS z_winsor
+       |FROM z""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Data card.
+  // ---------------------------------------------------------------------
+
+  /** The per-source data card — the one-table summary a corpus release
+    * publishes (HF dataset-card style): volume, language share, duplicate
+    * and boilerplate token shares, PII and encoding-anomaly incidence,
+    * rule/classifier keep rates, mean classifier score. Every column is a
+    * per-source join of an operator THIS engine already registers, reused
+    * verbatim — the card can never disagree with the underlying reports.
+    *
+    * Cost shape: each constituent is its own scan + bounded per-source
+    * aggregate; the final join touches one row per source. An audit
+    * artifact, not a hot path — at 100 TB each constituent is the same
+    * scan its standalone query runs, and a production run would fuse the
+    * scan-stage constituents (language/gopher/classifier/pii/mojibake
+    * ride one scan; only the paragraph tiers need their own shuffles).
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+      (TextAnalysis.language(col("text")) === "english").as("en"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("en"), 1L).otherwise(0L)).as("n_en"))
+    val pd = CorpusQueries.paragraphDedupOf(docs)
+      .select(col("source"), col("pct_tokens_removed").as("dup_token_pct"))
+    val bp = boilerplate(docs)
+      .select(col("source"), col("pct_boiler_tokens").as("boiler_token_pct"))
+    val pii = CorpusQueries.docsPii(spark, dir)
+      .select(col("source"), col("docs_with_pii"))
+    val mj = mojibake(spark, dir).select(col("source"), col("n_flagged"))
+    val g = CorpusQueries.gopherFlags(docs).select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher"))
+    val c = ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("keep"), col("prob"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_clf"),
+        Num.savg(sum(col("prob")), count(lit(1)), 6, 6).as("avg_prob"))
+    base.join(pd, "source").join(bp, "source").join(pii, "source")
+      .join(mj, "source").join(g, "source").join(c, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Num.r(col("n_en").cast("double") / col("n_docs"), 6).as("english_pct"),
+        col("dup_token_pct"), col("boiler_token_pct"),
+        Num.r(col("docs_with_pii").cast("double") / col("n_docs"), 6).as("pii_doc_pct"),
+        Num.r(col("n_flagged").cast("double") / col("n_docs"), 6).as("moji_doc_pct"),
+        Num.r(col("n_gopher").cast("double") / col("n_docs"), 6).as("gopher_keep_pct"),
+        Num.r(col("n_clf").cast("double") / col("n_docs"), 6).as("clf_keep_pct"),
+        col("avg_prob"))
+  }
+
+  val dataCardSql: String =
+    s"""WITH base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN (${ScaleQueries.langSql("text")}) = 'english'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+       |  FROM documents GROUP BY 1),
+       |pd AS (SELECT source, pct_tokens_removed AS dup_token_pct
+       |       FROM (${CorpusQueries.paragraphDedupSql}) x),
+       |bp AS (SELECT source, pct_boiler_tokens AS boiler_token_pct
+       |       FROM ($boilerplateSql) x),
+       |pii AS (SELECT source, docs_with_pii FROM (${CorpusQueries.docsPiiSql}) x),
+       |mj AS (SELECT source, n_flagged FROM ($mojibakeSql) x),
+       |g AS (
+       |  SELECT d.source, CAST(sum(CASE WHEN x.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher
+       |  FROM (${CorpusQueries.gopherRulesSql}) x JOIN documents d USING (doc_id)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT d.source, CAST(sum(CASE WHEN x.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clf,
+       |         ${Num.savgSql("sum(x.prob)", "count(*)", 6, 6)} AS avg_prob
+       |  FROM (${ScaleQueries.qualityClassifierSql}) x JOIN documents d USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT base.source, n_docs, n_tokens,
+       |  ${Num.rSql("CAST(n_en AS DOUBLE) / n_docs", 6)} AS english_pct,
+       |  dup_token_pct, boiler_token_pct,
+       |  ${Num.rSql("CAST(docs_with_pii AS DOUBLE) / n_docs", 6)} AS pii_doc_pct,
+       |  ${Num.rSql("CAST(n_flagged AS DOUBLE) / n_docs", 6)} AS moji_doc_pct,
+       |  ${Num.rSql("CAST(n_gopher AS DOUBLE) / n_docs", 6)} AS gopher_keep_pct,
+       |  ${Num.rSql("CAST(n_clf AS DOUBLE) / n_docs", 6)} AS clf_keep_pct,
+       |  avg_prob
+       |FROM base
+       |JOIN pd ON base.source = pd.source
+       |JOIN bp ON base.source = bp.source
+       |JOIN pii ON base.source = pii.source
+       |JOIN mj ON base.source = mj.source
+       |JOIN g ON base.source = g.source
+       |JOIN c ON base.source = c.source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> splitLeakageQ,
     "q_classifier_auc" -> classifierAuc,
     "q_line_boilerplate" -> boilerplateQ,
     "q_pipeline_funnel" -> pipelineFunnel,
-    "q_mojibake" -> mojibake)
+    "q_mojibake" -> mojibake,
+    "q_dup_threshold_sweep" -> dupThresholdSweep,
+    "q_score_znorm" -> scoreZnorm,
+    "q_data_card" -> dataCard)
 
   val oracles: Map[String, String] = Map(
     "q_split_leakage" -> splitLeakageSql,
     "q_classifier_auc" -> classifierAucSql,
     "q_line_boilerplate" -> boilerplateSql,
     "q_pipeline_funnel" -> pipelineFunnelSql,
-    "q_mojibake" -> mojibakeSql)
+    "q_mojibake" -> mojibakeSql,
+    "q_dup_threshold_sweep" -> dupThresholdSweepSql,
+    "q_score_znorm" -> scoreZnormSql,
+    "q_data_card" -> dataCardSql)
 }

@@ -50,8 +50,12 @@ object CorpusQueries {
     * boilerplate paragraphs (a hash with huge df) cost one combiner row
     * per upstream partition, not a hot task.
     */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val inst = Tables.documents(spark, dir)
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(Tables.documents(spark, dir))
+
+  /** Core form over any documents relation (reused by the data card). */
+  def paragraphDedupOf(docs: DataFrame): DataFrame = {
+    val inst = docs
       .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"transform(sequence(1, size(w), $ParaSize), s -> slice(w, s, $ParaSize))"))

@@ -175,6 +175,15 @@ object Streams {
   def gopherStream(docs: DataFrame): DataFrame =
     graft.analytics.CorpusQueries.gopherFlags(docs)
 
+  /** q_mojibake's per-document detector stage as an ingest-time gate:
+    * the anomaly counts are scan-stage regexp_count expressions (zero
+    * shuffles), so triaging encoding damage on the document stream is
+    * the SAME code — stateless, append-mode, no watermark.
+    * StreamingSpec pins stream≡batch row equality.
+    */
+  def mojibakeStream(docs: DataFrame): DataFrame =
+    graft.analytics.CorpusAudit.mojiFlags(docs)
+
   /** q_jl_project streaming form: the sketch coordinates are pure
     * scan-stage dot products against plan-literal sign vectors (zero
     * shuffles), so sketching the embedding ingest stream — the index-

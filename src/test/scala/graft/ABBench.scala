@@ -393,8 +393,68 @@ object ABBench {
       time(s"fertility_$i") { analytics.CorpusDiversity.tokenFertility(spark, sfDir).count() }
       time(s"jlproject_$i") { analytics.CorpusDiversity.jlProject(spark, sfDir).count() }
       time(s"kcenter_$i") { analytics.CorpusDiversity.coresetKcenter(spark, sfDir).count() }
+      // round-6 fourth-session wave (audit tier): corpus-wide-window /
+      // instance-level-join baselines vs the registered bounded plans
+      time(s"auc_window_$i") { aucWindow(spark, sfDir).count() }
+      time(s"auc_bounded_$i") { analytics.CorpusAudit.classifierAuc(spark, sfDir).count() }
+      time(s"leakage_instjoin_$i") { leakageInstJoin(spark, sfDir).count() }
+      time(s"leakage_collapsed_$i") { analytics.CorpusAudit.splitLeakageQ(spark, sfDir).count() }
+      time(s"boiler_$i") { analytics.CorpusAudit.boilerplateQ(spark, sfDir).count() }
+      time(s"funnel_$i") { analytics.CorpusAudit.pipelineFunnel(spark, sfDir).count() }
+      time(s"mojibake_$i") { analytics.CorpusAudit.mojibake(spark, sfDir).count() }
+      time(s"sweep_$i") { analytics.CorpusAudit.dupThresholdSweep(spark, sfDir).count() }
+      time(s"znorm_$i") { analytics.CorpusAudit.scoreZnorm(spark, sfDir).count() }
+      time(s"datacard_$i") { analytics.CorpusAudit.dataCard(spark, sfDir).count() }
     }
     spark.stop()
+  }
+
+  /** Legacy AUC: rank every DOCUMENT with a corpus-wide single-partition
+    * window (the textbook rank-sum formulation) — the shape the bounded
+    * distinct-prob relation replaces. Baseline only: ties get arbitrary
+    * rank order here, so this arm is a timing shape, not an oracle.
+    */
+  private def aucWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = analytics.ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"))
+      .join(analytics.CorpusQueries.gopherFlags(docs)
+        .select(col("doc_id"), col("keep")), "doc_id")
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("prob"), col("doc_id"))))
+      .agg(
+        sum(when(col("keep"), col("rn")).otherwise(0L)).as("rank_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_neg"))
+      .select(Num.r((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2)
+        .cast("double") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Legacy split-leakage spread: per-hash countDistinct over the raw
+    * instance relation and a join back at instance granularity — the
+    * pre-collapse shape (every paragraph instance crosses the spread
+    * join instead of one row per (hash, split)).
+    */
+  private def leakageInstJoin(spark: SparkSession, dir: String): DataFrame = {
+    import analytics.CorpusQueries.ParaSize
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val splitCol = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val inst = Tables.documents(spark, dir)
+      .select(splitCol.as("split"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("split"), explode(expr(
+        s"transform(sequence(1, size(w), $ParaSize), s -> slice(w, s, $ParaSize))"))
+        .as("p"))
+      .select(col("split"),
+        conv(substring(md5(array_join(col("p"), " ")), 1, 13), 16, 10)
+          .cast("long").as("ph"))
+    val spread = inst.groupBy(col("ph"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    inst.join(spread, "ph")
+      .groupBy(col("split")).agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaked_paras"))
   }
 
   /** Legacy top-K for the Zipf fit: a row_number window over the whole

@@ -147,6 +147,70 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("n_docs") < n)
   }
 
+  test("threshold sweep: monotone in the cut, anchored at the 0.5 pair set") {
+    val rows = CorpusAudit.dupThresholdSweep(spark, sf)
+      .orderBy(col("threshold")).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_pairs") <= a.getAs[Long]("n_pairs"))
+        assert(b.getAs[Long]("n_dup_docs") <= a.getAs[Long]("n_dup_docs"))
+      case _ => ()
+    }
+    // the 0.5 row IS the registered near-dup pair relation
+    val exact = graft.analytics.ScaleQueries.jaccardPairs(spark, sf).count()
+    assert(rows.head.getAs[Double]("threshold") == 0.5)
+    assert(rows.head.getAs[Long]("n_pairs") == exact)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("pct_dup_docs")
+      assert(pct >= 0.0 && pct <= 1.0)
+      // a pair touches two docs; distinct docs can't exceed 2×pairs
+      assert(r.getAs[Long]("n_dup_docs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("znorm: per-source z has ~zero mean, winsor stays in [-3, 3]") {
+    val rows = CorpusAudit.scoreZnorm(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val zw = r.getAs[Double]("z_winsor")
+      assert(zw >= -3.0 && zw <= 3.0)
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val zs = rs.map(_.getAs[Double]("z"))
+      val mean = zs.sum / zs.length
+      assert(math.abs(mean) < 1e-3, s"$src mean z = $mean")
+      // some spread unless the source is constant-scored
+      assert(zs.distinct.length > 1, s"$src z degenerate")
+    }
+  }
+
+  test("znorm plan: per-source stats broadcast back, docs never reshuffle") {
+    val p = plan(CorpusAudit.scoreZnorm(spark, sf))
+    assert(p.contains("BroadcastExchange"), s"stats not broadcast:\n$p")
+  }
+
+  test("data card: one row per source, every rate well-formed and consistent") {
+    val rows = CorpusAudit.dataCard(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val pctCols = Seq("english_pct", "dup_token_pct", "boiler_token_pct",
+      "pii_doc_pct", "moji_doc_pct", "gopher_keep_pct", "clf_keep_pct", "avg_prob")
+    rows.foreach { r =>
+      pctCols.foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+    // the card must agree with the standalone reports it reuses
+    val moji = CorpusAudit.mojibake(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("pct_flagged")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("moji_doc_pct") == moji(r.getAs[String]("source")))
+    }
+  }
+
   test("mojibake: per-class counts follow the injection strata exactly") {
     val docs = Tables.documents(spark, sf)
     def stratum(m: Int): Long = docs.filter(col("doc_id") % m === 0).count()

@@ -237,6 +237,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming mojibake flags equal the batch detector row-for-row") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_moji")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve("documents.parquet"))
+    val out = Streams.runToCompletion(
+      Streams.mojibakeStream(Streams.documentStream(spark, d.toString)),
+      OutputMode.Append(), "moji_stream")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("m"), r.getAs[Int]("r"), r.getAs[Int]("k"))).toMap
+    val got = keyed(out.collect())
+    val exp = keyed(graft.analytics.CorpusAudit
+      .mojiFlags(Tables.documents(spark, sf)).collect())
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming semantic decontamination equals the batch gate") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_emb")
     java.nio.file.Files.copy(
