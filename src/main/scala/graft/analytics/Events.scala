@@ -341,7 +341,55 @@ object Events {
        |       ${Num.rSql("date_diff('microsecond', s, e) / 60000000.0", 4)} AS session_duration_min
        |FROM kpis LEFT JOIN fa ON kpis.user_id = fa.user_id""".stripMargin
 
+  /** Cohort retention matrix — the product-analytics companion to the
+    * funnel/journey tier: users grouped by first-active week, and for
+    * each (cohort, week-offset) cell the share of the cohort still
+    * active. Week ids are integer µs-epoch division (never a date_trunc
+    * — both engines share the exact arithmetic and no calendar/TZ
+    * semantics can diverge).
+    *
+    * Scale shape: the instance stream collapses to distinct (user,
+    * week) FIRST — keyed on the composite, so a hot user spreads over
+    * its weeks rather than one task — and everything after runs on
+    * that bounded relation (users × weeks): the per-user cohort min,
+    * the cell counts, the cohort sizes. count(*) is exact-distinct
+    * users per cell because the input rows are already distinct.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohort, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        Num.r(col("n_active").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+       |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+       |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+       |          FROM cohort GROUP BY 1),
+       |act AS (
+       |  SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
+       |         CAST(count(*) AS BIGINT) AS n_active
+       |  FROM uw u JOIN cohort c USING (user_id) GROUP BY 1, 2)
+       |SELECT a.cohort_wk, a.week_offset, a.n_active, s.cohort_users,
+       |       ${Num.rSql("CAST(a.n_active AS DOUBLE) / s.cohort_users", 6)} AS retention
+       |FROM act a JOIN sizes s USING (cohort_wk)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> cohortRetention,
     "q_session_summary" -> sessionSummary,
     "q_journey" -> journey,
     "q_funnel" -> funnel,
@@ -355,6 +403,7 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_session_summary" -> sessionSummarySql,
     "q_journey" -> journeySql,
     "q_funnel" -> funnelSql,

@@ -667,6 +667,47 @@ object ScaleQueries {
        |           ORDER BY ${d2Sql("e.v", "cent.c")} ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent) WHERE rn = 1""".stripMargin
 
+  /** Clustering-quality diagnostics over the k-means assignment: per
+    * cluster the member count, corpus share, mean squared distance, and
+    * inertia share — the balance report that tells an IVF/SemDeDup run
+    * whether its codebook collapsed (one giant cell ruins both the n²/K
+    * pair bound and probe selectivity). One extra aggregate over the
+    * assignment relation; the totals ride as one broadcast row. Sums of
+    * grid-rounded dist2 snap at the same grid, so both engines derive
+    * identical ratios.
+    */
+  def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir)
+    val tot = broadcast(asg.agg(
+      count(lit(1)).as("n_total"),
+      Num.r(sum(col("dist2")), 6).as("tot_inertia")))
+    asg.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_vecs"),
+      Num.r(sum(col("dist2")), 6).as("inertia"),
+      Num.savg(sum(col("dist2")), count(lit(1)), 6, 6).as("avg_dist2"))
+      .crossJoin(tot)
+      .select(col("cluster"), col("n_vecs"),
+        Num.r(col("n_vecs").cast("double") / col("n_total"), 6).as("pct_vecs"),
+        col("avg_dist2"), col("inertia"),
+        Num.r(col("inertia") / col("tot_inertia"), 6).as("inertia_pct"))
+  }
+
+  val clusterBalanceSql: String =
+    s"""WITH a AS ($kmeansAssignSql),
+       |tot AS (
+       |  SELECT count(*) AS n_total, ${Num.rSql("sum(dist2)", 6)} AS tot_inertia
+       |  FROM a),
+       |g AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |         ${Num.rSql("sum(dist2)", 6)} AS inertia,
+       |         ${Num.savgSql("sum(dist2)", "count(*)", 6, 6)} AS avg_dist2
+       |  FROM a GROUP BY 1)
+       |SELECT cluster, n_vecs,
+       |       ${Num.rSql("CAST(n_vecs AS DOUBLE) / n_total", 6)} AS pct_vecs,
+       |       avg_dist2, inertia,
+       |       ${Num.rSql("inertia / tot_inertia", 6)} AS inertia_pct
+       |FROM g CROSS JOIN tot""".stripMargin
+
   /** Prototypes per cluster for the SemDeDup-style keep-list. */
   val ProtoK = 5
 
@@ -912,18 +953,26 @@ object ScaleQueries {
     * engine-stable.
     */
   val AnnRecallProbes = Seq(1, 2, 4)
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val model = graft.scale.IvfPq.fit(emb)
+
+  /** The exact L2 top-10 id set for PqQueryId (rounded-before-rank with
+    * id tiebreak, so the SET is engine-stable) — the ground truth both
+    * index-evaluation operators compare against.
+    */
+  private def pqExactSet(emb: DataFrame): DataFrame = {
     val q = emb.filter(col("vec_id") === PqQueryId).select("embedding").collect()(0)
       .getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue)
     val qq = q.foldLeft(0.0)((a, x) => a + x * x)
     val d2 = graft.scale.VectorOps.dot(col("embedding"), col("embedding")) -
       lit(2.0) * graft.scale.VectorOps.dot(col("embedding"), typedLit(q)) + lit(qq)
-    val exact = emb.filter(col("vec_id") =!= PqQueryId)
+    emb.filter(col("vec_id") =!= PqQueryId)
       .select(col("vec_id"), Num.r(d2, 6).as("d2"))
       .orderBy(col("d2").asc, col("vec_id").asc).limit(10).select("vec_id")
-      .cache()
+  }
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.scale.IvfPq.fit(emb)
+    val exact = pqExactSet(emb).cache()
     // ONE scan of the max-nprobe cells scores every candidate once;
     // each tier is then a pr-filter + top-10 over the tiny cached
     // relation (three IvfPq.search arms would rescan the corpus 3x).
@@ -957,6 +1006,72 @@ object ScaleQueries {
   val ivfPqProbedSql: String =
     s"""WITH $ivfPqCtesSql
        |${ivfPqSearchSql(IvfPqNProbe, 10)}""".stripMargin
+
+  /** DCG weights 1/log2(rank+1) for ranks 1..10, computed ONCE in Scala
+    * and embedded as the same literal doubles in both engines (neither
+    * engine evaluates a log — Java's Math.log and DuckDB's libm may
+    * differ by an ulp; a shared literal cannot). IdcgAt10 is their fixed-
+    * order sum, the ideal DCG when all 10 results are relevant.
+    */
+  val DcgWeights: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  val IdcgAt10: Double = DcgWeights.sum
+
+  /** Full retrieval-quality report for the IVF-PQ index: recall@10, MRR,
+    * and binary-relevance nDCG@10 against the exact L2 top-10, one row
+    * per probe tier — the evaluation table a vector-index deployment
+    * publishes next to its latency numbers (recall says how much truth
+    * the probe finds, MRR/nDCG say how well it ORDERS what it finds).
+    * Same one-scan shape as q_ann_recall: the max-nprobe scored relation
+    * is computed once and each tier is a filter + rank over the tiny
+    * cached candidate set (bounded by the index's probe budget, never
+    * the corpus). Ranks assign over rounded distances with an id
+    * tiebreak; DCG weights are shared literals (see DcgWeights).
+    */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.scale.IvfPq.fit(emb)
+    val exact = pqExactSet(emb).cache()
+    val scored = graft.scale.IvfPq
+      .scoredSearch(emb, model, PqQueryId, AnnRecallProbes.max).cache()
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+    AnnRecallProbes.map { np =>
+      scored.filter(col("pr") <= np)
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= 10)
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"),
+          min(col("arank")).as("minr"),
+          sum(element_at(typedLit(DcgWeights), col("arank"))).as("dcg"))
+        .select(lit(np).as("nprobe"), lit(10).as("k"), col("n_overlap"),
+          Num.r(col("n_overlap") / 10.0, 4).as("recall_at_10"),
+          Num.r(coalesce(lit(1.0) / col("minr"), lit(0.0)), 6).as("mrr"),
+          Num.r(coalesce(col("dcg"), lit(0.0)) / lit(IdcgAt10), 6)
+            .as("ndcg_at_10"))
+    }.reduce(_ unionAll _)
+  }
+
+  val retrievalMetricsSql: String = {
+    val ws = DcgWeights.mkString("[", ", ", "]")
+    val arms = AnnRecallProbes.map { np =>
+      s"""SELECT $np AS nprobe, 10 AS k,
+         |       CAST(count(*) AS BIGINT) AS n_overlap,
+         |       ${Num.rSql("count(*) / 10.0", 4)} AS recall_at_10,
+         |       ${Num.rSql("coalesce(1.0 / min(arank), 0.0)", 6)} AS mrr,
+         |       ${Num.rSql(s"coalesce(sum(($ws::DOUBLE[])[arank]), 0.0) / $IdcgAt10", 6)} AS ndcg_at_10
+         |FROM (SELECT vec_id,
+         |             row_number() OVER (ORDER BY adc_dist2 ASC, vec_id ASC) AS arank
+         |      FROM (${ivfPqSearchSql(np, 10)}) s) a
+         |JOIN exact USING (vec_id)""".stripMargin
+    }
+    s"""WITH $ivfPqCtesSql,
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id FROM e CROSS JOIN qv2 WHERE e.vec_id <> $PqQueryId
+       |    ORDER BY ${Num.rSql(d2Sql("e.v", "qv2.v"), 6)} ASC, e.vec_id ASC LIMIT 10))
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al.
     * 2023): cluster the embedding space with the trained k-means
@@ -1507,7 +1622,21 @@ object ScaleQueries {
     * split-source catalog, never the corpus — and the final accounting
     * aggregate.
     */
-  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+  def trainingShards(spark: SparkSession, dir: String): DataFrame =
+    packedCanonical(spark, dir)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("bin")).as("n_bins"),
+        min(col("doc_id")).as("min_doc_id"),
+        Num.r(sum(col("n_tokens")).cast("double") /
+          (countDistinct(col("bin")) * lit(PackCap)), 4).as("fill_ratio"))
+
+  /** The curate→dedup→split→pack relation trainingShards aggregates —
+    * one row per surviving canonical doc with its (split, source, bin)
+    * shard assignment and digest (shared with q_shard_manifest).
+    */
+  private def packedCanonical(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val scored = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"),
@@ -1529,17 +1658,36 @@ object ScaleQueries {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     split3
       .withColumn("cumx", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .selectExpr("split", "source", s"cumx div $PackCap AS bin", "n_tokens", "doc_id")
-      .groupBy("split", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(col("bin")).as("n_bins"),
-        min(col("doc_id")).as("min_doc_id"),
-        Num.r(sum(col("n_tokens")).cast("double") /
-          (countDistinct(col("bin")) * lit(PackCap)), 4).as("fill_ratio"))
+      .selectExpr("split", "source", s"cumx div $PackCap AS bin", "n_tokens",
+        "doc_id", "digest")
   }
 
-  val trainingShardsSql: String = {
+  /** Per-SHARD manifest — the integrity artifact next to the
+    * q_training_shards accounting: one row per (split, source, bin)
+    * with doc/token counts, fill ratio, and an ORDER-INDEPENDENT
+    * content checksum (bit_xor over the 52-bit digest prefixes of the
+    * members — any engine, any partitioning, any row order reproduces
+    * it, and a single changed/missing member flips it). This is what a
+    * consumer diffs to detect a corrupted or stale shard without
+    * re-reading text.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    packedCanonical(spark, dir)
+      .select(col("split"), col("source"), col("bin"), col("n_tokens"),
+        col("doc_id"),
+        conv(substring(col("digest"), 1, 13), 16, 10).cast("long").as("dh"))
+      .groupBy("split", "source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        expr("bit_xor(dh)").as("checksum"),
+        Num.r(sum(col("n_tokens")).cast("double") / lit(PackCap), 4)
+          .as("fill_ratio"))
+
+  /** Shared CTE prefix ending in the packed relation `c` (split, source,
+    * doc_id, n_tokens, digest, cumx) — the SQL analog of packedCanonical.
+    */
+  private def shardCtesSql: String = {
     val re = TextAnalysis.BpeTokenRe
     s"""WITH scored AS (
        |  SELECT doc_id, source,
@@ -1557,10 +1705,14 @@ object ScaleQueries {
        |  SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *, ('0x' || substr(digest, 1, 8))::BIGINT % 100 AS b FROM canonical)),
        |c AS (
-       |  SELECT split, source, doc_id, n_tokens,
+       |  SELECT split, source, doc_id, n_tokens, digest,
        |         sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cumx
-       |  FROM sp)
+       |  FROM sp)""".stripMargin
+  }
+
+  val trainingShardsSql: String =
+    s"""$shardCtesSql
        |SELECT split, source,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -1568,7 +1720,16 @@ object ScaleQueries {
        |       min(doc_id) AS min_doc_id,
        |       ${Num.rSql(s"CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT cumx // $PackCap) * $PackCap)", 4)} AS fill_ratio
        |FROM c GROUP BY 1, 2""".stripMargin
-  }
+
+  val shardManifestSql: String =
+    s"""$shardCtesSql
+       |SELECT split, source, CAST(cumx // $PackCap AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS min_doc_id,
+       |       bit_xor(('0x' || substr(digest, 1, 13))::BIGINT) AS checksum,
+       |       ${Num.rSql(s"CAST(sum(n_tokens) AS DOUBLE) / $PackCap", 4)} AS fill_ratio
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
 
   /** Word-3-gram distinct shingles per doc — shared by the decontamination
     * paths. Shingle definition matches the Jaccard tier (trim + whitespace
@@ -2960,6 +3121,8 @@ object ScaleQueries {
     "q_ivfpq_topk" -> ivfPqTopK,
     "q_ivfpq_probed" -> ivfPqProbed,
     "q_ann_recall" -> annRecall,
+    "q_retrieval_metrics" -> retrievalMetrics,
+    "q_cluster_balance" -> clusterBalance,
     "q_semantic_neardup" -> semanticNearDup,
     "q_span_dedup" -> spanDedup,
     "q_dup_runs" -> dupRuns,
@@ -2996,6 +3159,7 @@ object ScaleQueries {
     "q_bigram_logprob" -> bigramLogprob,
     "q_hybrid_search" -> hybridSearch,
     "q_training_shards" -> trainingShards,
+    "q_shard_manifest" -> shardManifest,
     "q_quality_sample" -> qualitySample)
 
   val oracles: Map[String, String] = Map(
@@ -3007,6 +3171,7 @@ object ScaleQueries {
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_training_shards" -> trainingShardsSql,
+    "q_shard_manifest" -> shardManifestSql,
     "q_quality_sample" -> qualitySampleSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_bpe_pairs" -> bpePairsSql,
@@ -3047,6 +3212,8 @@ object ScaleQueries {
     "q_ivfpq_topk" -> ivfPqTopKSql,
     "q_ivfpq_probed" -> ivfPqProbedSql,
     "q_ann_recall" -> annRecallSql,
+    "q_retrieval_metrics" -> retrievalMetricsSql,
+    "q_cluster_balance" -> clusterBalanceSql,
     "q_semantic_neardup" -> semanticNearDupSql,
     "q_span_dedup" -> spanDedupSql,
     "q_dup_runs" -> dupRunsSql,

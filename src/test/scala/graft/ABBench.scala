@@ -405,6 +405,10 @@ object ABBench {
       time(s"sweep_$i") { analytics.CorpusAudit.dupThresholdSweep(spark, sfDir).count() }
       time(s"znorm_$i") { analytics.CorpusAudit.scoreZnorm(spark, sfDir).count() }
       time(s"datacard_$i") { analytics.CorpusAudit.dataCard(spark, sfDir).count() }
+      time(s"cohort_$i") { analytics.Events.cohortRetention(spark, sfDir).count() }
+      time(s"clusterbal_$i") { analytics.ScaleQueries.clusterBalance(spark, sfDir).count() }
+      time(s"retmetrics_$i") { analytics.ScaleQueries.retrievalMetrics(spark, sfDir).count() }
+      time(s"manifest_$i") { analytics.ScaleQueries.shardManifest(spark, sfDir).count() }
     }
     spark.stop()
   }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Events, ScaleQueries}
+
+/** Property gates for the wave-3 diagnostics: cohort retention, k-means
+  * cluster balance, retrieval metrics, shard manifest — the accounting
+  * identities a hash-compare against the oracle cannot articulate.
+  */
+class DiagnosticsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("cohort retention: offset 0 is total, cells bounded by cohort size") {
+    val rows = Events.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    // cohorts partition the user base
+    val cohortSizes = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort_wk") -> r.getAs[Long]("cohort_users")).toMap
+    assert(cohortSizes.values.sum == users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users"))
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      if (r.getAs[Long]("week_offset") == 0L) assert(ret == 1.0)
+    }
+  }
+
+  test("cluster balance: shares sum to one, members account the corpus") {
+    val rows = ScaleQueries.clusterBalance(spark, sf).collect()
+    assert(rows.length == ScaleQueries.KmeansK)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    val pct = rows.map(_.getAs[Double]("pct_vecs")).sum
+    assert(math.abs(pct - 1.0) < 1e-4, s"pct_vecs sums to $pct")
+    val ipct = rows.map(_.getAs[Double]("inertia_pct")).sum
+    assert(math.abs(ipct - 1.0) < 1e-4, s"inertia_pct sums to $ipct")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_dist2") >= 0.0)
+      assert(r.getAs[Double]("inertia") >= 0.0)
+    }
+  }
+
+  test("retrieval metrics: bounded, recall monotone in the probe budget") {
+    val rows = ScaleQueries.retrievalMetrics(spark, sf)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.length == ScaleQueries.AnnRecallProbes.length)
+    rows.foreach { r =>
+      Seq("recall_at_10", "mrr", "ndcg_at_10").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+      // a found truth item implies every rank metric is positive
+      if (r.getAs[Long]("n_overlap") > 0) {
+        assert(r.getAs[Double]("mrr") > 0.0)
+        assert(r.getAs[Double]("ndcg_at_10") > 0.0)
+      }
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("recall_at_10") >= a.getAs[Double]("recall_at_10"))
+      case _ => ()
+    }
+    // probing every cell must recover ground truth on this small corpus
+    assert(rows.last.getAs[Double]("recall_at_10") > 0.5)
+  }
+
+  test("shard manifest rolls up exactly to the training-shards accounting") {
+    val manifest = ScaleQueries.shardManifest(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    val rolled = manifest.groupBy(r =>
+      (r.getAs[String]("split"), r.getAs[String]("source")))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getAs[Long]("n_docs")).sum,
+          rs.map(_.getAs[Long]("n_tokens")).sum, rs.length.toLong)
+      }
+    val shards = ScaleQueries.trainingShards(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_bins"))).toMap
+    assert(rolled.keySet == shards.keySet)
+    rolled.foreach { case (k, v) => assert(v == shards(k), s"mismatch at $k") }
+    // checksums: non-degenerate (distinct member sets give distinct xors
+    // with overwhelming probability over 52-bit hashes)
+    val checks = manifest.map(_.getAs[Long]("checksum"))
+    assert(checks.distinct.length > checks.length / 2)
+  }
+}
