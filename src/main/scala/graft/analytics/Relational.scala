@@ -325,7 +325,161 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  // ---- RFM segmentation ----
+
+  /** RFM score cut points — literal thresholds picked to split this
+    * data's per-customer distribution into thirds at every gate scale
+    * (the distribution is SF-invariant in TPC-H-style generators: more
+    * customers, same per-customer shape). Quantile-derived cuts would
+    * need a global sort; fixed literals are the honest scale answer and
+    * what production RFM dashboards pin anyway.
+    */
+  val RfmRecencyHot = 90L
+  val RfmRecencyWarm = 250L
+  val RfmFreqHigh = 11L
+  val RfmFreqMid = 9L
+  val RfmMonHigh = 2800000.0
+  val RfmMonMid = 2100000.0
+
+  /** RFM customer segmentation — the classic CRM/product-analytics
+    * operator: per customer recency (days since last order, relative to
+    * the corpus max order date so the query is dataset-anchored and
+    * reproducible), frequency (order count), monetary (total spend,
+    * grid-snapped), each scored 1–3 by the literal cuts, then mapped to
+    * the standard segment names and aggregated. One customer-keyed hash
+    * aggregate + a broadcast max-date row; no window, no global sort.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mx = broadcast(o.agg(max(col("o_orderdate")).as("mxd")))
+    val cust = o.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last"),
+      count(lit(1)).as("freq"),
+      Num.r(sum(col("o_totalprice")), 2).as("mon"))
+      .crossJoin(mx)
+      .select(col("o_custkey"),
+        datediff(col("mxd"), col("last")).cast("long").as("rec"),
+        col("freq"), col("mon"))
+    val scored = cust.select(col("o_custkey"), col("rec"), col("freq"), col("mon"),
+      when(col("rec") <= RfmRecencyHot, 3)
+        .when(col("rec") <= RfmRecencyWarm, 2).otherwise(1).as("r_score"),
+      when(col("freq") >= RfmFreqHigh, 3)
+        .when(col("freq") >= RfmFreqMid, 2).otherwise(1).as("f_score"),
+      when(col("mon") >= RfmMonHigh, 3)
+        .when(col("mon") >= RfmMonMid, 2).otherwise(1).as("m_score"))
+    scored
+      .withColumn("segment",
+        when(col("r_score") === 3 && col("f_score") === 3, "champion")
+          .when(col("r_score") >= 2 && col("f_score") >= 2, "loyal")
+          .when(col("r_score") === 3 && col("f_score") === 1, "new")
+          .when(col("r_score") === 1 && col("f_score") >= 2, "at_risk")
+          .otherwise("hibernating"))
+      .groupBy(col("segment")).agg(
+        count(lit(1)).as("n_customers"),
+        Num.r(sum(col("rec")).cast("double") / count(lit(1)), 4).as("avg_recency_days"),
+        Num.r(sum(col("freq")).cast("double") / count(lit(1)), 4).as("avg_frequency"),
+        Num.savg(sum(col("mon")), count(lit(1)), 2, 2).as("avg_monetary"),
+        min(col("o_custkey")).as("min_custkey"))
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+       |cust AS (
+       |  SELECT o_custkey,
+       |         CAST(date_diff('day', max(o_orderdate), mxd) AS BIGINT) AS rec,
+       |         CAST(count(*) AS BIGINT) AS freq,
+       |         ${Num.rSql("sum(o_totalprice)", 2)} AS mon
+       |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mxd),
+       |scored AS (
+       |  SELECT o_custkey, rec, freq, mon,
+       |         CASE WHEN rec <= $RfmRecencyHot THEN 3
+       |              WHEN rec <= $RfmRecencyWarm THEN 2 ELSE 1 END AS r_score,
+       |         CASE WHEN freq >= $RfmFreqHigh THEN 3
+       |              WHEN freq >= $RfmFreqMid THEN 2 ELSE 1 END AS f_score,
+       |         CASE WHEN mon >= $RfmMonHigh THEN 3
+       |              WHEN mon >= $RfmMonMid THEN 2 ELSE 1 END AS m_score
+       |  FROM cust),
+       |seg AS (
+       |  SELECT *,
+       |         CASE WHEN r_score = 3 AND f_score = 3 THEN 'champion'
+       |              WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+       |              WHEN r_score = 3 AND f_score = 1 THEN 'new'
+       |              WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+       |              ELSE 'hibernating' END AS segment
+       |  FROM scored)
+       |SELECT segment,
+       |       CAST(count(*) AS BIGINT) AS n_customers,
+       |       ${Num.rSql("CAST(sum(rec) AS DOUBLE) / count(*)", 4)} AS avg_recency_days,
+       |       ${Num.rSql("CAST(sum(freq) AS DOUBLE) / count(*)", 4)} AS avg_frequency,
+       |       ${Num.savgSql("sum(mon)", "count(*)", 2, 2)} AS avg_monetary,
+       |       min(o_custkey) AS min_custkey
+       |FROM seg GROUP BY 1""".stripMargin
+
+  // ---- market-basket affinity ----
+
+  /** Minimum co-occurrence count for a pair to surface, and the basket
+    * size guard (identical in both engines; TPC-H-style baskets are ≤7
+    * lines, the cap only matters against adversarial data where one
+    * giant basket would otherwise expand quadratically in one task —
+    * the same hot-group guard as the LSH bucket cap).
+    */
+  val BasketMinSupport = 3L
+  val BasketMaxSize = 100
+
+  /** Market-basket affinity (association pairs): for parts co-purchased
+    * in the same order, the support count and the lift
+    * n_pair·n_orders/(n_p1·n_p2) — lift > 1 means the parts attract.
+    * Scale shape: (order, part) collapses to distinct first, baskets
+    * group per order (bounded by the basket cap) and expand their own
+    * pairs locally — the pair stream is Σ C(basket, 2), never a
+    * corpus-wide self-join — then one hash aggregate on the pair key
+    * and a keyed join against the per-part counts. Oracle: the
+    * self-join formulation (same rows, quadratic plan DuckDB can afford
+    * at gate scale).
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = broadcast(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+    val partCnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) <= BasketMaxSize)
+      .select(explode(graft.scale.Dedup.pairsOf(col("ps"))).as("p"))
+      .select(col("p.d1").as("p1"), col("p.d2").as("p2"))
+    pairs.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= BasketMinSupport)
+      .join(partCnt.select(col("l_partkey").as("p1"), col("n").as("n_p1")), "p1")
+      .join(partCnt.select(col("l_partkey").as("p2"), col("n").as("n_p2")), "p2")
+      .crossJoin(nOrders)
+      .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
+        Num.r(col("n_pair").cast("double") * col("n_orders") /
+          (col("n_p1") * col("n_p2")), 6).as("lift"))
+  }
+
+  val basketPairsSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ok AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= $BasketMaxSize),
+       |lo AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+       |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+       |pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+       |pr AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM lo a JOIN lo b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |g AS (
+       |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM pr GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+       |SELECT g.p1, g.p2, g.n_pair, a.n AS n_p1, b.n AS n_p2,
+       |       ${Num.rSql("CAST(g.n_pair AS DOUBLE) * n_orders / (a.n * b.n)", 6)} AS lift
+       |FROM g JOIN pc a ON g.p1 = a.l_partkey
+       |JOIN pc b ON g.p2 = b.l_partkey
+       |CROSS JOIN no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> rfmSegments,
+    "q_basket_pairs" -> basketPairs,
     "q_rollup_revenue" -> rollupRevenue,
     "q_approx_distinct" -> approxDistinct,
     "q_session_kpis" -> sessionKpis,
@@ -343,6 +497,8 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segments" -> rfmSegmentsSql,
+    "q_basket_pairs" -> basketPairsSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_session_kpis" -> sessionKpisSql,
     "q1_pricing_summary" -> pricingSummarySql,

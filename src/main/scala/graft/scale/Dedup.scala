@@ -42,7 +42,7 @@ object Dedup {
     * expansion after a groupBy(shingle), which costs ONE shuffle of
     * (shingle, doc_id) instead of a self-join's two.
     */
-  private def pairsOf(sortedIds: Column): Column =
+  private[graft] def pairsOf(sortedIds: Column): Column =
     flatten(transform(sortedIds, (x, i) =>
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         y => struct(x.as("d1"), y.as("d2")))))

@@ -409,8 +409,29 @@ object ABBench {
       time(s"clusterbal_$i") { analytics.ScaleQueries.clusterBalance(spark, sfDir).count() }
       time(s"retmetrics_$i") { analytics.ScaleQueries.retrievalMetrics(spark, sfDir).count() }
       time(s"manifest_$i") { analytics.ScaleQueries.shardManifest(spark, sfDir).count() }
+      time(s"rfm_$i") { analytics.Relational.rfmSegments(spark, sfDir).count() }
+      time(s"basket_grouped_$i") { analytics.Relational.basketPairs(spark, sfDir).count() }
+      time(s"basket_selfjoin_$i") { basketSelfJoin(spark, sfDir).count() }
     }
     spark.stop()
+  }
+
+  /** Basket pairs via the corpus-wide self-join — the shape the grouped
+    * per-basket expansion replaces (every (order, part) row joins every
+    * co-row; at scale the join output is the same Σ C(basket, 2) but the
+    * probe side re-shuffles the full relation instead of expanding
+    * locally inside the already-grouped basket).
+    */
+  private def basketSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= analytics.Relational.BasketMinSupport)
   }
 
   /** Legacy AUC: rank every DOCUMENT with a corpus-wide single-partition

@@ -69,6 +69,40 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("recall_at_10") > 0.5)
   }
 
+  test("rfm: segments partition the customer base, names from the fixed set") {
+    val rows = analytics.Relational.rfmSegments(spark, sf).collect()
+    val names = Set("champion", "loyal", "new", "at_risk", "hibernating")
+    assert(rows.map(_.getAs[String]("segment")).toSet.subsetOf(names))
+    val customers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == customers)
+    assert(rows.length > 1, "cuts must split the base into several segments")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_recency_days") >= 0.0)
+      assert(r.getAs[Double]("avg_frequency") >= 1.0)
+      assert(r.getAs[Double]("avg_monetary") > 0.0)
+    }
+  }
+
+  test("basket pairs: support floor holds, lift consistent with counts") {
+    val rows = analytics.Relational.basketPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"))
+      val np = r.getAs[Long]("n_pair")
+      assert(np >= analytics.Relational.BasketMinSupport)
+      // a pair occurs at most as often as either member
+      assert(np <= r.getAs[Long]("n_p1") && np <= r.getAs[Long]("n_p2"))
+      val lift = r.getAs[Double]("lift")
+      val expected = np.toDouble * nOrders /
+        (r.getAs[Long]("n_p1") * r.getAs[Long]("n_p2"))
+      assert(math.abs(lift - expected) < 1e-4)
+      assert(lift > 0.0)
+    }
+  }
+
   test("shard manifest rolls up exactly to the training-shards accounting") {
     val manifest = ScaleQueries.shardManifest(spark, sf).collect()
     assert(manifest.nonEmpty)
