@@ -388,7 +388,44 @@ object Events {
        |       ${Num.rSql("CAST(a.n_active AS DOUBLE) / s.cohort_users", 6)} AS retention
        |FROM act a JOIN sizes s USING (cohort_wk)""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov): for every
+    * consecutive event pair in a user's timeline, the count and the
+    * row-normalized transition probability — the path-analysis /
+    * Sankey-diagram artifact next to the funnel. Consecutive pairs are
+    * extracted with the SlidingAgg two-level pane decomposition
+    * (CLAUDE.md per-key sequential rule: pane-local lags + boundary
+    * pairs over the tiny per-(key, pane) relation — no task sorts a
+    * user's full history), ordered by (ts, event_id) so the chain is
+    * identical to the naive per-user lag the oracle runs. The
+    * normalizer join touches one row per distinct event type.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.scale.SlidingAgg.transitionCounts(
+      Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), col("ts"), col("event_type"), col("event_id"),
+      7L * 86400 * 1000000)
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("tn"))
+    pairs.join(totals, "prev")
+      .select(col("prev"), col("next"), col("n"),
+        Num.r(col("n").cast("double") / col("tn"), 6).as("p"))
+  }
+
+  val eventTransitionsSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |c AS (
+       |  SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+       |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1)
+       |SELECT c.prev, c.next, c.n,
+       |       ${Num.rSql("CAST(c.n AS DOUBLE) / t.tn", 6)} AS p
+       |FROM c JOIN t USING (prev)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> eventTransitions,
     "q_cohort_retention" -> cohortRetention,
     "q_session_summary" -> sessionSummary,
     "q_journey" -> journey,
@@ -403,6 +440,7 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_session_summary" -> sessionSummarySql,
     "q_journey" -> journeySql,

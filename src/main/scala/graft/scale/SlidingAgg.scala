@@ -75,6 +75,47 @@ object SlidingAgg {
       .filter(col("n_gaps") > 0)
   }
 
+  /** Consecutive-pair (transition) extraction per key with the same
+    * two-level decomposition: pairs WITHIN a (key, pane) come from a
+    * pane-local lag window; the pair ACROSS a pane boundary is (last
+    * label of the previous present pane, first label of this pane),
+    * computed on the tiny one-row-per-(key, pane) relation — so no task
+    * ever sorts one key's full history. Ordering is (time µs, tiebreak)
+    * end to end, making the chain — and therefore the pair multiset —
+    * identical to the naive per-key lag formulation.
+    *
+    * Returns (prev, next, n): the global transition-pair counts summed
+    * over keys.
+    */
+  def transitionCounts(df: DataFrame, keys: Seq[String], time: Column,
+      label: Column, tiebreak: Column, paneMicros: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__e", label)
+      .withColumn("__t", tiebreak)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    val lagged = base.withColumn("__p", lag(col("__e"), 1).over(w1))
+    val intra = lagged.filter(col("__p").isNotNull)
+      .groupBy(col("__p").as("prev"), col("__e").as("next"))
+      .agg(count(lit(1)).as("n"))
+    // one row per (key, pane): first/last label in (time, tiebreak) order
+    val panes = base
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(min(struct(col("__us"), col("__t"), col("__e"))).as("fst"),
+        max(struct(col("__us"), col("__t"), col("__e"))).as("lst"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__b"))
+    val boundary = panes
+      .withColumn("__pl", lag(col("lst.__e"), 1).over(w2))
+      .filter(col("__pl").isNotNull)
+      .groupBy(col("__pl").as("prev"), col("fst.__e").as("next"))
+      .agg(count(lit(1)).as("n"))
+    intra.unionByName(boundary)
+      .groupBy(col("prev"), col("next")).agg(sum(col("n")).as("n"))
+  }
+
   /** Gap-threshold sessionization counts per key with the same two-level
     * decomposition: session breaks within a pane come from pane-local
     * lags, breaks at pane boundaries from the per-(key, pane) relation;

@@ -69,6 +69,35 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("recall_at_10") > 0.5)
   }
 
+  test("event transitions: pane decomposition equals the naive lag chain") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val naive = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // tiny pane width forces many panes per user — the boundary path
+    // carries most pairs, which is exactly what must stay equivalent
+    val paned = graft.scale.SlidingAgg.transitionCounts(
+      ev, Seq("user_id"), col("ts"), col("event_type"), col("event_id"), 3600L * 1000000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(paned == naive)
+    assert(paned.nonEmpty)
+  }
+
+  test("event transitions: probabilities row-normalize to one") {
+    val rows = analytics.Events.eventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, rs) =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$prev row sums to $psum")
+    }
+  }
+
   test("rfm: segments partition the customer base, names from the fixed set") {
     val rows = analytics.Relational.rfmSegments(spark, sf).collect()
     val names = Set("champion", "loyal", "new", "at_risk", "hibernating")
