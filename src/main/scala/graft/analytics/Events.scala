@@ -424,7 +424,68 @@ object Events {
        |       ${Num.rSql("CAST(c.n AS DOUBLE) / t.tn", 6)} AS p
        |FROM c JOIN t USING (prev)""".stripMargin
 
+  /** |z| threshold above which a day's volume counts as anomalous
+    * (identical literal in both engines).
+    */
+  val AnomalyZ = 2.0
+
+  /** Daily event-volume anomaly detection — the ingestion monitor that
+    * pages when a day's volume departs from the corpus' own
+    * distribution (a feed gap or a duplicate-replay spike, the two
+    * failure modes §2.10's alerting rules watch for). Day ids are
+    * integer µs-epoch division; counts are exact integers, so the only
+    * doubles are the derived moments, re-snapped at every stage
+    * (q_score_znorm discipline) so both engines walk the same
+    * staircase. Shape: one count aggregate over the scan, moments over
+    * the bounded per-day relation, broadcast back — the per-day z is
+    * map-side.
+    */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val stats = broadcast(daily.agg(
+      count(lit(1)).as("nd"),
+      Num.r(sum(col("n_events").cast("double")), 6).as("s"),
+      Num.r(sum(col("n_events").cast("double") * col("n_events")), 6).as("s2")))
+    daily.crossJoin(stats)
+      .withColumn("mu", Num.r(col("s") / col("nd"), 9))
+      .withColumn("sigma",
+        Num.r(sqrt(greatest(
+          Num.r(col("s2") / col("nd") - col("mu") * col("mu"), 9), lit(0.0))), 9))
+      .select(col("day"), col("n_events"),
+        when(col("sigma") > 0.0,
+          Num.r((col("n_events") - col("mu")) / col("sigma"), 6))
+          .otherwise(0.0).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= AnomalyZ)
+  }
+
+  val dailyAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS nd,
+       |         ${Num.rSql("sum(CAST(n_events AS DOUBLE))", 6)} AS s,
+       |         ${Num.rSql("sum(CAST(n_events AS DOUBLE) * n_events)", 6)} AS s2
+       |  FROM daily),
+       |m AS (
+       |  SELECT day, n_events,
+       |         ${Num.rSql("s / nd", 9)} AS mu,
+       |         ${Num.rSql(s"sqrt(greatest(${Num.rSql("s2 / nd - (" + Num.rSql("s / nd", 9) + ") * (" + Num.rSql("s / nd", 9) + ")", 9)}, 0.0))", 9)} AS sigma
+       |  FROM daily CROSS JOIN st)
+       |SELECT day, n_events,
+       |       CASE WHEN sigma > 0.0
+       |            THEN ${Num.rSql("(n_events - mu) / sigma", 6)}
+       |            ELSE 0.0 END AS z,
+       |       abs(CASE WHEN sigma > 0.0
+       |            THEN ${Num.rSql("(n_events - mu) / sigma", 6)}
+       |            ELSE 0.0 END) >= $AnomalyZ AS is_anomaly
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_daily_anomaly" -> dailyAnomaly,
     "q_event_transitions" -> eventTransitions,
     "q_cohort_retention" -> cohortRetention,
     "q_session_summary" -> sessionSummary,
@@ -440,6 +501,7 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_daily_anomaly" -> dailyAnomalySql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_session_summary" -> sessionSummarySql,

@@ -115,6 +115,47 @@ object Streams {
       .mapGroupsWithState(timeout)(updateSession(ttl))
   }
 
+  /** Last-seen label per user — the state the streaming transition
+    * extractor carries across micro-batches.
+    */
+  case class TransState(us: Long, eventId: Long, label: String)
+  case class TransPair(user_id: Long, prev: String, next: String)
+
+  /** q_event_transitions streaming form: per-user last-event state via
+    * flatMapGroupsWithState — each micro-batch sorts ITS OWN slice of a
+    * user by (ts, event_id), chains it onto the carried last label, and
+    * emits the new transition pairs. State is one label per user
+    * (bounded by the key space, like the session hot-state). On a
+    * finite in-order source this equals the batch pane decomposition
+    * pair-for-pair (StreamingSpec); on an out-of-order feed the
+    * watermark-era caveat is the usual one — pairs respect arrival
+    * order within the batch, which is why the batch operator remains
+    * the artifact of record and the stream is the live dashboard view.
+    */
+  def transitionStream(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[TransPair] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TransState]) => {
+          val evs = it.toArray.sortBy(r => (r._2, r._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val chain = state.getOption.map(_.label).toSeq ++ evs.map(_._4)
+            val last = evs.last
+            state.update(TransState(last._2, last._3, last._4))
+            chain.sliding(2).collect {
+              case Seq(a, b) => TransPair(uid, a, b)
+            }.toList.iterator
+          }
+        })
+  }
+
   /** ST5 streaming form: gap sessionization via the native session_window
     * — a per-user session closes after 30 idle minutes, and the watermark
     * both bounds the merge state and decides when a session is final. The

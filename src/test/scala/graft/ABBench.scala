@@ -412,6 +412,8 @@ object ABBench {
       time(s"rfm_$i") { analytics.Relational.rfmSegments(spark, sfDir).count() }
       time(s"basket_grouped_$i") { analytics.Relational.basketPairs(spark, sfDir).count() }
       time(s"basket_selfjoin_$i") { basketSelfJoin(spark, sfDir).count() }
+      time(s"transitions_$i") { analytics.Events.eventTransitions(spark, sfDir).count() }
+      time(s"dailyanomaly_$i") { analytics.Events.dailyAnomaly(spark, sfDir).count() }
     }
     spark.stop()
   }

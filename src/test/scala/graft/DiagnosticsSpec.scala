@@ -98,6 +98,19 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("daily anomaly: z-scores center on zero, flag matches the threshold") {
+    val rows = analytics.Events.dailyAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zmean = rows.map(_.getAs[Double]("z")).sum / rows.length
+    assert(math.abs(zmean) < 1e-2, s"z mean $zmean")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(r.getAs[Double]("z")) >= analytics.Events.AnomalyZ))
+    }
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+  }
+
   test("rfm: segments partition the customer base, names from the fixed set") {
     val rows = analytics.Relational.rfmSegments(spark, sf).collect()
     val names = Set("champion", "loyal", "new", "at_risk", "hibernating")

@@ -237,6 +237,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming transition pairs equal the batch pane decomposition") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_trans")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+    implicit val s = spark
+    val out = Streams.runToCompletion(
+      Streams.transitionStream(Streams.eventStream(spark, d.toString)).toDF(),
+      OutputMode.Append(), "trans_stream")
+    val got = out.groupBy("prev", "next").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = graft.scale.SlidingAgg.transitionCounts(
+      Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), col("ts"), col("event_type"), col("event_id"),
+      7L * 86400 * 1000000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming mojibake flags equal the batch detector row-for-row") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_moji")
     java.nio.file.Files.copy(
