@@ -415,6 +415,75 @@ object Relational {
        |       min(o_custkey) AS min_custkey
        |FROM seg GROUP BY 1""".stripMargin
 
+  // ---- Pareto / ABC revenue classification ----
+
+  /** Revenue band width for the cumulative-share decomposition (the
+    * per-part revenue distribution is SF-invariant in TPC-H-style data,
+    * so the occupied-band count stays bounded at any corpus size).
+    */
+  val ParetoBand = 100000.0
+  val ParetoA = 0.8
+  val ParetoB = 0.95
+
+  /** Pareto/ABC classification of parts by revenue: cumulative revenue
+    * share in descending-revenue order, classed A (top 80% of revenue),
+    * B (next 15%), C (tail) — the inventory-analytics staple. The
+    * classic formulation is ONE global window over every part sorted by
+    * revenue; this plan uses the q_global_index range-bucket
+    * decomposition instead: parts bucket by revenue band, band totals
+    * form a bounded relation whose DESC prefix sums broadcast back as
+    * offsets, and the within-band window sorts one band per task —
+    * band order is revenue order (the band is a function of revenue),
+    * so offset + within-band prefix IS the global prefix. Cumulative
+    * sums re-snap to the revenue grid before the share divide, so the
+    * different accumulation order of the two engines cannot drift
+    * across a rounding boundary.
+    */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(Num.ssum(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4, 2)
+        .as("revenue"))
+      .withColumn("band", floor(col("revenue") / lit(ParetoBand)).cast("long"))
+    val tot = broadcast(rev.agg(Num.r(sum(col("revenue")), 2).as("total")))
+    val bands = rev.groupBy(col("band")).agg(Num.r(sum(col("revenue")), 2).as("brev"))
+    val offs = bands
+      .withColumn("off", coalesce(sum(col("brev")).over(
+        Window.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .drop("brev")
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(broadcast(offs), "band")
+      .withColumn("cum", Num.r(col("off") + sum(col("revenue")).over(w), 2))
+      .crossJoin(tot)
+      .select(col("l_partkey"), col("revenue"),
+        Num.r(col("cum") / col("total"), 6).as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= ParetoA, "A")
+          .when(col("cum_share") <= ParetoB, "B").otherwise("C"))
+  }
+
+  val revenueParetoSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |         ${Num.ssumSql("sum(l_extendedprice * (1 - l_discount))", 4, 2)} AS revenue
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT ${Num.rSql("sum(revenue)", 2)} AS total FROM rev),
+       |c AS (
+       |  SELECT l_partkey, revenue,
+       |         ${Num.rSql(
+        "sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        2)} AS cum
+       |  FROM rev)
+       |SELECT l_partkey, revenue,
+       |       ${Num.rSql("cum / total", 6)} AS cum_share,
+       |       CASE WHEN ${Num.rSql("cum / total", 6)} <= $ParetoA THEN 'A'
+       |            WHEN ${Num.rSql("cum / total", 6)} <= $ParetoB THEN 'B'
+       |            ELSE 'C' END AS abc_class
+       |FROM c CROSS JOIN tot""".stripMargin
+
   // ---- market-basket affinity ----
 
   /** Minimum co-occurrence count for a pair to surface, and the basket
@@ -479,6 +548,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm_segments" -> rfmSegments,
+    "q_revenue_pareto" -> revenuePareto,
     "q_basket_pairs" -> basketPairs,
     "q_rollup_revenue" -> rollupRevenue,
     "q_approx_distinct" -> approxDistinct,
@@ -498,6 +568,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_rfm_segments" -> rfmSegmentsSql,
+    "q_revenue_pareto" -> revenueParetoSql,
     "q_basket_pairs" -> basketPairsSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_session_kpis" -> sessionKpisSql,

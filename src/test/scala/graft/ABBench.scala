@@ -414,6 +414,7 @@ object ABBench {
       time(s"basket_selfjoin_$i") { basketSelfJoin(spark, sfDir).count() }
       time(s"transitions_$i") { analytics.Events.eventTransitions(spark, sfDir).count() }
       time(s"dailyanomaly_$i") { analytics.Events.dailyAnomaly(spark, sfDir).count() }
+      time(s"pareto_$i") { analytics.Relational.revenuePareto(spark, sfDir).count() }
     }
     spark.stop()
   }

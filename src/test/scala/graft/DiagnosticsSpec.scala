@@ -98,6 +98,42 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto: cumulative share is a monotone permutation ending at one") {
+    val rows = analytics.Relational.revenuePareto(spark, sf)
+      .orderBy(col("cum_share")).collect()
+    val parts = Tables.lineitem(spark, sf).select("l_partkey").distinct().count()
+    assert(rows.length == parts)
+    // monotone in descending-revenue order; last share is 1
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("revenue") >= b.getAs[Double]("revenue") ||
+          a.getAs[Double]("cum_share") < b.getAs[Double]("cum_share"))
+      case _ => ()
+    }
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-4)
+    // classes are exactly the share-threshold partition (the synthetic
+    // revenue is near-uniform, so the A-class PART share tracks its
+    // revenue share — no skew assertion, only the boundary invariant)
+    rows.foreach { r =>
+      val cls = r.getAs[String]("abc_class")
+      val share = r.getAs[Double]("cum_share")
+      val expect = if (share <= analytics.Relational.ParetoA) "A"
+        else if (share <= analytics.Relational.ParetoB) "B" else "C"
+      assert(cls == expect, s"share $share classed $cls")
+    }
+    assert(rows.map(_.getAs[String]("abc_class")).toSet == Set("A", "B", "C"))
+  }
+
+  test("pareto plan: the cumulative window is band-partitioned, never global") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      analytics.Relational.revenuePareto(spark, sf).explain("formatted")
+    }
+    val p = out.toString
+    assert(p.contains("hashpartitioning(band"),
+      s"per-band window not partitioned by band:\n$p")
+  }
+
   test("daily anomaly: z-scores center on zero, flag matches the threshold") {
     val rows = analytics.Events.dailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
