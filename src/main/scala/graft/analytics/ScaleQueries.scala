@@ -793,6 +793,40 @@ object ScaleQueries {
        |  FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1""".stripMargin
   }
 
+  /** PQ quantization-distortion report: per subspace the mean/max
+    * reconstruction error and its share of total distortion — the
+    * codebook-health diagnostic next to q_retrieval_metrics (a subspace
+    * hoarding distortion needs more codewords or a rotation; uniform
+    * shares are what healthy PQ looks like). One aggregate over the
+    * code-assignment relation the index build already produces; the
+    * totals ride as one broadcast row.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodes(spark, dir)
+    val tot = broadcast(codes.agg(Num.r(sum(col("dist2")), 6).as("total")))
+    codes.groupBy(col("subspace")).agg(
+      count(lit(1)).as("n_vecs"),
+      Num.r(sum(col("dist2")), 6).as("sub_dist2"),
+      Num.savg(sum(col("dist2")), count(lit(1)), 6, 6).as("avg_dist2"),
+      max(col("dist2")).as("max_dist2"))
+      .crossJoin(tot)
+      .select(col("subspace"), col("n_vecs"), col("avg_dist2"), col("max_dist2"),
+        Num.r(col("sub_dist2") / col("total"), 6).as("dist2_share"))
+  }
+
+  val pqDistortionSql: String =
+    s"""WITH base AS ($pqCodesSql),
+       |tot AS (SELECT ${Num.rSql("sum(dist2)", 6)} AS total FROM base),
+       |g AS (
+       |  SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+       |         ${Num.rSql("sum(dist2)", 6)} AS sub_dist2,
+       |         ${Num.savgSql("sum(dist2)", "count(*)", 6, 6)} AS avg_dist2,
+       |         max(dist2) AS max_dist2
+       |  FROM base GROUP BY 1)
+       |SELECT subspace, n_vecs, avg_dist2, max_dist2,
+       |       ${Num.rSql("sub_dist2 / total", 6)} AS dist2_share
+       |FROM g CROSS JOIN tot""".stripMargin
+
   /** PQ asymmetric-distance top-k: exact query, code-compressed corpus,
     * distance = sum of M per-subspace lookup-table entries. One scan,
     * zero joins, TakeOrderedAndProject. The oracle reuses the PQ CTE
@@ -3117,6 +3151,7 @@ object ScaleQueries {
     "q_kmeans_assign" -> kmeansAssign,
     "q_cluster_prototypes" -> clusterPrototypes,
     "q_pq_codes" -> pqCodes,
+    "q_pq_distortion" -> pqDistortion,
     "q_pq_adc_topk" -> pqAdcTopK,
     "q_ivfpq_topk" -> ivfPqTopK,
     "q_ivfpq_probed" -> ivfPqProbed,
@@ -3208,6 +3243,7 @@ object ScaleQueries {
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_cluster_prototypes" -> clusterPrototypesSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_pq_distortion" -> pqDistortionSql,
     "q_pq_adc_topk" -> pqAdcTopKSql,
     "q_ivfpq_topk" -> ivfPqTopKSql,
     "q_ivfpq_probed" -> ivfPqProbedSql,

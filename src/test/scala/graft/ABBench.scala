@@ -415,6 +415,7 @@ object ABBench {
       time(s"transitions_$i") { analytics.Events.eventTransitions(spark, sfDir).count() }
       time(s"dailyanomaly_$i") { analytics.Events.dailyAnomaly(spark, sfDir).count() }
       time(s"pareto_$i") { analytics.Relational.revenuePareto(spark, sfDir).count() }
+      time(s"pqdistortion_$i") { analytics.ScaleQueries.pqDistortion(spark, sfDir).count() }
     }
     spark.stop()
   }

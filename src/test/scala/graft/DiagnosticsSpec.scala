@@ -98,6 +98,41 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq distortion: one row per subspace, shares sum to one") {
+    val rows = ScaleQueries.pqDistortion(spark, sf).collect()
+    assert(rows.length == graft.scale.ProductQuantize.M)
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Double]("avg_dist2") >= 0.0)
+      assert(r.getAs[Double]("max_dist2") >= r.getAs[Double]("avg_dist2"))
+    }
+    val share = rows.map(_.getAs[Double]("dist2_share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to $share")
+  }
+
+  test("transition counts: pane equivalence holds for random pane widths") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      ev.withColumn("prev", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    // widths spanning sub-second to multi-month panes — every regime of
+    // the intra/boundary split must agree with the naive chain
+    Seq(1L, 997L, 3600L * 1000000, 30L * 86400 * 1000000).foreach { pane =>
+      val paned = graft.scale.SlidingAgg.transitionCounts(
+        ev, Seq("user_id"), col("ts"), col("event_type"), col("event_id"), pane)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(paned == naive, s"pane $pane diverges")
+    }
+  }
+
   test("pareto: cumulative share is a monotone permutation ending at one") {
     val rows = analytics.Relational.revenuePareto(spark, sf)
       .orderBy(col("cum_share")).collect()
