@@ -408,6 +408,51 @@ object CorpusQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Exact distributed median.
+  // ---------------------------------------------------------------------
+
+  /** EXACT per-source median (lower median, so no cross-engine fp
+    * interpolation exists at all) of document length — the
+    * quantile-at-scale shape: a naive exact median sorts each source's
+    * full history in one window task, and the approximate tier
+    * (q_approx_quantiles) trades error for mergeability. This plan gets
+    * exactness AND parallelism from the q_global_index range-bucket
+    * decomposition: per-(source, bucket) counts form a bounded relation
+    * whose prefix offsets locate the ONE bucket containing the median
+    * rank, and only that bucket's rows rank — in parallel per source,
+    * each task holding one bucket, never a source's history.
+    */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        (col("n_chars") / IndexBucketWidth).cast("long").as("bkt"))
+    val counts = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n"))
+    // bounded relation: one row per occupied (source, bucket)
+    val offs = counts.withColumn("off",
+      coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
+        .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = counts.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+      .withColumn("k", expr("(n_docs + 1) div 2"))
+    val target = offs.join(tot, "source")
+      .filter(col("k") > col("off") && col("k") <= col("off") + col("n"))
+      .select(col("source"), col("bkt"), col("off"), col("k"), col("n_docs"))
+    d.join(broadcast(target), Seq("source", "bkt"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+      .filter(col("off") + col("r") === col("k"))
+      .select(col("source"), col("n_docs"), col("n_chars").as("median_chars"))
+  }
+
+  val exactMedianSql: String =
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |         count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT source, CAST(cnt AS BIGINT) AS n_docs, n_chars AS median_chars
+      |FROM t WHERE r = (cnt + 1) // 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Classifier-vs-rules calibration curve.
   // ---------------------------------------------------------------------
 
@@ -465,6 +510,7 @@ object CorpusQueries {
     "q_token_budget" -> tokenBudget,
     "q_dup_stats" -> dupStats,
     "q_global_index" -> globalIndex,
+    "q_exact_median" -> exactMedian,
     "q_classifier_calibration" -> classifierCalibration)
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +520,6 @@ object CorpusQueries {
     "q_token_budget" -> tokenBudgetSql,
     "q_dup_stats" -> dupStatsSql,
     "q_global_index" -> globalIndexSql,
+    "q_exact_median" -> exactMedianSql,
     "q_classifier_calibration" -> classifierCalibrationSql)
 }

@@ -484,8 +484,39 @@ object Events {
        |            ELSE 0.0 END) >= $AnomalyZ AS is_anomaly
        |FROM m""".stripMargin
 
+  /** The event-type domain, pinned explicitly so the pivot's column set
+    * is deterministic (Spark's value-less pivot would scan-and-sort the
+    * domain — an extra corpus pass AND a schema that drifts with data).
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type crosstab (pivot): one row per user, one count
+    * column per event type plus the value sum — the wide activity
+    * matrix BI layers ask of an engine. With explicit pivot values this
+    * is ONE hash aggregate whose map-side combine carries a fixed
+    * 5-slot buffer per user; no domain-discovery scan, no extra
+    * shuffle. The oracle uses portable CASE sums (identical semantics
+    * to PIVOT, no dialect dependence).
+    */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(p)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+      .na.fill(0L, EventTypes.map("n_" + _))
+  }
+
+  val eventPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+    s"""SELECT user_id, ${cols.mkString(", ")}
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_daily_anomaly" -> dailyAnomaly,
+    "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
     "q_cohort_retention" -> cohortRetention,
     "q_session_summary" -> sessionSummary,
@@ -502,6 +533,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q_daily_anomaly" -> dailyAnomalySql,
+    "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_session_summary" -> sessionSummarySql,
