@@ -20,12 +20,14 @@ object SparkEntry {
       analytics.TransformQueries.queries ++ analytics.ScaleQueries.queries ++
       analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries ++
       analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries ++
-      analytics.CorpusAudit.queries
+      analytics.CorpusAudit.queries ++ analytics.Audit.queries ++
+      analytics.Attribution.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
       analytics.TransformQueries.oracles ++ analytics.ScaleQueries.oracles ++
       analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles ++
       analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles ++
-      analytics.CorpusAudit.oracles
+      analytics.CorpusAudit.oracles ++ analytics.Audit.oracles ++
+      analytics.Attribution.oracles
 }

@@ -1,0 +1,209 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+
+/** Marketing-attribution tier over the event stream: which touchpoints
+  * get credit for a purchase, and how engaged a user is right now.
+  *
+  * The event table carries no URL/campaign payload, so the "channel" is
+  * the touch's event type (click / view / signup) — the operator shapes
+  * (as-of last-touch, windowed linear multi-touch, decayed recency
+  * score, grouped OLS trend) are what matter; swapping the channel
+  * column for a UTM tag changes nothing structural.
+  *
+  * Scale stances:
+  *   - last-touch rides [[graft.scale.AsofJoin.asofBucketed]] — no task
+  *     ever sorts one user's full history;
+  *   - linear multi-touch rides [[graft.scale.RangeJoin.rangeJoin]] — a
+  *     2× bounded left fan-out equi-join, never a nested loop, and the
+  *     per-purchase credit split windows a ≤3-row group (one row per
+  *     touch type), never raw pairs;
+  *   - the recency score is a plain one-shuffle aggregate because
+  *     harmonic decay against a FIXED as-of instant is order-free — no
+  *     sequential scan per user exists in the first place;
+  *   - the per-nation trend is two aggregates (day grid, then moment
+  *     sums); the OLS solve is closed-form arithmetic on five moments.
+  *
+  * Cross-engine determinism: every fp score is grid-snapped (Num) before
+  * compare/rank; OLS moment sums are snapped to the price grid before
+  * the closed-form solve so both engines divide identical doubles.
+  */
+object Attribution {
+
+  private val TouchTypes = Seq("click", "view", "signup")
+
+  private def purchases(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+  private def touches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id"), col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+
+  /** Last-touch attribution: each purchase credits its full value to the
+    * user's most recent touch at-or-before the purchase (`direct` when
+    * the user has no prior touch), aggregated per channel. (user_id, ts)
+    * is unique in events, satisfying the as-of right-side contract. */
+  def lastTouch(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.AsofJoin.asofBucketed(
+      purchases(spark, dir), touches(spark, dir), Seq("user_id"),
+      col("ts"), col("touch_ts"), t => date_trunc("week", t))
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Num.ssum(sum(col("value")), 2, 2).as("attributed_revenue"))
+
+  val lastTouchSql: String =
+    s"""SELECT coalesce(t.event_type, 'direct') AS channel,
+       |       CAST(count(*) AS BIGINT) AS n_purchases,
+       |       ${Num.ssumSql("sum(p.value)", 2, 2)} AS attributed_revenue
+       |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT user_id, ts, event_type FROM events
+       |                WHERE event_type IN ('click', 'view', 'signup')) t
+       |  ON p.user_id = t.user_id AND p.ts >= t.ts
+       |GROUP BY 1""".stripMargin
+
+  /** Linear multi-touch attribution window. */
+  val AttribWindowDays = 7L
+
+  /** Linear multi-touch attribution: each purchase splits its value
+    * equally across the user's touches in the trailing 7-day window
+    * `[ts-7d, ts)`; purchases with no windowed touch credit `direct` in
+    * full. Per-row credits are snapped to a 1e-6 grid before the channel
+    * sum so both engines accumulate identical doubles. */
+  def linearTouch(spark: SparkSession, dir: String): DataFrame = {
+    val p = purchases(spark, dir)
+    val pairs = graft.scale.RangeJoin.rangeJoin(
+      p, touches(spark, dir), Seq("user_id"),
+      col("ts"), col("touch_ts"), AttribWindowDays * 24L * 3600L * 1000000L)
+    // one row per (purchase, touch type): the credit-split window below
+    // partitions a <=3-row group, never the raw pair set
+    val perType = pairs.groupBy(col("event_id"), col("value"), col("touch_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val withTot = perType.withColumn("n_tot",
+      sum(col("n_t")).over(Window.partitionBy(col("event_id"))))
+    val credited = withTot.select(
+      col("touch_type").as("channel"), col("event_id"),
+      Num.r((col("value") * col("n_t")) / col("n_tot"), 6).as("credit"))
+    val direct = p.join(pairs.select("event_id").distinct(), Seq("event_id"), "left_anti")
+      .select(lit("direct").as("channel"), col("event_id"), col("value").as("credit"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("event_id")).as("n_purchases"),
+        Num.ssum(sum(col("credit")), 6, 2).as("credited_revenue"))
+  }
+
+  val linearTouchSql: String =
+    s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM events
+       |      WHERE event_type IN ('click', 'view', 'signup')),
+       |pair AS (SELECT p.event_id, p.value, t.touch_type
+       |         FROM p JOIN t ON p.user_id = t.user_id
+       |          AND t.touch_ts >= p.ts - INTERVAL $AttribWindowDays DAYS AND t.touch_ts < p.ts),
+       |pt AS (SELECT event_id, value, touch_type, CAST(count(*) AS BIGINT) AS n_t
+       |       FROM pair GROUP BY 1, 2, 3),
+       |wt AS (SELECT *, CAST(sum(n_t) OVER (PARTITION BY event_id) AS BIGINT) AS n_tot FROM pt),
+       |cr AS (SELECT touch_type AS channel, event_id,
+       |              ${Num.rSql("(value * n_t) / n_tot", 6)} AS credit FROM wt
+       |       UNION ALL
+       |       SELECT 'direct', event_id, value FROM p
+       |       WHERE NOT EXISTS (SELECT 1 FROM pair WHERE pair.event_id = p.event_id))
+       |SELECT channel, CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases,
+       |       ${Num.ssumSql("sum(credit)", 6, 2)} AS credited_revenue
+       |FROM cr GROUP BY 1""".stripMargin
+
+  /** Recency-weighted engagement: per user, the harmonic-decay score
+    * sum(value / (1 + days_before_asof)) over all events, with last-seen
+    * recency — the "hot users right now" board. Harmonic decay (not
+    * exp/pow) keeps every per-row weight an IEEE division both engines
+    * compute bit-identically; the per-user sum snaps to 1e-4 before the
+    * rank so top-20 order cannot flip on an accumulation ulp. */
+  def recencyEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val asofDay = to_date(lit(Tables.AsOf))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        datediff(asofDay, to_date(col("ts"))).cast("long").as("days_ago"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("days_ago")).as("last_seen_days"),
+        Num.r(sum(col("value") / (lit(1L) + col("days_ago"))), 4).as("recency_score"))
+      .orderBy(col("recency_score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val AsOfDay = Tables.AsOf.take(10)
+
+  val recencyEngagementSql: String =
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(min(datediff('day', CAST(ts AS DATE), DATE '$AsOfDay')) AS BIGINT) AS last_seen_days,
+       |       ${Num.rSql(s"sum(value / (1 + datediff('day', CAST(ts AS DATE), DATE '$AsOfDay')))", 4)} AS recency_score
+       |FROM events GROUP BY 1
+       |ORDER BY recency_score DESC, user_id LIMIT 20""".stripMargin
+
+  /** Per-nation revenue trend: closed-form OLS of daily order revenue
+    * against the epoch-day index. The day grid is one aggregate (revenue
+    * snapped to the price grid), the five OLS moments are a second; the
+    * solve is arithmetic on the moment row. Moment sums are snapped
+    * (Σy, Σxy to the 2-decimal grid; Σx, Σx² exact integers) so the
+    * slope/intercept divisions see identical doubles in both engines,
+    * and the solve is written textually parallel in Scala and SQL. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("y"))
+    val m = daily.groupBy(col("n_name")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      Num.r(sum(col("y")), 2).as("sy"),
+      Num.r(sum(col("x") * col("y")), 2).as("sxy"))
+    m.withColumn("slope",
+        Num.r((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("intercept",
+        Num.r((col("sy") - col("slope") * col("sx")) / col("n_days"), 2))
+      .select("n_name", "n_days", "slope", "intercept")
+  }
+
+  val revenueTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT n_name,
+       |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS y
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         ${Num.rSql("sum(y)", 2)} AS sy, ${Num.rSql("sum(x * y)", 2)} AS sxy
+       |  FROM daily GROUP BY 1),
+       |sl AS (
+       |  SELECT *, ${Num.rSql("(n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)", 6)} AS slope
+       |  FROM m)
+       |SELECT n_name, n_days, slope,
+       |       ${Num.rSql("(sy - slope * sx) / n_days", 2)} AS intercept
+       |FROM sl""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_last" -> lastTouch,
+    "q_attribution_linear" -> linearTouch,
+    "q_recency_engagement" -> recencyEngagement,
+    "q_revenue_trend" -> revenueTrend)
+
+  val oracles: Map[String, String] = Map(
+    "q_attribution_last" -> lastTouchSql,
+    "q_attribution_linear" -> linearTouchSql,
+    "q_recency_engagement" -> recencyEngagementSql,
+    "q_revenue_trend" -> revenueTrendSql)
+}

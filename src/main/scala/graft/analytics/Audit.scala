@@ -1,0 +1,148 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+
+/** Warehouse audit tier: referential-integrity rule tables and
+  * incremental-state (CDC) snapshot diffs.
+  *
+  * The reference pipeline trusts its upstream (Marketo / frontend
+  * producers) and validates per-record only (required fields, whitelist —
+  * P1/P2 in SURVEY §2). A warehouse operating at 100 TB also needs
+  * *cross-table* audits — orphaned facts, childless dimensions,
+  * impossible orderings — and a cheap way to answer "what changed since
+  * the last materialization?". Both operators here are built around the
+  * minimum number of scans/shuffles that can answer those questions.
+  */
+object Audit {
+
+  /** Referential-integrity + constraint audit: one row per rule with the
+    * checked population and the violation count.
+    *
+    * Scale shape: SIX rules ride TWO joins —
+    *
+    *   - one full-outer lineitem⋈orders join answers orphan lineitems
+    *     (no order), childless orders (no lineitem), ship-before-order,
+    *     AND carries the lineitem-local constraint scans (non-positive
+    *     quantity, discount out of [0,1]) in the same aggregate, so the
+    *     fact table is scanned exactly once;
+    *   - one left orders⋈customer join answers dangling customer keys
+    *     and the order population count.
+    *
+    * The rule table itself is a 2-row cross of two single-row aggregates
+    * unpivoted with `stack` — no collect, no extra shuffle.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val lo = l.join(o, l("l_orderkey") === o("o_orderkey"), "full_outer").agg(
+      count(col("l_orderkey")).as("n_lineitem"),
+      count(when(col("o_orderkey").isNull, 1)).as("orphan_lineitem"),
+      count(when(col("l_orderkey").isNull, 1)).as("childless_order"),
+      count(when(col("l_quantity") <= 0.0, 1)).as("nonpositive_quantity"),
+      count(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1)).as("discount_range"),
+      count(when(col("l_shipdate") < col("o_orderdate"), 1)).as("ship_before_order"))
+    val oc = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("c_custkey").isNull, 1)).as("order_missing_customer"))
+    lo.crossJoin(oc).selectExpr(
+      """stack(6,
+        |  'orphan_lineitem',        n_lineitem, orphan_lineitem,
+        |  'childless_order',        n_orders,   childless_order,
+        |  'order_missing_customer', n_orders,   order_missing_customer,
+        |  'nonpositive_quantity',   n_lineitem, nonpositive_quantity,
+        |  'discount_range',         n_lineitem, discount_range,
+        |  'ship_before_order',      n_lineitem, ship_before_order
+        |) AS (rule, n_checked, n_violations)""".stripMargin)
+  }
+
+  val integrityAuditSql: String =
+    """WITH lo AS (
+      |  SELECT count(l.l_orderkey) AS n_lineitem,
+      |         count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS orphan_lineitem,
+      |         count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS childless_order,
+      |         count(CASE WHEN l.l_quantity <= 0.0 THEN 1 END) AS nonpositive_quantity,
+      |         count(CASE WHEN l.l_discount < 0.0 OR l.l_discount > 1.0 THEN 1 END) AS discount_range,
+      |         count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END) AS ship_before_order
+      |  FROM lineitem l FULL OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |oc AS (
+      |  SELECT count(*) AS n_orders,
+      |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS order_missing_customer
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT u.rule,
+      |       CAST(CASE WHEN u.pop = 'l' THEN lo.n_lineitem ELSE oc.n_orders END AS BIGINT) AS n_checked,
+      |       CAST(CASE u.rule
+      |              WHEN 'orphan_lineitem' THEN lo.orphan_lineitem
+      |              WHEN 'childless_order' THEN lo.childless_order
+      |              WHEN 'order_missing_customer' THEN oc.order_missing_customer
+      |              WHEN 'nonpositive_quantity' THEN lo.nonpositive_quantity
+      |              WHEN 'discount_range' THEN lo.discount_range
+      |              ELSE lo.ship_before_order END AS BIGINT) AS n_violations
+      |FROM lo, oc, (VALUES ('orphan_lineitem', 'l'), ('childless_order', 'o'),
+      |              ('order_missing_customer', 'o'), ('nonpositive_quantity', 'l'),
+      |              ('discount_range', 'l'), ('ship_before_order', 'l')) AS u(rule, pop)""".stripMargin
+
+  /** Snapshot cutoffs for the CDC diff: the materialized state "as of T1"
+    * vs "as of T2" (orders strictly before the cutoff). */
+  val SnapT1 = "1999-01-01"
+  val SnapT2 = "2000-01-01"
+
+  /** CDC snapshot diff: which per-customer states (order count + lifetime
+    * revenue) changed between the T1 and T2 materializations, and how.
+    *
+    * The naive form computes both snapshots and full-outer joins them —
+    * two scans and three shuffles. Because both snapshots are conditional
+    * views of ONE fact table, this plan computes them as conditional
+    * aggregates of the same groupBy: ONE scan, ONE shuffle, and the diff
+    * is a filter. Orders only append (T1 < T2 cuts of the same table), so
+    * a changed state is exactly `n_new > n_old`: `insert` when the key had
+    * no T1 state, `update` otherwise; deletes cannot occur.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = lit(SnapT1).cast("timestamp")
+    val t2 = lit(SnapT2).cast("timestamp")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(when(col("o_orderdate") < t1, 1)).as("n_orders_old"),
+        count(when(col("o_orderdate") < t2, 1)).as("n_orders_new"),
+        Num.ssum(sum(when(col("o_orderdate") < t1, col("o_totalprice")).otherwise(0.0)), 2, 2)
+          .as("revenue_old"),
+        Num.ssum(sum(when(col("o_orderdate") < t2, col("o_totalprice")).otherwise(0.0)), 2, 2)
+          .as("revenue_new"))
+      .filter(col("n_orders_new") > col("n_orders_old"))
+      .withColumn("change_type",
+        when(col("n_orders_old") === 0, lit("insert")).otherwise(lit("update")))
+      .select("o_custkey", "change_type", "n_orders_old", "n_orders_new",
+        "revenue_old", "revenue_new")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH s AS (
+       |  SELECT o_custkey,
+       |         count(CASE WHEN o_orderdate < TIMESTAMP '$SnapT1 00:00:00' THEN 1 END) AS n_orders_old,
+       |         count(CASE WHEN o_orderdate < TIMESTAMP '$SnapT2 00:00:00' THEN 1 END) AS n_orders_new,
+       |         ${Num.ssumSql(s"sum(CASE WHEN o_orderdate < TIMESTAMP '$SnapT1 00:00:00' THEN o_totalprice ELSE 0.0 END)", 2, 2)} AS revenue_old,
+       |         ${Num.ssumSql(s"sum(CASE WHEN o_orderdate < TIMESTAMP '$SnapT2 00:00:00' THEN o_totalprice ELSE 0.0 END)", 2, 2)} AS revenue_new
+       |  FROM orders GROUP BY 1)
+       |SELECT o_custkey,
+       |       CASE WHEN n_orders_old = 0 THEN 'insert' ELSE 'update' END AS change_type,
+       |       CAST(n_orders_old AS BIGINT) AS n_orders_old,
+       |       CAST(n_orders_new AS BIGINT) AS n_orders_new,
+       |       revenue_old, revenue_new
+       |FROM s WHERE n_orders_new > n_orders_old""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_integrity_audit" -> integrityAudit,
+    "q_snapshot_diff" -> snapshotDiff)
+
+  val oracles: Map[String, String] = Map(
+    "q_integrity_audit" -> integrityAuditSql,
+    "q_snapshot_diff" -> snapshotDiffSql)
+}
