@@ -305,6 +305,42 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected shuffle keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("snapshot diff computes both snapshots in one scan and one shuffle") {
+    val p = plan(analytics.Audit.snapshotDiff(spark, sf))
+    assert(!p.contains("Join"), s"CDC diff must not join two snapshots:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"snapshot diff grew extra shuffles:\n$p")
+    // exactly one orders scan feeds both conditional snapshots (formatted
+    // explain prints one Location line per scan node)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"expected one scan, saw $scans:\n$p")
+  }
+
+  test("integrity audit rides two real joins; the rule unpivot is a 1x1 cross") {
+    val p = plan(analytics.Audit.integrityAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem is scanned once (the full-outer join carries all its rules)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location: InMemoryFileIndex") && l.contains("lineitem.parquet"))
+    assert(scans == 1, s"lineitem should scan once, saw $scans:\n$p")
+  }
+
+  test("linear attribution: bounded equi-join fan-out, no nested loop") {
+    val p = plan(analytics.Attribution.linearTouch(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join regressed to a nested loop:\n$p")
+  }
+
+  test("recency engagement is one aggregate over one scan — no window, no join") {
+    val p = plan(analytics.Attribution.recencyEngagement(spark, sf))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must avoid a global sort:\n$p")
+  }
+
+  test("revenue trend broadcasts the nation dimension") {
+    val p = plan(analytics.Attribution.revenueTrend(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n$p")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
