@@ -21,7 +21,7 @@ object SparkEntry {
       analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries ++
       analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries ++
       analytics.CorpusAudit.queries ++ analytics.Audit.queries ++
-      analytics.Attribution.queries
+      analytics.Attribution.queries ++ analytics.Lifecycle.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
@@ -29,5 +29,5 @@ object SparkEntry {
       analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles ++
       analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles ++
       analytics.CorpusAudit.oracles ++ analytics.Audit.oracles ++
-      analytics.Attribution.oracles
+      analytics.Attribution.oracles ++ analytics.Lifecycle.oracles
 }

@@ -452,6 +452,56 @@ object CorpusQueries {
       |SELECT source, CAST(cnt AS BIGINT) AS n_docs, n_chars AS median_chars
       |FROM t WHERE r = (cnt + 1) // 2""".stripMargin
 
+  /** Quantile ladder as exact rationals (label, numerator, denominator):
+    * the target rank is k = ceil(p·n) computed in integer arithmetic
+    * ((nu·n + de − 1) div de), so no fp product can straddle an integer
+    * boundary differently across engines. */
+  val QuantileSpecs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  /** EXACT per-source quantile LADDER (p50/p90/p99) — [[exactMedian]]
+    * generalized to any rank set in the same two corpus passes. The
+    * per-(source, bucket) count relation locates, per quantile, the ONE
+    * bucket containing its rank; ranking then runs only inside targeted
+    * buckets (a bucket holding several quantile ranks ranks once per
+    * rank, still bucket-bounded). The quantile set rides an explode of
+    * the bounded per-source totals — adding a 4th quantile costs zero
+    * extra corpus work.
+    */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        (col("n_chars") / IndexBucketWidth).cast("long").as("bkt"))
+    val counts = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n"))
+    val offs = counts.withColumn("off",
+      coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
+        .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ks = counts.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+      .select(col("source"), col("n_docs"), explode(array(QuantileSpecs.map {
+        case (l, nu, de) => struct(lit(l).as("p"), lit(nu).as("nu"), lit(de).as("de"))
+      }: _*)).as("q"))
+      .select(col("source"), col("n_docs"), col("q.p").as("p"),
+        expr("(q.nu * n_docs + q.de - 1) div q.de").as("k"))
+    val target = offs.join(ks, "source")
+      .filter(col("k") > col("off") && col("k") <= col("off") + col("n"))
+      .select(col("source"), col("bkt"), col("off"), col("k"), col("p"), col("n_docs"))
+    d.join(broadcast(target), Seq("source", "bkt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source"), col("bkt"), col("p"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .filter(col("off") + col("r") === col("k"))
+      .select(col("source"), col("p"), col("n_docs"), col("n_chars").as("q_chars"))
+  }
+
+  val exactQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |         count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS q(p, nu, de))
+      |SELECT t.source, q.p, CAST(t.cnt AS BIGINT) AS n_docs, t.n_chars AS q_chars
+      |FROM t, q WHERE t.r = (q.nu * t.cnt + q.de - 1) // q.de""".stripMargin
+
   // ---------------------------------------------------------------------
   // Classifier-vs-rules calibration curve.
   // ---------------------------------------------------------------------
@@ -511,6 +561,7 @@ object CorpusQueries {
     "q_dup_stats" -> dupStats,
     "q_global_index" -> globalIndex,
     "q_exact_median" -> exactMedian,
+    "q_exact_quantiles" -> exactQuantiles,
     "q_classifier_calibration" -> classifierCalibration)
 
   val oracles: Map[String, String] = Map(
@@ -521,5 +572,6 @@ object CorpusQueries {
     "q_dup_stats" -> dupStatsSql,
     "q_global_index" -> globalIndexSql,
     "q_exact_median" -> exactMedianSql,
+    "q_exact_quantiles" -> exactQuantilesSql,
     "q_classifier_calibration" -> classifierCalibrationSql)
 }

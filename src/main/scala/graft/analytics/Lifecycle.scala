@@ -1,0 +1,130 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+
+/** User-lifecycle analytics over the event stream: active-user curves,
+  * adoption, and signup→purchase conversion latency.
+  *
+  * The recurring scale problem in this tier is SLIDING DISTINCT counts
+  * (WAU: distinct users in a trailing 7-day window, per day). Distinct
+  * counts don't sum across days, so the per-day distincts can't be
+  * combined into a window; and windowing raw events per user re-sorts
+  * full histories. The decomposition here: collapse to distinct
+  * (user, day) FIRST (one shuffle, the only corpus-sized one), then fan
+  * each pair out to the ≤7 report days it covers (bounded 7× explode of
+  * the *collapsed* relation), and count per report day — every stage is
+  * a plain hash aggregate, no per-user sequencing anywhere.
+  */
+object Lifecycle {
+
+  /** Trailing window width (days) for the weekly-active count. */
+  val WauDays = 7
+
+  private def userDays(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+
+  /** Daily + trailing-7-day active users per calendar day with activity.
+    * DAU is the (user, day) relation counted per day; WAU fans each
+    * (user, day) out to the 7 report days whose trailing window contains
+    * it, de-dups (a user active twice in one window must count once) and
+    * counts. Report days are restricted to days that actually exist in
+    * the data (broadcast of the tiny day grid). */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(spark, dir)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), WauDays - 1))).as("day"))
+      .distinct()
+      .join(broadcast(dau.select(col("day"))), Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")).select("day", "dau", "wau")
+  }
+
+  val rollingActiveSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |days AS (SELECT DISTINCT day FROM ud)
+       |SELECT d.day,
+       |       CAST((SELECT count(*) FROM ud WHERE ud.day = d.day) AS BIGINT) AS dau,
+       |       CAST((SELECT count(DISTINCT user_id) FROM ud
+       |             WHERE ud.day BETWEEN d.day - ${WauDays - 1} AND d.day) AS BIGINT) AS wau
+       |FROM days d""".stripMargin
+
+  /** Adoption curve: per day, first-time users and the cumulative user
+    * count. First-activity day per user is one aggregate; the running
+    * total then runs over the bounded day grid (one row per calendar
+    * day), so the unpartitioned window is over a dimension-sized
+    * relation, never the corpus. */
+  def adoptionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("day"))
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select("day", "new_users", "cum_users")
+  }
+
+  val adoptionCurveSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM n""".stripMargin
+
+  /** Signup→purchase conversion latency by signup-week cohort: per
+    * cohort, how many signed up, how many later purchased, and the mean
+    * days-to-convert. Both "firsts" are min-aggregates (order-free — no
+    * per-user event sequencing), joined once on user_id. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val lat = signups
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts"))).as("first_purchase_ts"))
+      .select(col("user_id"), to_date(date_trunc("week", col("signup_ts"))).as("cohort_week"),
+        datediff(to_date(col("first_purchase_ts")), to_date(col("signup_ts")))
+          .cast("long").as("days_to_convert"))
+    lat.groupBy(col("cohort_week")).agg(
+      count(lit(1)).as("n_signups"),
+      count(col("days_to_convert")).as("n_converted"),
+      Num.r(sum(col("days_to_convert")).cast("double") / count(col("days_to_convert")), 2)
+        .as("avg_days"))
+  }
+
+  val timeToConvertSql: String =
+    s"""WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+       |           WHERE event_type = 'signup' GROUP BY 1),
+       |lat AS (
+       |  SELECT s.user_id, CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+       |         CAST(datediff('day', CAST(s.signup_ts AS DATE), CAST(min(CASE
+       |            WHEN p.ts >= s.signup_ts THEN p.ts END) AS DATE)) AS BIGINT) AS days_to_convert
+       |  FROM s LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+       |    ON s.user_id = p.user_id
+       |  GROUP BY 1, 2, s.signup_ts)
+       |SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_signups,
+       |       CAST(count(days_to_convert) AS BIGINT) AS n_converted,
+       |       ${Num.rSql("CAST(sum(days_to_convert) AS DOUBLE) / count(days_to_convert)", 2)} AS avg_days
+       |FROM lat GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active" -> rollingActive,
+    "q_adoption_curve" -> adoptionCurve,
+    "q_time_to_convert" -> timeToConvert)
+
+  val oracles: Map[String, String] = Map(
+    "q_rolling_active" -> rollingActiveSql,
+    "q_adoption_curve" -> adoptionCurveSql,
+    "q_time_to_convert" -> timeToConvertSql)
+}
