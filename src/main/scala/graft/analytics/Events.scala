@@ -410,6 +410,40 @@ object Events {
         Num.r(col("n").cast("double") / col("tn"), 6).as("p"))
   }
 
+  /** Markov-2 journey paths: consecutive event-type TRIPLES per user with
+    * the next-step distribution given the two-event prefix — one order up
+    * from [[eventTransitions]], extracted with the same pane
+    * decomposition ([[graft.scale.SlidingAgg.trigramCounts]]: pane-local
+    * double lags + a ≤4-rows-per-pane edge stream for boundary triples,
+    * so no task ever sorts a user's full history). The conditional
+    * normalizer join touches one row per distinct (e1, e2) prefix.
+    */
+  def journeyTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val tri = graft.scale.SlidingAgg.trigramCounts(
+      Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), col("ts"), col("event_type"), col("event_id"),
+      7L * 86400 * 1000000)
+    val totals = tri.groupBy(col("e1"), col("e2")).agg(sum(col("n")).as("tn"))
+    tri.join(totals, Seq("e1", "e2"))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        Num.r(col("n").cast("double") / col("tn"), 6).as("p"))
+  }
+
+  val journeyTrigramsSql: String =
+    s"""WITH s AS (
+       |  SELECT event_type AS e,
+       |         lag(event_type, 1) OVER w AS p1,
+       |         lag(event_type, 2) OVER w AS p2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |c AS (
+       |  SELECT p2 AS e1, p1 AS e2, e AS e3, CAST(count(*) AS BIGINT) AS n
+       |  FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+       |t AS (SELECT e1, e2, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1, 2)
+       |SELECT c.e1, c.e2, c.e3, c.n,
+       |       ${Num.rSql("CAST(c.n AS DOUBLE) / t.tn", 6)} AS p
+       |FROM c JOIN t USING (e1, e2)""".stripMargin
+
   val eventTransitionsSql: String =
     s"""WITH s AS (
        |  SELECT user_id, event_type,
@@ -518,6 +552,7 @@ object Events {
     "q_daily_anomaly" -> dailyAnomaly,
     "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
+    "q_journey_trigrams" -> journeyTrigrams,
     "q_cohort_retention" -> cohortRetention,
     "q_session_summary" -> sessionSummary,
     "q_journey" -> journey,
@@ -535,6 +570,7 @@ object Events {
     "q_daily_anomaly" -> dailyAnomalySql,
     "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,
+    "q_journey_trigrams" -> journeyTrigramsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_session_summary" -> sessionSummarySql,
     "q_journey" -> journeySql,

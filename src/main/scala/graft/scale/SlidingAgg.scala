@@ -144,6 +144,64 @@ object SlidingAgg {
         sum(col("n_ev")).as("n_events"))
   }
 
+  /** Consecutive-TRIPLE (trigram / Markov-2 path) extraction per key with
+    * the pane decomposition generalized one order up. Triples fully
+    * inside a (key, pane) come from two pane-local lags. Triples that
+    * cross a pane boundary only ever use elements within distance 2 of a
+    * boundary — so they are reconstructed from an EDGE STREAM holding at
+    * most the first two and last two elements of each pane (≤4 rows per
+    * (key, pane), the same bounded-relation discipline as the pair
+    * extractor's carry). Within the edge stream, two rows are truly
+    * consecutive in the full stream iff they are pane-adjacent (same
+    * pane, rank+1 — edge ranks are contiguous at pane edges) or
+    * boundary-adjacent (last of its pane followed by rank 1 of the next
+    * present pane; any intervening pane's elements would themselves be in
+    * the edge stream). A triple passing both adjacency checks with its
+    * three elements NOT all in one pane is exactly a cross-boundary
+    * triple of the true stream — including chains through 1-event panes.
+    *
+    * Returns (e1, e2, e3, n): global triple counts summed over keys,
+    * identical to the naive two-lag per-key window formulation.
+    */
+  def trigramCounts(df: DataFrame, keys: Seq[String], time: Column,
+      label: Column, tiebreak: Column, paneMicros: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__e", label)
+      .withColumn("__t", tiebreak)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val wp = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    val intra = base
+      .withColumn("__p1", lag(col("__e"), 1).over(wp))
+      .withColumn("__p2", lag(col("__e"), 2).over(wp))
+      .filter(col("__p2").isNotNull)
+      .groupBy(col("__p2").as("e1"), col("__p1").as("e2"), col("__e").as("e3"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wp).cast("long"))
+      .withColumn("__c", count(lit(1)).over(
+        Window.partitionBy((keys :+ "__b").map(col): _*)))
+    val edges = ranked.filter(col("__r") <= 2 || col("__r") > col("__c") - 2)
+    val we = Window.partitionBy(keyCols: _*).orderBy(col("__us"), col("__t"))
+    def adj(x: Column, y: Column): Column =
+      (x("__b") === y("__b") && y("__r") === x("__r") + 1) ||
+        (x("__b") =!= y("__b") && x("__r") === x("__c") && y("__r") === 1)
+    val cur = struct(col("__e"), col("__b"), col("__r"), col("__c"))
+    val cross = edges
+      .withColumn("__x1", lag(cur, 2).over(we))
+      .withColumn("__x2", lag(cur, 1).over(we))
+      .filter(col("__x1").isNotNull)
+      .filter(adj(col("__x1"), col("__x2")) && adj(col("__x2"), cur))
+      .filter(!(col("__x1")("__b") === col("__b") && col("__x2")("__b") === col("__b")))
+      .groupBy(col("__x1")("__e").as("e1"), col("__x2")("__e").as("e2"),
+        col("__e").as("e3"))
+      .agg(count(lit(1)).as("n"))
+    intra.unionByName(cross)
+      .groupBy(col("e1"), col("e2"), col("e3")).agg(sum(col("n")).as("n"))
+  }
+
   /** Running (prefix) sum per key without sorting a key's full history
     * in one task: pane-local prefix sums plus a carry of all earlier
     * panes' totals (cumulated over the tiny per-(key, pane) relation).

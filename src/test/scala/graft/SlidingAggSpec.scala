@@ -60,6 +60,26 @@ class SlidingAggSpec extends AnyFunSuite {
     assert(paned == naive)
   }
 
+  test("paned trigram counts equal the naive double-lag window at several pane widths") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val naive = ev
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("e1"), col("p1").as("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    // hour-wide panes force single-event and empty panes (boundary chains
+    // through 1-event panes); week-wide panes exercise the intra path
+    for (pane <- Seq(3600L * 1000000L, 86400L * 1000000L, WeekMicros)) {
+      val paned = SlidingAgg.trigramCounts(
+        ev, Seq("user_id"), col("ts"), col("event_type"), col("event_id"), pane)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      assert(paned == naive, s"trigram mismatch at pane=$pane")
+    }
+  }
+
   test("paned running sum equals the naive prefix window within fp noise") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val paned = SlidingAgg.runningSum(ev, Seq("user_id"), col("ts"), col("event_id"),
