@@ -1276,6 +1276,75 @@ object ScaleQueries {
        |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM p)
        |WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** PageRank damping factor and fixed iteration count — identical
+    * literals in both engines; fixed iterations keep the operator
+    * oracle-expressible (the SQL unrolls the same loop). */
+  val PrDamping = 0.85
+  val PrIters = 3
+
+  /** PageRank centrality over the kNN similarity graph — graph-native
+    * "representativeness" scoring for curation (a document many near
+    * neighbors point at is a cluster center; isolated documents rank at
+    * the teleport floor). Power iteration as data-parallel relational
+    * algebra: each round is one edges⋈rank join, one sum-per-dst
+    * aggregate, and one outer join back onto the vertex set — no driver
+    * state beyond the loop counter, no per-vertex sequencing, so a round
+    * is the same three shuffles at any graph size. Mass from dangling
+    * vertices (a cluster of one has no out-edges) is dropped, not
+    * redistributed — the standard simplification, applied identically in
+    * the oracle.
+    *
+    * Cross-engine determinism: per-edge contributions pr/deg are IEEE
+    * divisions of identical inputs; each round snaps the inbound sum to
+    * 1e-12 and the new rank to 1e-9 (Num grid rule), so round k+1 starts
+    * from bit-identical ranks in both engines and the final top-20
+    * cannot flip on an accumulation ulp.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val edges = knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst")).persist()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = emb.select(col("vec_id"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("nv"))))
+    var pr = verts.select(col("vec_id"), (lit(1.0) / col("nv")).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr.select(col("vec_id").as("src"), col("pr")), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst"))
+        .agg(Num.r(sum(col("pr") / col("deg")), 12).as("m"))
+      pr = verts.join(contrib, verts("vec_id") === contrib("dst"), "left")
+        .select(verts("vec_id"),
+          Num.r(lit(1.0 - PrDamping) / col("nv") +
+            lit(PrDamping) * coalesce(col("m"), lit(0.0)), 9).as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "prr0" else s"prr${i - 1}"
+      s"""cc$i AS (
+         |  SELECT edg.dst, ${Num.rSql("sum(p.pr / odeg.deg)", 12)} AS m
+         |  FROM edg JOIN $prev p ON edg.src = p.vec_id
+         |  JOIN odeg ON edg.src = odeg.src
+         |  GROUP BY 1),
+         |prr$i AS (
+         |  SELECT vv.vec_id,
+         |         ${Num.rSql(s"${1.0 - PrDamping} / nn.n + $PrDamping * coalesce(c.m, 0.0)", 9)} AS pr
+         |  FROM vv CROSS JOIN nn LEFT JOIN cc$i c ON vv.vec_id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gg AS ($knnGraphSql),
+       |edg AS (SELECT vec_id AS src, nbr_id AS dst FROM gg),
+       |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edg GROUP BY 1),
+       |vv AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |prr0 AS (SELECT vv.vec_id, 1.0 / nn.n AS pr FROM vv CROSS JOIN nn),
+       |$iters
+       |SELECT vec_id, pr FROM prr$PrIters ORDER BY pr DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** Deterministic 3-way train/val/test split (80/10/10) from the md5 of
     * the TEXT (same stable-bucket construction as q_corpus_sample: exact
     * duplicates land in the same split, re-runs are reproducible across
@@ -3190,6 +3259,7 @@ object ScaleQueries {
     "q_lr_train" -> lrTrain,
     "q_knn_graph" -> knnGraph,
     "q_knn_delta" -> knnDelta,
+    "q_pagerank" -> pagerank,
     "q_split_assign" -> splitAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_hybrid_search" -> hybridSearch,
@@ -3202,6 +3272,7 @@ object ScaleQueries {
     "q_lr_train" -> lrTrainSql,
     "q_knn_graph" -> knnGraphSql,
     "q_knn_delta" -> knnDeltaSql,
+    "q_pagerank" -> pagerankSql,
     "q_split_assign" -> splitAssignSql,
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,
