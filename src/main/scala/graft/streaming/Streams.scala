@@ -156,6 +156,44 @@ object Streams {
         })
   }
 
+  case class TouchState(us: Long, eventId: Long, channel: String)
+  case class Attributed(user_id: Long, event_id: Long, channel: String, value: Double)
+
+  /** Streaming last-touch attribution — the incremental form of
+    * [[graft.analytics.Attribution.lastTouch]]: per-user state holds only
+    * the LATEST touch (click/view/signup), and each purchase is emitted
+    * exactly once, credited to that touch (or `direct`). State is one
+    * tiny record per user regardless of history length — the as-of join's
+    * carry relation made explicit. In-batch ordering is restored by
+    * (µs, event_id), the batch form's exact tiebreak, so replaying the
+    * whole history in one batch reproduces the batch assignment
+    * purchase-for-purchase.
+    */
+  def attributionStream(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[Attributed] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)"),
+        col("event_id").cast("long"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[TouchState]) => {
+          val evs = it.toArray.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Attributed]
+          evs.foreach { case (_, us, eid, tpe, value) =>
+            if (tpe == "purchase")
+              out += Attributed(uid, eid, last.map(_.channel).getOrElse("direct"), value)
+            else if (tpe == "click" || tpe == "view" || tpe == "signup")
+              last = Some(TouchState(us, eid, tpe))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** ST5 streaming form: gap sessionization via the native session_window
     * — a per-user session closes after 30 idle minutes, and the watermark
     * both bounds the merge state and decides when a session is final. The

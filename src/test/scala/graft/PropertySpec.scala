@@ -93,4 +93,31 @@ class PropertySpec extends AnyFunSuite {
       assert(twice.count() == once.count())
     }
   }
+
+  test("CDC apply: snapshot diff applied to the T1 state reproduces the T2 state") {
+    val sf = "/root/testdata/sf0.001"
+    def stateAt(cut: String) = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), Num.ssum(sum(col("o_totalprice")), 2, 2).as("rev"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val t1 = stateAt(analytics.Audit.SnapT1)
+    val t2 = stateAt(analytics.Audit.SnapT2)
+    val diff = analytics.Audit.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // every diff row's old side matches T1 and new side matches T2
+    diff.foreach { case (k, typ, nOld, nNew, revOld, revNew) =>
+      if (typ == "insert") {
+        assert(!t1.contains(k) && nOld == 0L && revOld == 0.0, s"bad insert for $k")
+      } else {
+        assert(typ == "update" && t1(k) == ((nOld, revOld)), s"bad update-old for $k")
+      }
+      assert(t2(k) == ((nNew, revNew)), s"bad new state for $k")
+    }
+    // applying the diff to T1 yields exactly T2 (untouched keys carry over)
+    val applied = t1 ++ diff.map { case (k, _, _, nNew, _, revNew) => k -> ((nNew, revNew)) }
+    assert(applied == t2)
+    assert(diff.nonEmpty)
+  }
 }

@@ -256,6 +256,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming last-touch attribution equals the batch as-of assignment") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+    implicit val s = spark
+    val out = Streams.runToCompletion(
+      Streams.attributionStream(Streams.eventStream(spark, d.toString)).toDF(),
+      OutputMode.Append(), "attr_stream")
+    val got = out.groupBy("channel")
+      .agg(count(lit(1)).as("n"), graft.Num.ssum(sum(col("value")), 2, 2).as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exp = analytics.Attribution.lastTouch(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming mojibake flags equal the batch detector row-for-row") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_moji")
     java.nio.file.Files.copy(
