@@ -546,7 +546,125 @@ object Relational {
        |JOIN pc b ON g.p2 = b.l_partkey
        |CROSS JOIN no""".stripMargin
 
+  /** Chi-square test of independence: market segment × order priority —
+    * the statistical QA check that two categorical dimensions are
+    * unrelated (a skewed cell here usually means an ingestion bug, not a
+    * business insight). One fact join + one contingency aggregate; row
+    * and column margins are windows over the bounded cell relation
+    * (|segments|·|priorities| rows), never the fact table. Expected
+    * counts and contributions are exact-integer products divided as
+    * doubles (identical order both engines), snapped via Num before
+    * compare.
+    */
+  def chisqSegment(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("segment"))
+    val wc = Window.partitionBy(col("priority"))
+    val wt = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("n")).over(wr))
+      .withColumn("ct", sum(col("n")).over(wc))
+      .withColumn("tot", sum(col("n")).over(wt))
+      .withColumn("expected", Num.r(col("rt") * col("ct") / col("tot"), 4))
+      .withColumn("contrib", Num.r(
+        (col("n") - col("rt") * col("ct") / col("tot")) *
+          (col("n") - col("rt") * col("ct") / col("tot")) /
+          (col("rt") * col("ct") / col("tot")), 6))
+      .select("segment", "priority", "n", "expected", "contrib")
+  }
+
+  val chisqSegmentSql: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT *, CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS rt,
+       |         CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS ct,
+       |         CAST(sum(n) OVER () AS BIGINT) AS tot
+       |  FROM cells)
+       |SELECT segment, priority, n,
+       |       ${Num.rSql("rt * ct / tot", 4)} AS expected,
+       |       ${Num.rSql("(n - rt * ct / tot) * (n - rt * ct / tot) / (rt * ct / tot)", 6)} AS contrib
+       |FROM m""".stripMargin
+
+  /** Strictly-ORDERED funnel: users who viewed, then clicked AFTER that
+    * first view, then purchased AFTER that first qualifying click —
+    * unlike [[Events.funnel]]'s per-stage distinct counts, each stage
+    * here must happen after the previous stage's first qualifying event.
+    * Each stage is a min-aggregate chained through an equi-join on
+    * user_id (no per-user event sequencing, no window over history); the
+    * count roll-up is a single-row conditional aggregate.
+    */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"))
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+      .withColumn("rate_click", Num.r(col("n_view_click").cast("double") / col("n_view"), 4))
+      .withColumn("rate_purchase",
+        Num.r(col("n_view_click_purchase").cast("double") / col("n_view_click"), 4))
+  }
+
+  val orderedFunnelSql: String =
+    s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+       |           WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_view,
+       |       CAST(count(c.t2) AS BIGINT) AS n_view_click,
+       |       CAST(count(p.t3) AS BIGINT) AS n_view_click_purchase,
+       |       ${Num.rSql("CAST(count(c.t2) AS DOUBLE) / count(*)", 4)} AS rate_click,
+       |       ${Num.rSql("CAST(count(p.t3) AS DOUBLE) / count(c.t2)", 4)} AS rate_purchase
+       |FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  /** Per-part best supplier by shipped net revenue — the grouped-argmax
+    * shape on a 200k-group key (a window rank here would sort the fact
+    * table; the max-struct aggregate is two partial-aggregating
+    * shuffles). Revenue snaps to the price grid BEFORE the argmax and
+    * ties break to the smaller suppkey (CLAUDE.md round-before-rank).
+    */
+  def partBestSupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(Num.ssum(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4, 2)
+        .as("rev"))
+      .groupBy(col("l_partkey"))
+      .agg(max(struct(col("rev"), (-col("l_suppkey")).as("ns"))).as("b"))
+      .select(col("l_partkey"), (-col("b.ns")).as("l_suppkey"), col("b.rev").as("best_rev"))
+
+  val partBestSupplierSql: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ${Num.ssumSql("sum(l_extendedprice * (1.0 - l_discount))", 4, 2)} AS rev
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_partkey, l_suppkey, rev AS best_rev FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+       |            ORDER BY rev DESC, l_suppkey ASC) AS rn FROM ps)
+       |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq_segment" -> chisqSegment,
+    "q_ordered_funnel" -> orderedFunnel,
+    "q_part_best_supplier" -> partBestSupplier,
     "q_rfm_segments" -> rfmSegments,
     "q_revenue_pareto" -> revenuePareto,
     "q_basket_pairs" -> basketPairs,
@@ -567,6 +685,9 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_chisq_segment" -> chisqSegmentSql,
+    "q_ordered_funnel" -> orderedFunnelSql,
+    "q_part_best_supplier" -> partBestSupplierSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_revenue_pareto" -> revenueParetoSql,
     "q_basket_pairs" -> basketPairsSql,
