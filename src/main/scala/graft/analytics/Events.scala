@@ -548,7 +548,95 @@ object Events {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Daily OHLC (open/high/low/close) bars of purchase value — the
+    * time-bucketed financial aggregate. Open/close are min/max-struct
+    * argmins over (ts, event_id) — one hash aggregate, no window, no
+    * per-day sort; ties cannot exist ((user-independent) (ts, event_id)
+    * is unique) and the struct comparison is lexicographic in both
+    * engines' formulations.
+    */
+  def valueOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n_trades"),
+        Num.ssum(sum(col("value")), 2, 2).as("volume"))
+
+  val valueOhlcSql: String =
+    s"""WITH p AS (
+       |  SELECT CAST(ts AS DATE) AS day, ts, event_id, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn,
+       |         row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rrn
+       |  FROM p)
+       |SELECT day, max(CASE WHEN rn = 1 THEN value END) AS open,
+       |       max(value) AS high, min(value) AS low,
+       |       max(CASE WHEN rrn = 1 THEN value END) AS close,
+       |       CAST(count(*) AS BIGINT) AS n_trades,
+       |       ${Num.ssumSql("sum(value)", 2, 2)} AS volume
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Two-proportion z-test of purchase conversion between the user-id
+    * parity arms — the experiment-evaluation operator (the deterministic
+    * split stands in for an assignment column). Per-user conversion is a
+    * distinct-collapse aggregate, the z statistic is closed-form
+    * arithmetic on four integers; sqrt is IEEE-correctly-rounded in both
+    * engines (unlike ln/exp), so only the final z needs a snap.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    val arms = perUser.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    arms
+      .withColumn("rate_a", Num.r(col("conv_a").cast("double") / col("n_a"), 6))
+      .withColumn("rate_b", Num.r(col("conv_b").cast("double") / col("n_b"), 6))
+      .withColumn("z", when(
+        col("conv_a") + col("conv_b") > 0 &&
+          col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        Num.r(
+          (col("conv_a").cast("double") / col("n_a") - col("conv_b").cast("double") / col("n_b")) /
+            sqrt((col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
+  }
+
+  val abTestSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |         CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM u)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |       ${Num.rSql("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
+       |       ${Num.rSql("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+       |       CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+       |       ${Num.rSql(
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+          "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +
+          "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+          "(1.0 / n_a + 1.0 / n_b))", 4)} END AS z
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_ohlc" -> valueOhlc,
+    "q_ab_test" -> abTest,
     "q_daily_anomaly" -> dailyAnomaly,
     "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
@@ -567,6 +655,8 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_value_ohlc" -> valueOhlcSql,
+    "q_ab_test" -> abTestSql,
     "q_daily_anomaly" -> dailyAnomalySql,
     "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,

@@ -661,7 +661,168 @@ object Relational {
        |            ORDER BY rev DESC, l_suppkey ASC) AS rn FROM ps)
        |WHERE rn = 1""".stripMargin
 
+  /** Quantile ladder as exact rationals — same k = ceil(p·n) integer
+    * construction as CorpusQueries.QuantileSpecs. */
+  private val LatencyQuantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  /** EXACT ship-latency quantiles (p50/p90/p99 of days from order to
+    * ship) per order priority — the small-domain variant of the exact
+    * quantile ladder: latency days take a few hundred distinct values,
+    * so the VALUE HISTOGRAM per (priority, latency) is itself the
+    * bounded relation, the cumulative window runs over it (never the
+    * fact rows), and the quantile is the first value whose cumulative
+    * count reaches the rank — no inner ranking pass at all, one fact
+    * shuffle end to end.
+    */
+  def latencyQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat_days"))
+      .agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("lat_days")).rowsBetween(Window.unboundedPreceding, 0)))
+    val ks = hist.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("n_items"))
+      .select(col("o_orderpriority"), col("n_items"), explode(array(LatencyQuantiles.map {
+        case (l, nu, de) => struct(lit(l).as("p"), lit(nu).as("nu"), lit(de).as("de"))
+      }: _*)).as("q"))
+      .select(col("o_orderpriority"), col("n_items"), col("q.p").as("p"),
+        expr("(q.nu * n_items + q.de - 1) div q.de").as("k"))
+    cum.join(ks, "o_orderpriority")
+      .filter(col("k") > col("cum") - col("n") && col("k") <= col("cum"))
+      .select(col("o_orderpriority"), col("p"), col("n_items"),
+        col("lat_days").as("latency_days"))
+  }
+
+  val latencyQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |         CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lat,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS r,
+      |         count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS q(p, nu, de))
+      |SELECT t.o_orderpriority, q.p, CAST(t.cnt AS BIGINT) AS n_items,
+      |       t.lat AS latency_days
+      |FROM t, q WHERE t.r = (q.nu * t.cnt + q.de - 1) // q.de""".stripMargin
+
+  /** CUBE aggregate over segment × priority: all four grouping sets
+    * (cell, row margin, column margin, grand total) in one pass —
+    * Spark's Expand feeds a single hash aggregate, so the cube costs one
+    * fact shuffle regardless of how many grouping sets it covers.
+    * Subtotal labels are `ALL` (no NULL-marker ambiguity between
+    * engines).
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.ssum(sum(col("o_totalprice")), 2, 2).as("revenue"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
+  val cubeOrdersSql: String =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       |       coalesce(o_orderpriority, 'ALL') AS priority,
+       |       CAST(count(*) AS BIGINT) AS n_orders,
+       |       ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin
+
+  /** Week-over-week revenue growth per nation. The weekly grid is one
+    * fact aggregate; the lag window then runs over the bounded
+    * (nation, week) relation — dimension-sized, never the fact table.
+    * Weeks are integer µs-epoch week indexes (the cohort-retention
+    * discipline: no calendar semantics can diverge between engines).
+    */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        // o_orderdate reads as TIMESTAMP_NTZ from the regenerated testdata;
+        // the UTC-session cast is instant-preserving (the Tables.events rule)
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000").as("week"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("revenue"))
+    weekly
+      .withColumn("prev", lag(col("revenue"), 1).over(
+        Window.partitionBy(col("n_name")).orderBy(col("week"))))
+      .withColumn("wow_growth", Num.r((col("revenue") - col("prev")) / col("prev"), 6))
+      .drop("prev")
+  }
+
+  val wowGrowthSql: String =
+    s"""WITH w AS (
+       |  SELECT n_name, epoch_us(o_orderdate) // 604800000000 AS week,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS revenue
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, week, revenue,
+       |       ${Num.rSql("(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY week)) / lag(revenue) OVER (PARTITION BY n_name ORDER BY week)", 6)} AS wow_growth
+       |FROM w""".stripMargin
+
+  /** Grouped Pearson correlation (quantity↔discount, discount↔tax per
+    * return flag) via the five-moment closed form — the statistical
+    * profile columns a table-profiler adds. The moment sums stay exact
+    * or grid-snapped: Σq and Σq² are integer-valued doubles (exact in
+    * any order), the discount/tax moments snap far above their fp
+    * accumulation noise, and sqrt is IEEE-correctly-rounded — so the
+    * final ratio is bit-identical across engines. One scan, one
+    * 3-group aggregate, no window.
+    */
+  def lineitemCorr(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sq"),
+        sum(col("l_quantity") * col("l_quantity")).as("sqq"),
+        Num.r(sum(col("l_discount")), 6).as("sd"),
+        Num.r(sum(col("l_discount") * col("l_discount")), 8).as("sdd"),
+        Num.r(sum(col("l_tax")), 6).as("st"),
+        Num.r(sum(col("l_tax") * col("l_tax")), 8).as("stt"),
+        Num.r(sum(col("l_quantity") * col("l_discount")), 6).as("sqd"),
+        Num.r(sum(col("l_discount") * col("l_tax")), 8).as("sdt"))
+    m.select(col("l_returnflag"), col("n"),
+      Num.r((col("n") * col("sqd") - col("sq") * col("sd")) /
+        (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+          sqrt(col("n") * col("sdd") - col("sd") * col("sd"))), 6).as("corr_qty_disc"),
+      Num.r((col("n") * col("sdt") - col("sd") * col("st")) /
+        (sqrt(col("n") * col("sdd") - col("sd") * col("sd")) *
+          sqrt(col("n") * col("stt") - col("st") * col("st"))), 6).as("corr_disc_tax"))
+  }
+
+  val lineitemCorrSql: String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |         sum(l_quantity) AS sq, sum(l_quantity * l_quantity) AS sqq,
+       |         ${Num.rSql("sum(l_discount)", 6)} AS sd,
+       |         ${Num.rSql("sum(l_discount * l_discount)", 8)} AS sdd,
+       |         ${Num.rSql("sum(l_tax)", 6)} AS st,
+       |         ${Num.rSql("sum(l_tax * l_tax)", 8)} AS stt,
+       |         ${Num.rSql("sum(l_quantity * l_discount)", 6)} AS sqd,
+       |         ${Num.rSql("sum(l_discount * l_tax)", 8)} AS sdt
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |       ${Num.rSql("(n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))", 6)} AS corr_qty_disc,
+       |       ${Num.rSql("(n * sdt - sd * st) / (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st))", 6)} AS corr_disc_tax
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latency_quantiles" -> latencyQuantiles,
+    "q_cube_orders" -> cubeOrders,
+    "q_wow_growth" -> wowGrowth,
+    "q_lineitem_corr" -> lineitemCorr,
     "q_chisq_segment" -> chisqSegment,
     "q_ordered_funnel" -> orderedFunnel,
     "q_part_best_supplier" -> partBestSupplier,
@@ -685,6 +846,10 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_latency_quantiles" -> latencyQuantilesSql,
+    "q_cube_orders" -> cubeOrdersSql,
+    "q_wow_growth" -> wowGrowthSql,
+    "q_lineitem_corr" -> lineitemCorrSql,
     "q_chisq_segment" -> chisqSegmentSql,
     "q_ordered_funnel" -> orderedFunnelSql,
     "q_part_best_supplier" -> partBestSupplierSql,
