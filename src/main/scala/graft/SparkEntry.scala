@@ -21,7 +21,8 @@ object SparkEntry {
       analytics.ParityQueries.queries ++ analytics.CorpusQueries.queries ++
       analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries ++
       analytics.CorpusAudit.queries ++ analytics.Audit.queries ++
-      analytics.Attribution.queries ++ analytics.Lifecycle.queries
+      analytics.Attribution.queries ++ analytics.Lifecycle.queries ++
+      analytics.RobustStats.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
@@ -29,5 +30,6 @@ object SparkEntry {
       analytics.ParityQueries.oracles ++ analytics.CorpusQueries.oracles ++
       analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles ++
       analytics.CorpusAudit.oracles ++ analytics.Audit.oracles ++
-      analytics.Attribution.oracles ++ analytics.Lifecycle.oracles
+      analytics.Attribution.oracles ++ analytics.Lifecycle.oracles ++
+      analytics.RobustStats.oracles
 }
