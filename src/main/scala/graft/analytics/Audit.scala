@@ -138,11 +138,66 @@ object Audit {
        |       revenue_old, revenue_new
        |FROM s WHERE n_orders_new > n_orders_old""".stripMargin
 
+  /** Benford first-digit expectations log10(1 + 1/d), Scala-computed,
+    * SNAPPED to a 1e-12 grid, and embedded as literals in BOTH engines
+    * (the DCG discipline: neither engine evaluates a log at query time).
+    * The snap matters: Java's Double.toString of the raw log10(4/3)
+    * yields a 17-digit string DuckDB parses one ulp away (observed
+    * 1.39e-17 drift on digit 3); a 12-decimal grid value renders as a
+    * short unambiguous literal every parser rounds to the same double.
+    */
+  val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e12) / 1e12)
+
+  /** Benford's-law first-digit audit of order amounts — the classic
+    * fabricated-data / unit-mixing detector. The first significant digit
+    * is derived WITHOUT floating log10 or double formatting: snap to
+    * exact integer cents (leading digit is invariant under ×100), then
+    * take the first character of the integer's decimal string — integer
+    * rendering is deterministic in any engine. One scan, a 9-row margin
+    * window; χ² contributions against the embedded expectations.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordExpected.tail.foldLeft(
+      when(col("digit") === "1", lit(BenfordExpected.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d.toString, lit(p))
+    }
+    Tables.orders(spark, dir)
+      .select(substring(expr("CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("expected_share", expected)
+      .select(col("digit"), col("n"),
+        Num.r(col("n").cast("double") / col("tot"), 6).as("observed_share"),
+        col("expected_share"),
+        Num.r((col("n") - col("expected_share") * col("tot")) *
+          (col("n") - col("expected_share") * col("tot")) /
+          (col("expected_share") * col("tot")), 4).as("chi2_contrib"))
+  }
+
+  val benfordSql: String = {
+    val cases = BenfordExpected.map { case (d, p) => s"WHEN '$d' THEN $p" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |m AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tot,
+       |             CAST(CASE digit $cases END AS DOUBLE) AS expected_share FROM c)
+       |SELECT digit, n,
+       |       ${Num.rSql("CAST(n AS DOUBLE) / tot", 6)} AS observed_share,
+       |       expected_share,
+       |       ${Num.rSql("(n - expected_share * tot) * (n - expected_share * tot) / (expected_share * tot)", 4)} AS chi2_contrib
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_integrity_audit" -> integrityAudit,
-    "q_snapshot_diff" -> snapshotDiff)
+    "q_snapshot_diff" -> snapshotDiff,
+    "q_benford" -> benford)
 
   val oracles: Map[String, String] = Map(
     "q_integrity_audit" -> integrityAuditSql,
-    "q_snapshot_diff" -> snapshotDiffSql)
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_benford" -> benfordSql)
 }

@@ -818,7 +818,117 @@ object Relational {
        |       ${Num.rSql("(n * sdt - sd * st) / (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st))", 6)} AS corr_disc_tax
        |FROM m""".stripMargin
 
+  /** Revenue band width for the Gini rank decomposition (same role as
+    * ParetoBand: band order IS revenue order). */
+  val GiniBand = 50000.0
+
+  /** Gini coefficient of customer-revenue concentration per nation —
+    * G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over ascending-revenue ranks. The
+    * global ascending rank comes from the q_revenue_pareto band
+    * decomposition (per-(nation, band) counts → broadcast rank offsets →
+    * within-band windows), so no task sorts a nation's full customer
+    * list. Σ(i·y) snaps to the hundreds grid — far above its fp
+    * accumulation noise at any SF, far below the 1e-10 relative scale
+    * the 6-decimal Gini needs.
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("rev"))
+      .withColumn("band", floor(col("rev") / lit(GiniBand)).cast("long"))
+    val offs = rev.groupBy(col("n_name"), col("band")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("n_name")).orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bn")
+    val w = Window.partitionBy(col("n_name"), col("band"))
+      .orderBy(col("rev").asc, col("c_custkey").asc)
+    rev.join(broadcast(offs), Seq("n_name", "band"))
+      .withColumn("i", col("off") + row_number().over(w))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        Num.r(sum(col("rev")), 2).as("sy"),
+        Num.r(sum(col("i") * col("rev")), -2).as("siy"))
+      .select(col("n_name"), col("n_customers"),
+        Num.r(lit(2.0) * col("siy") / (col("n_customers") * col("sy")) -
+          (col("n_customers") + lit(1L)) / col("n_customers"), 6).as("gini"))
+  }
+
+  val revenueGiniSql: String =
+    s"""WITH rev AS (
+       |  SELECT n_name, c_custkey,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT n_name, rev,
+       |         CAST(row_number() OVER (PARTITION BY n_name
+       |           ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i
+       |  FROM rev),
+       |m AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       |         ${Num.rSql("sum(rev)", 2)} AS sy,
+       |         ${Num.rSql("sum(i * rev)", -2)} AS siy
+       |  FROM r GROUP BY 1)
+       |SELECT n_name, n_customers,
+       |       ${Num.rSql("2.0 * siy / (n_customers * sy) - (n_customers + 1) / n_customers", 6)} AS gini
+       |FROM m""".stripMargin
+
+  /** Classical multiplicative seasonal decomposition of daily revenue:
+    * y = trend (centered 7-day moving average) × day-of-week factor ×
+    * residual. The day grid is one fact aggregate; every window after it
+    * runs over that bounded dimension-sized relation (one row per
+    * calendar day), never the fact table. Day-of-week indexes align as
+    * Spark dayofweek−1 == DuckDB dayofweek (0=Sunday); every stage
+    * re-snaps before the next divide so engine accumulation order can't
+    * drift a boundary.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("y"))
+    val wt = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(wt) === 7, Num.r(Num.r(sum(col("y")).over(wt), 2) / 7, 4)))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .withColumn("ratio", Num.r(col("y") / col("trend"), 6))
+    val factors = trended.filter(col("ratio").isNotNull)
+      .groupBy(col("dow"))
+      .agg(Num.r(Num.r(sum(col("ratio")), 6) / count(lit(1)), 6).as("dow_factor"))
+    trended.join(broadcast(factors), Seq("dow"), "left")
+      .select(col("day"), col("y"), col("trend"), col("dow"), col("dow_factor"),
+        Num.r(col("y") / (col("trend") * col("dow_factor")), 6).as("residual"))
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS y
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT day, y,
+       |         CASE WHEN count(*) OVER w = 7
+       |              THEN ${Num.rSql(Num.rSql("sum(y) OVER w", 2) + " / 7", 4)} END AS trend,
+       |         CAST(dayofweek(day) AS BIGINT) AS dow
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |r AS (SELECT *, ${Num.rSql("y / trend", 6)} AS ratio FROM t),
+       |f AS (
+       |  SELECT dow, ${Num.rSql(Num.rSql("sum(ratio)", 6) + " / count(*)", 6)} AS dow_factor
+       |  FROM r WHERE ratio IS NOT NULL GROUP BY 1)
+       |SELECT r.day, r.y, r.trend, r.dow, f.dow_factor,
+       |       ${Num.rSql("r.y / (r.trend * f.dow_factor)", 6)} AS residual
+       |FROM r LEFT JOIN f ON r.dow = f.dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_gini" -> revenueGini,
+    "q_seasonal_decompose" -> seasonalDecompose,
     "q_latency_quantiles" -> latencyQuantiles,
     "q_cube_orders" -> cubeOrders,
     "q_wow_growth" -> wowGrowth,
@@ -846,6 +956,8 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_gini" -> revenueGiniSql,
+    "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_latency_quantiles" -> latencyQuantilesSql,
     "q_cube_orders" -> cubeOrdersSql,
     "q_wow_growth" -> wowGrowthSql,
