@@ -674,28 +674,16 @@ object Relational {
     * count reaches the rank — no inner ranking pass at all, one fact
     * shuffle end to end.
     */
-  def latencyQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
-        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"),
-        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-          .cast("long").as("lat_days"))
-      .agg(count(lit(1)).as("n"))
-    val cum = hist.withColumn("cum",
-      sum(col("n")).over(Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("lat_days")).rowsBetween(Window.unboundedPreceding, 0)))
-    val ks = hist.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("n_items"))
-      .select(col("o_orderpriority"), col("n_items"), explode(array(LatencyQuantiles.map {
-        case (l, nu, de) => struct(lit(l).as("p"), lit(nu).as("nu"), lit(de).as("de"))
-      }: _*)).as("q"))
-      .select(col("o_orderpriority"), col("n_items"), col("q.p").as("p"),
-        expr("(q.nu * n_items + q.de - 1) div q.de").as("k"))
-    cum.join(ks, "o_orderpriority")
-      .filter(col("k") > col("cum") - col("n") && col("k") <= col("cum"))
-      .select(col("o_orderpriority"), col("p"), col("n_items"),
-        col("lat_days").as("latency_days"))
-  }
+  def latencyQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ValueQuantiles.quantiles(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey")),
+      Seq("o_orderpriority"),
+      datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"),
+      LatencyQuantiles, "latency_days")
+      .select(col("o_orderpriority"), col("p"), col("n_rows").as("n_items"),
+        col("latency_days"))
 
   val latencyQuantilesSql: String =
     """WITH t AS (

@@ -341,6 +341,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"nation should broadcast:\n$p")
   }
 
+  test("latency quantiles: the histogram is the only fact shuffle, no inner ranking pass") {
+    val p = plan(analytics.Relational.latencyQuantiles(spark, sf))
+    // one Window total (the cumulative over the bounded histogram) and no
+    // row_number re-rank of fact rows
+    assert(nodeCount(p, "Window") <= 2, s"expected bounded-relation windows only:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location: InMemoryFileIndex") && l.contains("lineitem.parquet"))
+    assert(scans == 1, s"lineitem should scan once, saw $scans:\n$p")
+  }
+
+  test("cube aggregate is one fact shuffle through Expand") {
+    val p = plan(analytics.Relational.cubeOrders(spark, sf))
+    assert(p.contains("Expand"), s"cube should plan through Expand:\n$p")
+    assert(!p.contains("Union"), s"cube must not recompute per grouping set:\n$p")
+  }
+
+  test("gini ranks within bands — no corpus-wide unpartitioned sort window") {
+    val p = plan(analytics.Relational.revenueGini(spark, sf))
+    // every Window partitions on n_name(+band); none is global
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("n_name#")), s"global window leaked into gini:\n$p")
+  }
+
+  test("benford digit derivation is one scan and a 9-row margin window") {
+    val p = plan(analytics.Audit.benford(spark, sf))
+    assert(!p.contains("Join"), p)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"expected one orders scan:\n$p")
+  }
+
   test("archive layout prunes partitions on day/topic reads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_archive").toString
     Archive.writeArchive(Tables.events(spark, sf), tmp)
