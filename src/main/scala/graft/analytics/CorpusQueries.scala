@@ -427,13 +427,16 @@ object CorpusQueries {
       .select(col("source"), col("n_chars"), col("doc_id"),
         (col("n_chars") / IndexBucketWidth).cast("long").as("bkt"))
     val counts = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n"))
-    // bounded relation: one row per occupied (source, bucket)
-    val offs = counts.withColumn("off",
-      coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
-        .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val tot = counts.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+    // bounded relation: one row per occupied (source, bucket); the total
+    // is a second window over the SAME partitioning (a separate totals
+    // aggregate would re-derive the counts subtree and scan the corpus
+    // again — the ValueQuantiles one-scan rule)
+    val target = counts
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_docs", sum(col("n")).over(Window.partitionBy(col("source"))))
       .withColumn("k", expr("(n_docs + 1) div 2"))
-    val target = offs.join(tot, "source")
       .filter(col("k") > col("off") && col("k") <= col("off") + col("n"))
       .select(col("source"), col("bkt"), col("off"), col("k"), col("n_docs"))
     d.join(broadcast(target), Seq("source", "bkt"))
@@ -472,16 +475,20 @@ object CorpusQueries {
       .select(col("source"), col("n_chars"), col("doc_id"),
         (col("n_chars") / IndexBucketWidth).cast("long").as("bkt"))
     val counts = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n"))
-    val offs = counts.withColumn("off",
-      coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
-        .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val ks = counts.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
-      .select(col("source"), col("n_docs"), explode(array(QuantileSpecs.map {
-        case (l, nu, de) => struct(lit(l).as("p"), lit(nu).as("nu"), lit(de).as("de"))
-      }: _*)).as("q"))
-      .select(col("source"), col("n_docs"), col("q.p").as("p"),
-        expr("(q.nu * n_docs + q.de - 1) div q.de").as("k"))
-    val target = offs.join(ks, "source")
+    // offsets AND totals as windows over one partitioning of the bounded
+    // count relation; the quantile set rides an explode of its rows
+    // (×|specs| fan-out of a bounded relation, no join, no second scan)
+    val target = counts
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_docs", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("bkt"), col("off"), col("n"), col("n_docs"),
+        explode(array(QuantileSpecs.map {
+          case (l, nu, de) => struct(lit(l).as("p"), lit(nu).as("nu"), lit(de).as("de"))
+        }: _*)).as("q"))
+      .withColumn("k", expr("(q.nu * n_docs + q.de - 1) div q.de"))
+      .withColumn("p", col("q.p"))
       .filter(col("k") > col("off") && col("k") <= col("off") + col("n"))
       .select(col("source"), col("bkt"), col("off"), col("k"), col("p"), col("n_docs"))
     d.join(broadcast(target), Seq("source", "bkt"))
