@@ -273,6 +273,97 @@ object ABBench {
       .agg(graft.scale.VecSum.vecSum(col("embedding")).as("vs"))
       .count()
 
+  // ---- round-6 fifth-session baselines: naive window / join shapes vs
+  // the registered pane-decomposed / histogram / conditional-agg plans ----
+
+  /** Trigram extraction as the naive per-user double-lag window (one
+    * task per user's full history). */
+  private def trigramNaive(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("e1"), col("p1").as("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** WAU as the naive day-grid range join (every event joins every
+    * report day whose window covers it — |days|-way theta join). */
+  private def wauRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day")).distinct().withColumnRenamed("day", "rday")
+    ud.join(days, col("day") >= date_sub(col("rday"), 6) && col("day") <= col("rday"))
+      .groupBy(col("rday")).agg(countDistinct(col("user_id")).as("wau"))
+  }
+
+  /** Latency quantiles as the naive row_number window over fact rows. */
+  private def latencyWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(col("lat"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lat"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")))
+      .filter(col("r") === expr("(cnt + 1) div 2") ||
+        col("r") === expr("(9 * cnt + 9) div 10") ||
+        col("r") === expr("(99 * cnt + 99) div 100"))
+  }
+
+  /** Last-touch attribution through the UNBUCKETED as-of join (one task
+    * per user's full touch+purchase history). */
+  private def attributionAsofSimple(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    graft.scale.AsofJoin.asof(purchases, touches, Seq("user_id"),
+      col("ts"), col("touch_ts"))
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("rev"))
+  }
+
+  /** Gini through the naive global per-nation rank window. */
+  private def giniWindow(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("rev").asc, col("c_custkey").asc)
+    rev.withColumn("i", row_number().over(w))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), Num.r(sum(col("rev")), 2).as("sy"),
+        Num.r(sum(col("i") * col("rev")), -2).as("siy"))
+      .select(col("n_name"),
+        Num.r(lit(2.0) * col("siy") / (col("n") * col("sy")) -
+          (col("n") + lit(1L)) / col("n"), 6).as("gini"))
+  }
+
+  /** Snapshot diff as the naive two-snapshot full-outer join. */
+  private def snapshotJoin(spark: SparkSession, dir: String): DataFrame = {
+    def state(cut: String) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), Num.ssum(sum(col("o_totalprice")), 2, 2).as("rev"))
+    val t1 = state(analytics.Audit.SnapT1)
+      .select(col("o_custkey"), col("n").as("n_old"), col("rev").as("rev_old"))
+    val t2 = state(analytics.Audit.SnapT2)
+      .select(col("o_custkey"), col("n").as("n_new"), col("rev").as("rev_new"))
+    t1.join(t2, Seq("o_custkey"), "full_outer")
+      .filter(coalesce(col("n_new"), lit(0L)) > coalesce(col("n_old"), lit(0L)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -416,6 +507,24 @@ object ABBench {
       time(s"dailyanomaly_$i") { analytics.Events.dailyAnomaly(spark, sfDir).count() }
       time(s"pareto_$i") { analytics.Relational.revenuePareto(spark, sfDir).count() }
       time(s"pqdistortion_$i") { analytics.ScaleQueries.pqDistortion(spark, sfDir).count() }
+      // round-6 fifth-session wave: naive baselines vs registered plans
+      time(s"trigram_naive_$i") { trigramNaive(spark, sfDir).count() }
+      time(s"trigram_paned_$i") { analytics.Events.journeyTrigrams(spark, sfDir).count() }
+      time(s"wau_rangejoin_$i") { wauRangeJoin(spark, sfDir).count() }
+      time(s"wau_fanout_$i") { analytics.Lifecycle.rollingActive(spark, sfDir).count() }
+      time(s"latq_window_$i") { latencyWindow(spark, sfDir).count() }
+      time(s"latq_hist_$i") { analytics.Relational.latencyQuantiles(spark, sfDir).count() }
+      time(s"attrib_asofsimple_$i") { attributionAsofSimple(spark, sfDir).count() }
+      time(s"attrib_bucketed_$i") { analytics.Attribution.lastTouch(spark, sfDir).count() }
+      time(s"gini_window_$i") { giniWindow(spark, sfDir).count() }
+      time(s"gini_banded_$i") { analytics.Relational.revenueGini(spark, sfDir).count() }
+      time(s"snapdiff_join_$i") { snapshotJoin(spark, sfDir).count() }
+      time(s"snapdiff_condagg_$i") { analytics.Audit.snapshotDiff(spark, sfDir).count() }
+      time(s"pagerank_$i") { analytics.ScaleQueries.pagerank(spark, sfDir).count() }
+      time(s"attrib_linear_$i") { analytics.Attribution.linearTouch(spark, sfDir).count() }
+      time(s"madq_$i") { analytics.RobustStats.valueMad(spark, sfDir).count() }
+      time(s"seasonal_$i") { analytics.Relational.seasonalDecompose(spark, sfDir).count() }
+      time(s"benford_$i") { analytics.Audit.benford(spark, sfDir).count() }
     }
     spark.stop()
   }
