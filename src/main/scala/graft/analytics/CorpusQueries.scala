@@ -317,6 +317,140 @@ object CorpusQueries {
        |       ${Num.rSql(s"$RecipeBudget * weight / src_tokens", 6)} AS epochs
        |FROM w""".stripMargin
 
+  /** Shard budget for the largest-remainder allocation. */
+  val ShardBudget = 1000L
+
+  /** Largest-remainder (Hamilton) allocation of an integer shard budget
+    * across sources proportional to token volume — the step after
+    * q_token_budget's fractional weights: a data recipe ships INTEGER
+    * shard counts that must sum exactly to the budget, and independent
+    * floor() per source under-allocates by up to |sources|−1. The whole
+    * operator is integer arithmetic (base = (B·tok) div total; remainder
+    * ranks on the exact integer numerator B·tok − base·total), so there
+    * is no fp anywhere — bit-identical by construction. Every window
+    * runs over the bounded per-source relation.
+    */
+  def budgetAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tokens"))
+    val w = Window.partitionBy()
+    val based = bySrc
+      .withColumn("total", sum(col("src_tokens")).over(w))
+      .withColumn("base", expr(s"($ShardBudget * src_tokens) div total"))
+      .withColumn("rem", lit(ShardBudget) * col("src_tokens") - col("base") * col("total"))
+      .withColumn("leftover", lit(ShardBudget) - sum(col("base")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+    based.select(col("source"), col("src_tokens"), col("base"),
+      (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("shards"))
+  }
+
+  val budgetAllocationSql: String =
+    s"""WITH bys AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |b AS (
+       |  SELECT *, CAST(sum(src_tokens) OVER () AS BIGINT) AS total FROM bys),
+       |c AS (
+       |  SELECT *, ($ShardBudget * src_tokens) // total AS base,
+       |         $ShardBudget * src_tokens - (($ShardBudget * src_tokens) // total) * total AS rem
+       |  FROM b),
+       |d AS (
+       |  SELECT *, CAST($ShardBudget - sum(base) OVER () AS BIGINT) AS leftover,
+       |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+       |  FROM c)
+       |SELECT source, src_tokens, CAST(base AS BIGINT) AS base,
+       |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS shards
+       |FROM d""".stripMargin
+
+  /** z² for the 95% Wilson interval, Scala-computed and embedded as the
+    * same literal in both engines. */
+  val WilsonZ2: Double = 1.96 * 1.96
+
+  /** Wilson 95% confidence interval of the classifier keep rate per
+    * source — keep-rate points without intervals invite over-reading on
+    * small sources. Reuses the registered classifier chain verbatim (the
+    * data-card discipline), one doc_id join for source, one bounded
+    * aggregate; sqrt is IEEE-exact so the interval arithmetic is
+    * bit-identical on the integer (n, k) inputs.
+    */
+  def keepRateCi(spark: SparkSession, dir: String): DataFrame = {
+    val probs = ScaleQueries.qualityClassify(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("keep"))
+    val agg = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(probs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count(when(col("keep"), 1)).as("k"))
+    val z2 = lit(WilsonZ2)
+    val p = col("k").cast("double") / col("n")
+    val denom = lit(1.0) + z2 / col("n")
+    val center = (p + z2 / (lit(2.0) * col("n"))) / denom
+    val half = sqrt(p * (lit(1.0) - p) / col("n") +
+      z2 / (lit(4.0) * col("n") * col("n"))) * sqrt(z2) / denom
+    agg.select(col("source"), col("n"), col("k"),
+      Num.r(p, 6).as("keep_rate"),
+      Num.r(center - half, 6).as("ci_lo"),
+      Num.r(center + half, 6).as("ci_hi"))
+  }
+
+  val keepRateCiSql: String = {
+    val z2 = WilsonZ2.toString
+    s"""WITH qc AS (${ScaleQueries.qualityClassifierSql}),
+       |a AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(CASE WHEN qc.keep THEN 1 END) AS BIGINT) AS k
+       |  FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n, k,
+       |       ${Num.rSql("CAST(k AS DOUBLE) / n", 6)} AS keep_rate,
+       |       ${Num.rSql(
+        s"((CAST(k AS DOUBLE) / n + $z2 / (2.0 * n)) / (1.0 + $z2 / n)) - " +
+          s"(sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n + $z2 / (4.0 * n * n)) * sqrt($z2) / (1.0 + $z2 / n))",
+        6)} AS ci_lo,
+       |       ${Num.rSql(
+        s"((CAST(k AS DOUBLE) / n + $z2 / (2.0 * n)) / (1.0 + $z2 / n)) + " +
+          s"(sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n) / n + $z2 / (4.0 * n * n)) * sqrt($z2) / (1.0 + $z2 / n))",
+        6)} AS ci_hi
+       |FROM a""".stripMargin
+  }
+
+  /** Effective sample size of classifier-probability-weighted sampling
+    * per source — ESS = (Σp)²/Σp² (Kish): how many "real" samples a
+    * weighted draw is worth; ESS/n near 1 means weights are flat, near
+    * 1/n means one document dominates. Probabilities come snapped from
+    * the registered classifier chain, sums re-snap before the ratio, so
+    * both engines divide identical doubles. One join, one bounded
+    * aggregate.
+    */
+  def essWeights(spark: SparkSession, dir: String): DataFrame = {
+    val probs = ScaleQueries.qualityClassify(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("prob"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(probs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        Num.r(sum(col("prob")), 6).as("sp"),
+        Num.r(sum(col("prob") * col("prob")), 8).as("spp"))
+      .select(col("source"), col("n"),
+        Num.r(col("sp") * col("sp") / col("spp"), 4).as("ess"),
+        Num.r(col("sp") * col("sp") / col("spp") / col("n"), 6).as("ess_ratio"))
+  }
+
+  val essWeightsSql: String =
+    s"""WITH qc AS (${ScaleQueries.qualityClassifierSql}),
+       |a AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+       |         ${Num.rSql("sum(qc.prob)", 6)} AS sp,
+       |         ${Num.rSql("sum(qc.prob * qc.prob)", 8)} AS spp
+       |  FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n,
+       |       ${Num.rSql("sp * sp / spp", 4)} AS ess,
+       |       ${Num.rSql("sp * sp / spp / n", 6)} AS ess_ratio
+       |FROM a""".stripMargin
+
   // ---------------------------------------------------------------------
   // Near-dup cluster statistics.
   // ---------------------------------------------------------------------
@@ -565,6 +699,9 @@ object CorpusQueries {
     "q_docs_pii" -> docsPii,
     "q_gopher_rules" -> gopherRules,
     "q_token_budget" -> tokenBudget,
+    "q_budget_allocation" -> budgetAllocation,
+    "q_keep_rate_ci" -> keepRateCi,
+    "q_ess_weights" -> essWeights,
     "q_dup_stats" -> dupStats,
     "q_global_index" -> globalIndex,
     "q_exact_median" -> exactMedian,
@@ -576,6 +713,9 @@ object CorpusQueries {
     "q_docs_pii" -> docsPiiSql,
     "q_gopher_rules" -> gopherRulesSql,
     "q_token_budget" -> tokenBudgetSql,
+    "q_budget_allocation" -> budgetAllocationSql,
+    "q_keep_rate_ci" -> keepRateCiSql,
+    "q_ess_weights" -> essWeightsSql,
     "q_dup_stats" -> dupStatsSql,
     "q_global_index" -> globalIndexSql,
     "q_exact_median" -> exactMedianSql,
