@@ -518,6 +518,63 @@ object Events {
        |            ELSE 0.0 END) >= $AnomalyZ AS is_anomaly
        |FROM m""".stripMargin
 
+  /** CUSUM drift constants (identical literals both engines): K = slack
+    * per step (in σ units), H = decision threshold. */
+  val CusumK = 0.5
+  val CusumH = 4.0
+
+  /** CUSUM change-point monitor on daily event volume — the
+    * small-persistent-shift detector the z-score monitor (q_daily_anomaly)
+    * structurally cannot be: a +1σ drift never crosses a 2σ point
+    * threshold but accumulates in the CUSUM within days. Consumes the
+    * registered q_daily_anomaly chain verbatim (data-card discipline).
+    *
+    * The recurrence s⁺ = max(0, s⁺+z−K) is nonlinear — NOT a prefix sum,
+    * so no window/pane decomposition exists. It is, however, a scan over
+    * the BOUNDED day grid (one row per calendar day — dimension-sized at
+    * any corpus scale), so it runs as an `aggregate` HOF over the
+    * collected, sorted grid: the corpus is never collected, only its
+    * daily margin. Both engines walk the same day order adding identical
+    * snapped z's, so every partial state is IEEE-identical (DuckDB runs
+    * the same scan as a recursive CTE).
+    */
+  def cusumVolume(spark: SparkSession, dir: String): DataFrame = {
+    val z = dailyAnomaly(spark, dir).select(col("day"), col("n_events"), col("z"))
+    z.agg(array_sort(collect_list(struct(col("day"), col("n_events"), col("z")))).as("a"))
+      .select(explode(expr(
+        s"""aggregate(a,
+           |  cast(array() as array<struct<day:bigint,n_events:bigint,z:double,sp:double,sn:double>>),
+           |  (acc, x) -> acc || array(named_struct(
+           |    'day', x.day, 'n_events', x.n_events, 'z', x.z,
+           |    'sp', greatest(0D, (CASE WHEN size(acc) = 0 THEN 0D
+           |                        ELSE element_at(acc, size(acc)).sp END) + x.z - $CusumK),
+           |    'sn', least(0D, (CASE WHEN size(acc) = 0 THEN 0D
+           |                     ELSE element_at(acc, size(acc)).sn END) + x.z + $CusumK))),
+           |  acc -> acc)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.n_events").as("n_events"), col("r.z").as("z"),
+        Num.r(col("r.sp"), 6).as("cusum_pos"), Num.r(col("r.sn"), 6).as("cusum_neg"))
+      .withColumn("is_shift",
+        col("cusum_pos") > CusumH || col("cusum_neg") < -CusumH)
+  }
+
+  val cusumVolumeSql: String =
+    s"""WITH RECURSIVE da AS ($dailyAnomalySql),
+       |idx AS (
+       |  SELECT day, n_events, z, row_number() OVER (ORDER BY day) AS i FROM da),
+       |c AS (
+       |  SELECT i, day, n_events, z,
+       |         greatest(0.0, z - $CusumK) AS sp, least(0.0, z + $CusumK) AS sn
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.i, idx.day, idx.n_events, idx.z,
+       |         greatest(0.0, c.sp + idx.z - $CusumK),
+       |         least(0.0, c.sn + idx.z + $CusumK)
+       |  FROM c JOIN idx ON idx.i = c.i + 1)
+       |SELECT day, n_events, z,
+       |       ${Num.rSql("sp", 6)} AS cusum_pos, ${Num.rSql("sn", 6)} AS cusum_neg,
+       |       (${Num.rSql("sp", 6)} > $CusumH OR ${Num.rSql("sn", 6)} < -$CusumH) AS is_shift
+       |FROM c""".stripMargin
+
   /** The event-type domain, pinned explicitly so the pivot's column set
     * is deterministic (Spark's value-less pivot would scan-and-sort the
     * domain — an extra corpus pass AND a schema that drifts with data).
@@ -638,6 +695,7 @@ object Events {
     "q_value_ohlc" -> valueOhlc,
     "q_ab_test" -> abTest,
     "q_daily_anomaly" -> dailyAnomaly,
+    "q_cusum_volume" -> cusumVolume,
     "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
     "q_journey_trigrams" -> journeyTrigrams,
@@ -658,6 +716,7 @@ object Events {
     "q_value_ohlc" -> valueOhlcSql,
     "q_ab_test" -> abTestSql,
     "q_daily_anomaly" -> dailyAnomalySql,
+    "q_cusum_volume" -> cusumVolumeSql,
     "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_journey_trigrams" -> journeyTrigramsSql,
