@@ -191,13 +191,59 @@ object Audit {
        |FROM m""".stripMargin
   }
 
+  /** Entity-resolution fuzzy matching: a deterministically-corrupted CRM
+    * copy of the customer table (every 3rd name gets one digit replaced —
+    * the q_pii_redact fixture discipline, since the synthetic names carry
+    * no organic typos) is matched back against the master by BLOCKING +
+    * edit-distance verification. The blocking key is the name's last five
+    * characters (untouched by the corruption site), so candidate pairs
+    * are per-block equi-join groups — never a name×name cross join — and
+    * the verifier is integer Levenshtein ≤ 1, identical in both engines.
+    * The report is the match accounting a dedup/ER run publishes.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val crm = base.select(
+      (col("c_custkey") + 1000000L).as("crm_id"),
+      when(col("c_custkey") % 3 === 0,
+        concat(substring(col("c_name"), 1, 11), lit("X"), substring(col("c_name"), 13, 6)))
+        .otherwise(col("c_name")).as("crm_name"))
+    val l = crm.withColumn("blk", substring(col("crm_name"), -5, 5))
+    val r = base.withColumn("blk", substring(col("c_name"), -5, 5))
+    l.join(r, "blk")
+      .withColumn("dist", levenshtein(col("crm_name"), col("c_name")))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("dist") === 0, 1)).as("n_exact"),
+        count(when(col("dist") === 1, 1)).as("n_fuzzy"),
+        count(when(col("dist") > 1, 1)).as("n_rejected"))
+  }
+
+  val fuzzyMatchSql: String =
+    """WITH crm AS (
+      |  SELECT c_custkey + 1000000 AS crm_id,
+      |         CASE WHEN c_custkey % 3 = 0
+      |              THEN substr(c_name, 1, 11) || 'X' || substr(c_name, 13, 6)
+      |              ELSE c_name END AS crm_name
+      |  FROM customer),
+      |l AS (SELECT *, substr(crm_name, length(crm_name) - 4, 5) AS blk FROM crm),
+      |r AS (SELECT c_custkey, c_name, substr(c_name, length(c_name) - 4, 5) AS blk
+      |      FROM customer)
+      |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+      |       CAST(count(CASE WHEN levenshtein(l.crm_name, r.c_name) = 0 THEN 1 END) AS BIGINT) AS n_exact,
+      |       CAST(count(CASE WHEN levenshtein(l.crm_name, r.c_name) = 1 THEN 1 END) AS BIGINT) AS n_fuzzy,
+      |       CAST(count(CASE WHEN levenshtein(l.crm_name, r.c_name) > 1 THEN 1 END) AS BIGINT) AS n_rejected
+      |FROM l JOIN r ON l.blk = r.blk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_integrity_audit" -> integrityAudit,
     "q_snapshot_diff" -> snapshotDiff,
-    "q_benford" -> benford)
+    "q_benford" -> benford,
+    "q_fuzzy_match" -> fuzzyMatch)
 
   val oracles: Map[String, String] = Map(
     "q_integrity_audit" -> integrityAuditSql,
     "q_snapshot_diff" -> snapshotDiffSql,
-    "q_benford" -> benfordSql)
+    "q_benford" -> benfordSql,
+    "q_fuzzy_match" -> fuzzyMatchSql)
 }

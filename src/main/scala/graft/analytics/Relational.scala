@@ -914,7 +914,47 @@ object Relational {
        |       ${Num.rSql("r.y / (r.trend * f.dow_factor)", 6)} AS residual
        |FROM r LEFT JOIN f ON r.dow = f.dow""".stripMargin
 
+  /** Calendar gap filling with LOCF (last observation carried forward) —
+    * the time-series regularization every downstream window/forecast
+    * assumes: days with no orders appear with revenue 0 and the carried
+    * last observed value. The dense calendar comes from ONE `sequence`
+    * span row (min..max day, broadcast-exploded) left-joined to the
+    * bounded daily aggregate; the LOCF window runs over that
+    * dimension-sized grid only. No fact-table window anywhere.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), Num.ssum(sum(col("o_totalprice")), 2, 2).as("rev"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("day"), "left")
+      .withColumn("is_gap", col("rev").isNull)
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+      .withColumn("revenue", coalesce(col("rev"), lit(0.0)))
+      .withColumn("revenue_locf", last(col("rev"), ignoreNulls = true).over(w))
+      .select("day", "is_gap", "n_orders", "revenue", "revenue_locf")
+  }
+
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS n_orders,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS rev
+       |  FROM orders GROUP BY 1),
+       |grid AS (
+       |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+       |  FROM daily)
+       |SELECT g.day, d.rev IS NULL AS is_gap,
+       |       coalesce(d.n_orders, 0) AS n_orders,
+       |       coalesce(d.rev, 0.0) AS revenue,
+       |       last_value(d.rev IGNORE NULLS) OVER (ORDER BY g.day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
+       |FROM grid g LEFT JOIN daily d ON g.day = d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> gapFill,
     "q_revenue_gini" -> revenueGini,
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_latency_quantiles" -> latencyQuantiles,
@@ -944,6 +984,7 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" -> gapFillSql,
     "q_revenue_gini" -> revenueGiniSql,
     "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_latency_quantiles" -> latencyQuantilesSql,
