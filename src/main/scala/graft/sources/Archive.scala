@@ -65,4 +65,31 @@ object Archive {
   def readDayEvolved(spark: SparkSession, dir: String, day: String, topic: String): DataFrame =
     readEvolved(spark, dir)
       .filter(col("dt") === day && col("topic") === topic)
+
+  /** Compact one day's partitions — the small-files maintenance pass a
+    * micro-batched archive needs: each streaming batch appends a file
+    * per partition per trigger, and a year of 1-minute triggers is half
+    * a million footers per day-scan. Rewrites ONLY the target day
+    * (dynamic partition overwrite — other days' files are never
+    * touched), coalescing to `filesPerPartition` files per (dt, topic).
+    * Returns the compacted day's row count for the caller's
+    * before/after invariant check.
+    */
+  def compactDay(spark: SparkSession, dir: String, day: String,
+      filesPerPartition: Int = 1): Long = {
+    // localCheckpoint breaks the plan's file-source lineage: Spark
+    // (rightly) refuses to overwrite a path it is concurrently reading;
+    // the checkpoint materializes the slice first (at 100 TB this is a
+    // per-day slice, not the archive)
+    val compacted = spark.read.parquet(dir).filter(col("dt") === day)
+      .repartition(filesPerPartition, col("topic"))
+      .localCheckpoint()
+    val n = compacted.count()
+    compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy("dt", "topic")
+      .parquet(dir)
+    n
+  }
 }

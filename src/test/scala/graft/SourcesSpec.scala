@@ -81,6 +81,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.count() > 0)
   }
 
+  test("archive compaction: one day's small files coalesce; data and other days untouched") {
+    import graft.sources.Archive
+    val dir = java.nio.file.Files.createTempDirectory("graft_archive_cmp").toString
+    val ev = Tables.events(spark, sf)
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy(col("d")).limit(2).collect().map(_.getString(0))
+    val (day1, day2) = (days(0), days(1))
+    val slice = ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(day1, day2))
+    // 5 appends of row-slices → many small files per (dt, topic)
+    Archive.writeArchive(slice.filter(col("event_id") % 5 === 0), dir)
+    (1 to 4).foreach(i => Archive.appendDay(slice.filter(col("event_id") % 5 === i), dir))
+    def files(day: String): Set[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        val s = p.toString
+        if (s.contains(s"dt=$day") && s.endsWith(".parquet")) out += s
+      }
+      out.toSet
+    }
+    val before1 = files(day1); val before2 = files(day2)
+    assert(before1.size > 3, s"fixture should create many small files, got ${before1.size}")
+    val expected = spark.read.parquet(dir).filter(col("dt") === day1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val n = Archive.compactDay(spark, dir, day1)
+    assert(n == expected.size)
+    val after1 = files(day1)
+    // one file per (dt=day1, topic) partition
+    val topics1 = spark.read.parquet(dir).filter(col("dt") === day1)
+      .select("topic").distinct().count()
+    assert(after1.size == topics1, s"expected $topics1 files, got ${after1.size}")
+    // content identical, other day's files untouched
+    val got = spark.read.parquet(dir).filter(col("dt") === day1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+    assert(files(day2) == before2, "compaction must not rewrite other days")
+  }
+
   test("approx_count_distinct tracks exact counts within rsd") {
     val approx = analytics.Relational.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
