@@ -518,6 +518,56 @@ object Events {
        |            ELSE 0.0 END) >= $AnomalyZ AS is_anomaly
        |FROM m""".stripMargin
 
+  /** Entry-type conversion: sessions (30-minute gap) grouped by their
+    * FIRST event's type, with the share that contains a purchase — the
+    * landing-page-effectiveness table, requiring real session IDs rather
+    * than session counts. IDs come from [[graft.scale.SlidingAgg.sessionIds]]
+    * (pane-decomposed prev-time + exact 0/1 prefix sums — no per-user
+    * full-history task); the per-session entry event is a min-struct
+    * argmin ((user_id, ts) unique ⇒ tie-free in both engines).
+    */
+  def sessionEntryConversion(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.scale.SlidingAgg.sessionIds(
+      Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), col("ts"), col("event_id"),
+      gapMicros = 1800L * 1000000L, paneMicros = 86400L * 1000000L)
+    val perSession = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+        count(lit(1)).as("n_events"))
+    perSession.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        Num.r(sum(col("n_events")).cast("double") / count(lit(1)), 4).as("avg_events"),
+        Num.r(sum(col("converted")).cast("double") / count(lit(1)), 6).as("conversion_rate"))
+  }
+
+  val sessionEntryConversionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${1800L * 1000000L}
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM p),
+       |ps AS (
+       |  SELECT user_id, sid,
+       |         arg_min(event_type, ts) AS entry_type,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |         count(*) AS n
+       |  FROM s GROUP BY 1, 2)
+       |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(sum(converted) AS BIGINT) AS n_converted,
+       |       ${Num.rSql("CAST(sum(n) AS DOUBLE) / count(*)", 4)} AS avg_events,
+       |       ${Num.rSql("CAST(sum(converted) AS DOUBLE) / count(*)", 6)} AS conversion_rate
+       |FROM ps GROUP BY 1""".stripMargin
+
   /** CUSUM drift constants (identical literals both engines): K = slack
     * per step (in σ units), H = decision threshold. */
   val CusumK = 0.5
@@ -696,6 +746,7 @@ object Events {
     "q_ab_test" -> abTest,
     "q_daily_anomaly" -> dailyAnomaly,
     "q_cusum_volume" -> cusumVolume,
+    "q_session_entry" -> sessionEntryConversion,
     "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
     "q_journey_trigrams" -> journeyTrigrams,
@@ -717,6 +768,7 @@ object Events {
     "q_ab_test" -> abTestSql,
     "q_daily_anomaly" -> dailyAnomalySql,
     "q_cusum_volume" -> cusumVolumeSql,
+    "q_session_entry" -> sessionEntryConversionSql,
     "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_journey_trigrams" -> journeyTrigramsSql,

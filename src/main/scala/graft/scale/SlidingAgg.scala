@@ -202,6 +202,55 @@ object SlidingAgg {
       .groupBy(col("e1"), col("e2"), col("e3")).agg(sum(col("n")).as("n"))
   }
 
+  /** Per-row PREVIOUS event time (µs) within a key, pane-decomposed:
+    * intra-pane rows get a pane-local lag; each pane's FIRST row gets
+    * the latest time of the key's previous non-empty pane, carried over
+    * the tiny per-(key, pane) relation. Null for the key's first event —
+    * exactly the naive per-key lag. The building block for gap flags /
+    * session-id assignment without sorting a key's full history.
+    */
+  def prevTime(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
+      paneMicros: Long, out: String): DataFrame = {
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__t", tiebreak)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    val intra = base.withColumn(out, lag(col("__us"), 1).over(w1))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+      .agg(max(col("__us")).as("__hi"))
+      .withColumn("__c", lag(col("__hi"), 1).over(w2))
+      .select((keys :+ "__b").map(col) :+ col("__c"): _*)
+    intra.join(carry, keys :+ "__b")
+      .withColumn(out, coalesce(col(out), col("__c")))
+      .drop("__t", "__b", "__c")
+  }
+
+  /** Gap-threshold SESSION-ID assignment per key (1-based, in
+    * (time, tiebreak) order) — [[sessionCounts]] upgraded from counts to
+    * ids so downstream analytics can aggregate per session. Break flags
+    * come from [[prevTime]]; the id is their prefix sum via
+    * [[runningSum]] — both pane-decomposed, so no task ever holds a
+    * key's full history. Break flags are 0/1 integer-valued doubles:
+    * their sums are exact in any accumulation order, hence the cast back
+    * to long is lossless and engine-identical.
+    */
+  def sessionIds(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
+      gapMicros: Long, paneMicros: Long): DataFrame = {
+    // "__pv", not "__prev": runningSum uses "__prev" internally for its
+    // carry and a second column of that name would be ambiguous
+    val flagged = prevTime(df, keys, time, tiebreak, paneMicros, "__pv")
+      .withColumn("__brk",
+        when(col("__pv").isNull || col("__us") - col("__pv") > gapMicros, 1.0)
+          .otherwise(0.0))
+      .drop("__us")
+    runningSum(flagged, keys, time, tiebreak, col("__brk"), paneMicros, "__sid")
+      .withColumn("session_id", col("__sid").cast("long"))
+      .drop("__pv", "__brk", "__sid")
+  }
+
   /** Running (prefix) sum per key without sorting a key's full history
     * in one task: pane-local prefix sums plus a carry of all earlier
     * panes' totals (cumulated over the tiny per-(key, pane) relation).

@@ -80,6 +80,26 @@ class SlidingAggSpec extends AnyFunSuite {
     }
   }
 
+  test("paned session ids equal the naive lag+prefix formulation at several pane widths") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    val gap = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val naive = ev
+      .withColumn("p", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk", when(col("p").isNull ||
+        unix_micros(col("ts")) - col("p") > gap, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(6)).toMap
+    for (pane <- Seq(3600L * 1000000L, 86400L * 1000000L, WeekMicros)) {
+      val paned = SlidingAgg.sessionIds(ev, Seq("user_id"), col("ts"), col("event_id"),
+        gap, pane)
+        .select("user_id", "event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(paned == naive, s"session-id mismatch at pane=$pane")
+    }
+  }
+
   test("paned running sum equals the naive prefix window within fp noise") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val paned = SlidingAgg.runningSum(ev, Seq("user_id"), col("ts"), col("event_id"),
