@@ -568,6 +568,65 @@ object Events {
        |       ${Num.rSql("CAST(sum(converted) AS DOUBLE) / count(*)", 6)} AS conversion_rate
        |FROM ps GROUP BY 1""".stripMargin
 
+  /** Markov absorption: probability of reaching a purchase within 1–3
+    * steps from each event type, with purchase absorbing — the
+    * how-close-is-this-state-to-converting score the transition matrix
+    * (q_event_transitions) exists to answer. Each step is one join of
+    * the BOUNDED |types|² transition relation against the previous
+    * reach vector plus a snapped sum — never touches the event stream
+    * again. reach_{k+1}(i) = p(i→pur) + Σ_{j≠pur} p(i→j)·reach_k(j);
+    * products/sums re-snap at 1e-9 each step so both engines iterate
+    * identical doubles (the q_lr_train stage-snapping discipline).
+    */
+  def purchaseReach(spark: SparkSession, dir: String): DataFrame = {
+    val trans = eventTransitions(spark, dir).select(col("prev"), col("next"), col("p"))
+    val states = trans.select(col("prev").as("state")).distinct()
+    val direct = states.join(
+      trans.filter(col("next") === "purchase")
+        .select(col("prev").as("state"), col("p").as("d")),
+      Seq("state"), "left")
+      .select(col("state"), coalesce(col("d"), lit(0.0)).as("d"))
+    def step(reach: DataFrame): DataFrame = {
+      val contrib = trans.filter(col("next") =!= "purchase")
+        .join(reach.select(col("state").as("next"), col("reach")), "next")
+        .groupBy(col("prev").as("state"))
+        .agg(Num.r(sum(col("p") * col("reach")), 9).as("c"))
+      direct.join(contrib, Seq("state"), "left")
+        .select(col("state"), Num.r(col("d") + coalesce(col("c"), lit(0.0)), 9).as("reach"))
+    }
+    val r1 = direct.select(col("state"), col("d").as("reach"))
+    val r2 = step(r1)
+    val r3 = step(r2)
+    r1.select(col("state"), col("reach").as("reach1"))
+      .join(r2.select(col("state"), col("reach").as("reach2")), "state")
+      .join(r3.select(col("state"), col("reach").as("reach3")), "state")
+  }
+
+  val purchaseReachSql: String =
+    s"""WITH tr AS ($eventTransitionsSql),
+       |st AS (SELECT DISTINCT prev AS state FROM tr),
+       |dct AS (
+       |  SELECT st.state, coalesce(t.p, 0.0) AS d
+       |  FROM st LEFT JOIN (SELECT prev, p FROM tr WHERE next = 'purchase') t
+       |    ON st.state = t.prev),
+       |r1 AS (SELECT state, d AS reach FROM dct),
+       |c2 AS (
+       |  SELECT tr.prev AS state, ${Num.rSql("sum(tr.p * r1.reach)", 9)} AS c
+       |  FROM tr JOIN r1 ON tr.next = r1.state WHERE tr.next <> 'purchase'
+       |  GROUP BY 1),
+       |r2 AS (
+       |  SELECT dct.state, ${Num.rSql("dct.d + coalesce(c2.c, 0.0)", 9)} AS reach
+       |  FROM dct LEFT JOIN c2 ON dct.state = c2.state),
+       |c3 AS (
+       |  SELECT tr.prev AS state, ${Num.rSql("sum(tr.p * r2.reach)", 9)} AS c
+       |  FROM tr JOIN r2 ON tr.next = r2.state WHERE tr.next <> 'purchase'
+       |  GROUP BY 1),
+       |r3 AS (
+       |  SELECT dct.state, ${Num.rSql("dct.d + coalesce(c3.c, 0.0)", 9)} AS reach
+       |  FROM dct LEFT JOIN c3 ON dct.state = c3.state)
+       |SELECT r1.state, r1.reach AS reach1, r2.reach AS reach2, r3.reach AS reach3
+       |FROM r1 JOIN r2 ON r1.state = r2.state JOIN r3 ON r1.state = r3.state""".stripMargin
+
   /** CUSUM drift constants (identical literals both engines): K = slack
     * per step (in σ units), H = decision threshold. */
   val CusumK = 0.5
@@ -747,6 +806,7 @@ object Events {
     "q_daily_anomaly" -> dailyAnomaly,
     "q_cusum_volume" -> cusumVolume,
     "q_session_entry" -> sessionEntryConversion,
+    "q_purchase_reach" -> purchaseReach,
     "q_event_pivot" -> eventPivot,
     "q_event_transitions" -> eventTransitions,
     "q_journey_trigrams" -> journeyTrigrams,
@@ -769,6 +829,7 @@ object Events {
     "q_daily_anomaly" -> dailyAnomalySql,
     "q_cusum_volume" -> cusumVolumeSql,
     "q_session_entry" -> sessionEntryConversionSql,
+    "q_purchase_reach" -> purchaseReachSql,
     "q_event_pivot" -> eventPivotSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_journey_trigrams" -> journeyTrigramsSql,
