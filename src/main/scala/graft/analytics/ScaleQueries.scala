@@ -3236,6 +3236,7 @@ object ScaleQueries {
     "q_canonical_docs" -> canonicalDocs,
     "q_ngram_topk" -> ngramTopK,
     "q_frame_sample" -> frameSample,
+    "q_image_neardup" -> ((s, d) => graft.multimodal.Multimodal.imageNeardup(s, d)),
     "q_corpus_curation" -> corpusCuration,
     "q_corpus_sample" -> corpusSample,
     "q_corpus_quantiles" -> corpusQuantiles,

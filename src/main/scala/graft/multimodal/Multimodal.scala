@@ -165,6 +165,63 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash over the decoded feature vector (aHash): bit i set
+    * iff feature i exceeds the vector's mean — 16 bits for the 4×4 luma
+    * grid. Hamming distance between phashes tracks visual difference;
+    * identical payloads hash identically through either codec path.
+    */
+  def phash(features: Array[Float]): Int = {
+    var s = 0.0
+    var i = 0
+    while (i < features.length) { s += features(i); i += 1 }
+    val mean = s / features.length
+    var h = 0
+    i = 0
+    while (i < features.length) {
+      if (features(i) > mean) h |= (1 << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Number of 4-bit phash bands: hamming ≤ 3 pigeonholes into ≥1
+    * intact band, so banded buckets are a recall-guaranteed candidate
+    * generator at radius 3 (the SimHash banding argument). */
+  val PhashBands = 4
+
+  def phashBand(ph: Int, b: Int): Int = (ph >> (4 * b)) & 0xF
+
+  /** Perceptual near-dup report over the asset corpus: decode (real
+    * codec for images, deterministic stub otherwise) → 16-bit aHash →
+    * exact-phash clusters plus banded candidate-pair volume (the same
+    * bucket-cap-free accounting the MinHash tier reports). Decode runs
+    * partition-parallel once per asset; everything after it shuffles
+    * 20-byte rows. Rows-only for the driver (no SQL engine can run the
+    * codec); MultimodalSpec pins the hamming/banding contract on
+    * constructed PNGs and exact-dup recall against the text-digest tier.
+    */
+  def imageNeardup(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val s = spark
+    val hashed = extractFeatures(syntheticAssets(spark, dir), parallelism = 32)
+      .map(f => (f.assetId, phash(f.features)))
+      .toDF("asset_id", "ph")
+    val clusters = hashed.groupBy(col("ph"))
+      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keeper"))
+    val bands = hashed.select(col("asset_id"), explode(array(
+      (0 until PhashBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("ph"), 4 * b).bitwiseAND(lit(15)).as("bits"))): _*)).as("bb"))
+    val bandPairs = bands.groupBy(col("bb.b"), col("bb.bits"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(sum(col("bn") * (col("bn") - 1) / 2).as("n_band_candidate_pairs"))
+    clusters.agg(
+      sum(col("n")).as("n_assets"),
+      count(lit(1)).as("n_phash_clusters"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_assets"))
+      .crossJoin(bandPairs)
+  }
+
   /** Deterministic media corpus synthesized from `documents`: payload =
     * UTF-8 text bytes, kind/meta derived from doc_id — the sf-scaled
     * stand-in for a real asset table (TESTDATA has no binary table).

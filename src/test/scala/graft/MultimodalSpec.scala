@@ -90,6 +90,43 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeStub(Array[Byte](1, 2, 3))))
   }
 
+  test("perceptual hash: identity, locality, and the band recall guarantee") {
+    def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    // half-bright / half-dark: cells 0-7 below mean, 8-15 above
+    val base = pngBytes(4, 4)((_, y) => if (y < 2) 0x202020 else 0xE0E0E0)
+    val ph = Multimodal.phash(Multimodal.decodeImage(base).get)
+    // identical payload → identical phash
+    assert(ph == Multimodal.phash(Multimodal.decodeImage(base).get))
+    // one flipped cell → small hamming, and ≥1 of the 4 bands intact
+    // (hamming ≤ 3 pigeonholes into an unchanged 4-bit band)
+    val tweaked = pngBytes(4, 4)((x, y) =>
+      if (y < 2) { if (x == 0 && y == 0) 0xF0F0F0 else 0x202020 } else 0xE0E0E0)
+    val ph2 = Multimodal.phash(Multimodal.decodeImage(tweaked).get)
+    val d = hamming(ph, ph2)
+    assert(d >= 1 && d <= 3, s"one-cell tweak moved $d bits")
+    assert((0 until Multimodal.PhashBands).exists(b =>
+      Multimodal.phashBand(ph, b) == Multimodal.phashBand(ph2, b)))
+    // inverted image → large hamming (no false locality)
+    val inv = pngBytes(4, 4)((_, y) => if (y < 2) 0xE0E0E0 else 0x202020)
+    assert(hamming(ph, Multimodal.phash(Multimodal.decodeImage(inv).get)) >= 8)
+  }
+
+  test("image near-dup clusters recall every exact-duplicate payload pair") {
+    implicit val s = spark
+    import s.implicits._
+    // exact text duplicates (the dedup tier's ground truth) must land in
+    // one phash cluster: same bytes → same features → same hash
+    val dupAssets = graft.scale.Dedup
+      .exactDupGroups(Tables.documents(spark, sf), "text", "doc_id")
+      .agg(coalesce(sum(col("n_copies")), lit(0L))).collect()(0).getLong(0)
+    val report = Multimodal.imageNeardup(spark, sf).collect()(0)
+    val nAssets = report.getAs[Long]("n_assets")
+    val nDup = report.getAs[Long]("n_dup_assets")
+    assert(nAssets == Tables.documents(spark, sf).count())
+    // every exact-dup asset is inside a phash cluster of size > 1
+    assert(nDup >= dupAssets, s"phash dup assets $nDup < exact dup assets $dupAssets")
+  }
+
   test("frame sampling explodes videos at the expected stride") {
     implicit val s = spark
     val assets = Multimodal.syntheticAssets(spark, sf)
