@@ -953,7 +953,63 @@ object Relational {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
        |FROM grid g LEFT JOIN daily d ON g.day = d.day""".stripMargin
 
+  /** Price-volume decomposition windows (calendar years in the data's
+    * range). */
+  val PvmY1 = "1998"
+  val PvmY2 = "1999"
+
+  /** Price–volume–mix variance decomposition: ΔRevenue between two
+    * years per market segment split into volume effect (Δn·p₁), price
+    * effect (n₁·Δp) and the joint term (Δn·Δp) — the FP&A bridge table.
+    * One scan with conditional year aggregates per segment (no
+    * self-join of two year snapshots — the q_snapshot_diff discipline);
+    * average prices divide grid-snapped sums by exact counts so both
+    * engines decompose identical doubles, and the three effects sum to
+    * ΔRev by construction.
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    def yr(y: String) = year(col("o_orderdate")) === y.toInt
+    val agg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(yr(PvmY1) || yr(PvmY2))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(when(yr(PvmY1), 1)).as("n1"),
+        count(when(yr(PvmY2), 1)).as("n2"),
+        Num.ssum(sum(when(yr(PvmY1), col("o_totalprice")).otherwise(0.0)), 2, 2).as("r1"),
+        Num.ssum(sum(when(yr(PvmY2), col("o_totalprice")).otherwise(0.0)), 2, 2).as("r2"))
+    val p1 = Num.r(col("r1") / col("n1"), 6)
+    val p2 = Num.r(col("r2") / col("n2"), 6)
+    agg.select(col("segment"), col("n1"), col("n2"), col("r1"), col("r2"),
+      Num.r(col("r2") - col("r1"), 2).as("delta_rev"),
+      Num.r((col("n2") - col("n1")) * p1, 2).as("volume_effect"),
+      Num.r(col("n1") * (p2 - p1), 2).as("price_effect"),
+      Num.r((col("n2") - col("n1")) * (p2 - p1), 2).as("mix_effect"))
+  }
+
+  val priceVolumeMixSql: String = {
+    val p1 = Num.rSql("r1 / n1", 6)
+    val p2 = Num.rSql("r2 / n2", 6)
+    s"""WITH a AS (
+       |  SELECT c_mktsegment AS segment,
+       |         CAST(count(CASE WHEN year(o_orderdate) = $PvmY1 THEN 1 END) AS BIGINT) AS n1,
+       |         CAST(count(CASE WHEN year(o_orderdate) = $PvmY2 THEN 1 END) AS BIGINT) AS n2,
+       |         ${Num.ssumSql(s"sum(CASE WHEN year(o_orderdate) = $PvmY1 THEN o_totalprice ELSE 0.0 END)", 2, 2)} AS r1,
+       |         ${Num.ssumSql(s"sum(CASE WHEN year(o_orderdate) = $PvmY2 THEN o_totalprice ELSE 0.0 END)", 2, 2)} AS r2
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE year(o_orderdate) IN ($PvmY1, $PvmY2)
+       |  GROUP BY 1)
+       |SELECT segment, n1, n2, r1, r2,
+       |       ${Num.rSql("r2 - r1", 2)} AS delta_rev,
+       |       ${Num.rSql(s"(n2 - n1) * $p1", 2)} AS volume_effect,
+       |       ${Num.rSql(s"n1 * ($p2 - $p1)", 2)} AS price_effect,
+       |       ${Num.rSql(s"(n2 - n1) * ($p2 - $p1)", 2)} AS mix_effect
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_volume_mix" -> priceVolumeMix,
     "q_gap_fill" -> gapFill,
     "q_revenue_gini" -> revenueGini,
     "q_seasonal_decompose" -> seasonalDecompose,
@@ -984,6 +1040,7 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_price_volume_mix" -> priceVolumeMixSql,
     "q_gap_fill" -> gapFillSql,
     "q_revenue_gini" -> revenueGiniSql,
     "q_seasonal_decompose" -> seasonalDecomposeSql,
