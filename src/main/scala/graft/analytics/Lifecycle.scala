@@ -118,12 +118,91 @@ object Lifecycle {
        |       ${Num.rSql("CAST(sum(days_to_convert) AS DOUBLE) / count(days_to_convert)", 2)} AS avg_days
        |FROM lat GROUP BY 1""".stripMargin
 
+  /** A user counts as churned when silent for more than this many days
+    * before the as-of instant; more recent last-activity is censored. */
+  val ChurnHorizonDays = 7
+
+  private val AsOfDay = Tables.AsOf.take(10)
+
+  /** Kaplan–Meier survival curve of user lifetime (days from first to
+    * last activity, churn = silent > 7 days before as-of, later
+    * last-activity censored). Per-user lifetimes are one aggregate; the
+    * (duration, churned, censored) table is DAY-GRID bounded; n-at-risk
+    * is a reverse cumulative window over that grid; and the survival
+    * product Π(1 − dₜ/nₜ) — a sequential product with no prefix-sum
+    * decomposition (short of log-space, which would put libm in the
+    * oracle path) — runs as the CUSUM-style `aggregate` HOF scan over
+    * the collected bounded grid, mirrored by a recursive-CTE oracle.
+    * Factors snap at 1e-9 per step so both engines multiply identical
+    * doubles.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val asofDay = to_date(lit(Tables.AsOf))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first"), to_date(max(col("ts"))).as("last"))
+      .select(
+        datediff(col("last"), col("first")).cast("long").as("t"),
+        (datediff(asofDay, col("last")) > ChurnHorizonDays).as("churned"))
+    val grid = perUser.groupBy(col("t")).agg(
+      count(when(col("churned"), 1)).as("d"),
+      count(when(!col("churned"), 1)).as("c"))
+    val atRisk = grid.withColumn("n_at_risk",
+      sum(col("d") + col("c")).over(
+        Window.orderBy(col("t").desc).rowsBetween(Window.unboundedPreceding, 0)))
+    atRisk
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"), col("n_at_risk"))))
+        .as("a"))
+      .select(explode(expr(
+        """aggregate(a,
+          |  cast(array() as array<struct<t:bigint,d:bigint,c:bigint,n_at_risk:bigint,s:double>>),
+          |  (acc, x) -> acc || array(named_struct(
+          |    't', x.t, 'd', x.d, 'c', x.c, 'n_at_risk', x.n_at_risk,
+          |    's', floor((CASE WHEN size(acc) = 0 THEN 1D
+          |                ELSE element_at(acc, size(acc)).s END) *
+          |         (1D - x.d / CAST(x.n_at_risk AS DOUBLE)) * 1000000000D + 0.5D) / 1000000000D)),
+          |  acc -> acc)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.n_at_risk").as("n_at_risk"),
+        col("r.d").as("n_churned"), col("r.c").as("n_censored"),
+        col("r.s").as("survival"))
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE pu AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+       |  FROM events GROUP BY 1),
+       |lt AS (
+       |  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+       |         datediff('day', l, DATE '$AsOfDay') > $ChurnHorizonDays AS churned
+       |  FROM pu),
+       |g AS (
+       |  SELECT t, CAST(count(CASE WHEN churned THEN 1 END) AS BIGINT) AS d,
+       |         CAST(count(CASE WHEN NOT churned THEN 1 END) AS BIGINT) AS c
+       |  FROM lt GROUP BY 1),
+       |ar AS (
+       |  SELECT *, CAST(sum(d + c) OVER (ORDER BY t DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+       |         row_number() OVER (ORDER BY t) AS i
+       |  FROM g),
+       |km AS (
+       |  SELECT i, t, d, c, n_at_risk,
+       |         floor(1.0 * (1.0 - d / CAST(n_at_risk AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS s
+       |  FROM ar WHERE i = 1
+       |  UNION ALL
+       |  SELECT ar.i, ar.t, ar.d, ar.c, ar.n_at_risk,
+       |         floor(km.s * (1.0 - ar.d / CAST(ar.n_at_risk AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0
+       |  FROM km JOIN ar ON ar.i = km.i + 1)
+       |SELECT t, n_at_risk, d AS n_churned, c AS n_censored, s AS survival
+       |FROM km""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> kaplanMeier,
     "q_rolling_active" -> rollingActive,
     "q_adoption_curve" -> adoptionCurve,
     "q_time_to_convert" -> timeToConvert)
 
   val oracles: Map[String, String] = Map(
+    "q_kaplan_meier" -> kaplanMeierSql,
     "q_rolling_active" -> rollingActiveSql,
     "q_adoption_curve" -> adoptionCurveSql,
     "q_time_to_convert" -> timeToConvertSql)
