@@ -62,6 +62,23 @@ object Streams {
       .groupBy(col("user_id") % 10 as "account_id", window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Streaming daily active users: tumbling 1-day windows with
+    * approx_count_distinct — exact distinct is not a mergeable streaming
+    * aggregate (state would hold every user id per open window), so the
+    * streaming tier runs the HLL sketch; the batch tier
+    * (Lifecycle.rollingActive) stays exact. Same posture as
+    * q_approx_distinct next to the exact countDistinct: the sketch is
+    * the scale/streaming form, the exact form is the oracle-checked one,
+    * and StreamingSpec pins the sketch within its rsd of the exact batch
+    * counts.
+    */
+  def dauStream(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("dau_approx"))
+      .select(col("window.start").cast("date").as("day"), col("dau_approx"))
+
   /** Per-session hot state — the Redis session:{id}:state hash. */
   case class SessionState(
       userId: Long, seq: Long, totalTurns: Long,

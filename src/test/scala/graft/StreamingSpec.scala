@@ -256,6 +256,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming approx DAU tracks the exact batch distinct within rsd") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_dau")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+    val out = Streams.runToCompletion(
+      Streams.dauStream(Streams.eventStream(spark, d.toString)),
+      OutputMode.Update(), "dau_stream")
+    val got = out.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = analytics.Lifecycle.rollingActive(spark, sf)
+      .select("day", "dau").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = got(day).toDouble
+      assert(math.abs(a - n) <= math.max(2.0, 0.1 * n),
+        s"day $day: approx $a vs exact $n")
+    }
+  }
+
   test("streaming last-touch attribution equals the batch as-of assignment") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_attr")
     java.nio.file.Files.copy(
