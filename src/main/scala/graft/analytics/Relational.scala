@@ -1008,7 +1008,84 @@ object Relational {
        |FROM a""".stripMargin
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope of weekly revenue per
+    * nation — the robust (rank/median-based) siblings of the OLS trend
+    * (q_revenue_trend): MK's S statistic is a PURE INTEGER (pairwise
+    * sign sum — immune to fp entirely), its z uses the closed-form
+    * variance and IEEE sqrt; the Theil–Sen slope is the lower median of
+    * pairwise slopes under a total (slope, week₁, week₂) order. The
+    * pairwise relation is a self-join of the BOUNDED weekly grid
+    * (|weeks|² per nation ≈ 60k rows — a function of the calendar, not
+    * the fact table), and the fact table is aggregated once before it.
+    */
+  def mkTrend(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000").as("week"))
+      .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("y"))
+    val a = weekly.select(col("n_name"), col("week").as("w1"), col("y").as("y1"))
+    val b = weekly.select(col("n_name"), col("week").as("w2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("n_name")).filter(col("w2") > col("w1"))
+      .select(col("n_name"), col("w1"), col("w2"),
+        when(col("y2") > col("y1"), 1L).when(col("y2") < col("y1"), -1L)
+          .otherwise(0L).as("sgn"),
+        ((col("y2") - col("y1")) / (col("w2") - col("w1"))).as("slope"))
+    val ranked = pairs.withColumn("rk", row_number().over(
+      Window.partitionBy(col("n_name")).orderBy(col("slope"), col("w1"), col("w2"))))
+    val med = ranked
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("n_name"))))
+      .filter(col("rk") === expr("(np + 1) div 2"))
+      .select(col("n_name"), Num.r(col("slope"), 6).as("ts_slope"))
+    val stats = pairs.groupBy(col("n_name")).agg(sum(col("sgn")).as("s"))
+      .join(weekly.groupBy(col("n_name")).agg(count(lit(1)).as("n_weeks")), "n_name")
+      .withColumn("vs",
+        (col("n_weeks") * (col("n_weeks") - 1) * (lit(2L) * col("n_weeks") + 5)) / lit(18.0))
+      .withColumn("z", Num.r(
+        when(col("s") > 0, (col("s") - lit(1L)) / sqrt(col("vs")))
+          .when(col("s") < 0, (col("s") + lit(1L)) / sqrt(col("vs")))
+          .otherwise(lit(0.0)), 6))
+      .select(col("n_name"), col("n_weeks"), col("s"), col("z"))
+    stats.join(med, "n_name")
+  }
+
+  val mkTrendSql: String =
+    s"""WITH w AS (
+       |  SELECT n_name, epoch_us(o_orderdate) // 604800000000 AS week,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.n_name, a.week AS w1, b.week AS w2,
+       |         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+       |         (b.y - a.y) / (b.week - a.week) AS slope
+       |  FROM w a JOIN w b ON a.n_name = b.n_name AND b.week > a.week),
+       |med AS (
+       |  SELECT n_name, ${Num.rSql("slope", 6)} AS ts_slope FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n_name
+       |             ORDER BY slope, w1, w2) AS rk,
+       |           count(*) OVER (PARTITION BY n_name) AS np
+       |    FROM p) WHERE rk = (np + 1) // 2),
+       |st AS (
+       |  SELECT p.n_name, CAST(sum(p.sgn) AS BIGINT) AS s
+       |  FROM p GROUP BY 1),
+       |nw AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_weeks FROM w GROUP BY 1),
+       |zz AS (
+       |  SELECT st.n_name, nw.n_weeks, st.s,
+       |         CAST(nw.n_weeks * (nw.n_weeks - 1) * (2 * nw.n_weeks + 5) AS DOUBLE)
+       |           / CAST(18 AS DOUBLE) AS vs
+       |  FROM st JOIN nw ON st.n_name = nw.n_name)
+       |SELECT zz.n_name, zz.n_weeks, zz.s,
+       |       ${Num.rSql("CASE WHEN s > 0 THEN (s - 1) / sqrt(vs) WHEN s < 0 THEN (s + 1) / sqrt(vs) ELSE 0.0 END", 6)} AS z,
+       |       med.ts_slope
+       |FROM zz JOIN med ON zz.n_name = med.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mk_trend" -> mkTrend,
     "q_price_volume_mix" -> priceVolumeMix,
     "q_gap_fill" -> gapFill,
     "q_revenue_gini" -> revenueGini,
@@ -1040,6 +1117,7 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_mk_trend" -> mkTrendSql,
     "q_price_volume_mix" -> priceVolumeMixSql,
     "q_gap_fill" -> gapFillSql,
     "q_revenue_gini" -> revenueGiniSql,
