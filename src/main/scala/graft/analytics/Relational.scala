@@ -1084,7 +1084,96 @@ object Relational {
        |       med.ts_slope
        |FROM zz JOIN med ON zz.n_name = med.n_name""".stripMargin
 
+  /** Herfindahl–Hirschman supplier-concentration index per part type —
+    * the market-concentration / supply-risk dial (HHI = Σ share², 1/n
+    * for even split, 1.0 for a monopoly supplier). One fact join, one
+    * (type, supplier) aggregate; the type margin is a window over that
+    * bounded relation; shares snap before squaring so both engines sum
+    * identical squares.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(Num.ssum(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4, 2)
+        .as("rev"))
+    rev
+      .withColumn("tot", Num.r(sum(col("rev")).over(Window.partitionBy(col("p_type"))), 2))
+      .withColumn("sh", Num.r(col("rev") / col("tot"), 6))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Num.r(sum(col("sh") * col("sh")), 6).as("hhi"))
+  }
+
+  val supplierHhiSql: String =
+    s"""WITH rev AS (
+       |  SELECT p_type, l_suppkey,
+       |         ${Num.ssumSql("sum(l_extendedprice * (1.0 - l_discount))", 4, 2)} AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT p_type,
+       |         ${Num.rSql(s"rev / (${Num.rSql("sum(rev) OVER (PARTITION BY p_type)", 2)})", 6)} AS sh
+       |  FROM rev)
+       |SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+       |       ${Num.rSql("sum(sh * sh)", 6)} AS hhi
+       |FROM sh GROUP BY 1""".stripMargin
+
+  /** XYZ class cuts on the coefficient of variation (identical literals
+    * both engines). */
+  val XyzX = 0.5
+  val XyzY = 1.0
+
+  /** XYZ demand-variability classification per part: the inventory
+    * planner's companion to ABC (q_revenue_pareto) — X (stable demand,
+    * CV ≤ 0.5), Y (variable, ≤ 1.0), Z (erratic). Weekly demand sums are
+    * integer-valued doubles (exact in any order); CV = √(E[w²]−E[w]²)/E[w]
+    * runs on snapped moments and IEEE sqrt. Weeks with zero demand count
+    * as zero via the calendar span, not a dense grid join: CV uses
+    * moments over the FULL span length (sum over missing weeks is 0),
+    * so the dense grid never materializes per part.
+    */
+  def xyzClass(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000").as("week"))
+      .agg(sum(col("l_quantity")).as("w"))
+    val span = broadcast(weekly.agg(
+      (max(col("week")) - min(col("week")) + 1).cast("double").as("n_weeks")))
+    weekly.groupBy(col("l_partkey"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sww"))
+      .crossJoin(span)
+      .withColumn("mean", Num.r(col("sw") / col("n_weeks"), 9))
+      .withColumn("cv", Num.r(
+        sqrt(greatest(Num.r(col("sww") / col("n_weeks") - col("mean") * col("mean"), 9),
+          lit(0.0))) / col("mean"), 6))
+      .select(col("l_partkey"), col("cv"),
+        when(col("cv") <= XyzX, "X").when(col("cv") <= XyzY, "Y").otherwise("Z")
+          .as("xyz_class"))
+  }
+
+  val xyzClassSql: String = {
+    val mean = Num.rSql("sw / n_weeks", 9)
+    s"""WITH wk AS (
+       |  SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS week,
+       |         sum(l_quantity) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |sp AS (SELECT CAST(max(week) - min(week) + 1 AS DOUBLE) AS n_weeks FROM wk),
+       |m AS (
+       |  SELECT l_partkey, sum(w) AS sw, sum(w * w) AS sww FROM wk GROUP BY 1),
+       |c AS (
+       |  SELECT l_partkey,
+       |         ${Num.rSql(s"sqrt(greatest(${Num.rSql(s"sww / n_weeks - ($mean) * ($mean)", 9)}, 0.0)) / ($mean)", 6)} AS cv
+       |  FROM m CROSS JOIN sp)
+       |SELECT l_partkey, cv,
+       |       CASE WHEN cv <= $XyzX THEN 'X' WHEN cv <= $XyzY THEN 'Y' ELSE 'Z' END AS xyz_class
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_hhi" -> supplierHhi,
+    "q_xyz_class" -> xyzClass,
     "q_mk_trend" -> mkTrend,
     "q_price_volume_mix" -> priceVolumeMix,
     "q_gap_fill" -> gapFill,
@@ -1117,6 +1206,8 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_supplier_hhi" -> supplierHhiSql,
+    "q_xyz_class" -> xyzClassSql,
     "q_mk_trend" -> mkTrendSql,
     "q_price_volume_mix" -> priceVolumeMixSql,
     "q_gap_fill" -> gapFillSql,
