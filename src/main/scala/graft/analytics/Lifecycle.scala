@@ -195,13 +195,51 @@ object Lifecycle {
        |SELECT t, n_at_risk, d AS n_churned, c AS n_censored, s AS survival
        |FROM km""".stripMargin
 
+  /** Days-to-convert quantile ladder (p50/p90/p99 over converting
+    * users) — the distributional completion of [[timeToConvert]]'s
+    * means: latency days are a bounded value domain, so the exact
+    * quantiles ride the [[graft.scale.ValueQuantiles]] histogram
+    * decomposition (one shuffle, no fact ranking). */
+  def conversionQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val lat = signups
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"))
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("p_ts")).as("first_p"))
+      .select(datediff(to_date(col("first_p")), to_date(col("signup_ts")))
+        .cast("long").as("days"))
+    graft.scale.ValueQuantiles.quantiles(lat, Seq.empty, col("days"),
+      Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)), "days_to_convert")
+      .select(col("p"), col("n_rows").as("n_converted"), col("days_to_convert"))
+  }
+
+  val conversionQuantilesSql: String =
+    """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |lat AS (
+      |  SELECT CAST(datediff('day', CAST(s.st AS DATE), CAST(min(p.ts) AS DATE)) AS BIGINT) AS days
+      |  FROM s JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |    ON s.user_id = p.user_id AND p.ts >= s.st
+      |  GROUP BY s.user_id, s.st),
+      |r AS (SELECT days, row_number() OVER (ORDER BY days) AS rn,
+      |             count(*) OVER () AS cnt FROM lat),
+      |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS q(p, nu, de))
+      |SELECT q.p, CAST(r.cnt AS BIGINT) AS n_converted, r.days AS days_to_convert
+      |FROM r, q WHERE r.rn = (q.nu * r.cnt + q.de - 1) // q.de""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_quantiles" -> conversionQuantiles,
     "q_kaplan_meier" -> kaplanMeier,
     "q_rolling_active" -> rollingActive,
     "q_adoption_curve" -> adoptionCurve,
     "q_time_to_convert" -> timeToConvert)
 
   val oracles: Map[String, String] = Map(
+    "q_conversion_quantiles" -> conversionQuantilesSql,
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_rolling_active" -> rollingActiveSql,
     "q_adoption_curve" -> adoptionCurveSql,
