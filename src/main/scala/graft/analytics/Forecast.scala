@@ -20,7 +20,10 @@ import graft.{Num, Tables}
   *
   * Determinism: the smoothing state re-snaps at 1e-9 each step so both
   * engines iterate bit-identical doubles; ACF moments snap before every
-  * divide (grid-resident deviations, IEEE products).
+  * divide — at scale −4 (a 1e4 grid): the moment sums reach ~1e15,
+  * where a positive-scale snap would push x·10^s past Long range and
+  * Spark's LONG-returning floor() saturates while DuckDB's
+  * double-returning floor() does not (caught live at sf0.01).
   */
 object Forecast {
 
@@ -98,13 +101,13 @@ object Forecast {
       count(lit(1)).as("n"), Num.r(sum(col("y")), 2).as("sy")))
     val dev = grid.crossJoin(stats)
       .select(col("day"), (col("y") - Num.r(col("sy") / col("n"), 9)).as("d"))
-    val denom = broadcast(dev.agg(Num.r(sum(col("d") * col("d")), 4).as("den")))
+    val denom = broadcast(dev.agg(Num.r(sum(col("d") * col("d")), -4).as("den")))
     val lagged = dev.select(col("day"), col("d"))
       .crossJoin(spark.range(1, AcfMaxLag + 1).toDF("lag"))
       .select(col("lag"), date_sub(col("day"), col("lag").cast("int")).as("pday"), col("d"))
       .join(dev.select(col("day").as("pday"), col("d").as("pd")), Seq("pday"))
     lagged.groupBy(col("lag"))
-      .agg(Num.r(sum(col("d") * col("pd")), 4).as("num"), count(lit(1)).as("n_pairs"))
+      .agg(Num.r(sum(col("d") * col("pd")), -4).as("num"), count(lit(1)).as("n_pairs"))
       .crossJoin(denom)
       .select(col("lag"), col("n_pairs"), Num.r(col("num") / col("den"), 6).as("acf"))
   }
@@ -120,13 +123,13 @@ object Forecast {
        |        FROM daily) g LEFT JOIN daily ON g.day = daily.day),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, ${Num.rSql("sum(y)", 2)} AS sy FROM grid),
        |dev AS (SELECT day, y - (${Num.rSql("sy / n", 9)}) AS d FROM grid CROSS JOIN st),
-       |den AS (SELECT ${Num.rSql("sum(d * d)", 4)} AS den FROM dev),
+       |den AS (SELECT ${Num.rSql("sum(d * d)", -4)} AS den FROM dev),
        |lg AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
        |pairs AS (
        |  SELECT lg.lag, a.d, b.d AS pd
        |  FROM dev a CROSS JOIN lg JOIN dev b ON b.day = a.day - CAST(lg.lag AS INT))
        |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-       |       ${Num.rSql(s"(${Num.rSql("sum(d * pd)", 4)}) / den", 6)} AS acf
+       |       ${Num.rSql(s"(${Num.rSql("sum(d * pd)", -4)}) / den", 6)} AS acf
        |FROM pairs CROSS JOIN den
        |GROUP BY lag, den""".stripMargin
 
