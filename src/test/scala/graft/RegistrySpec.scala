@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity: the SparkEntry maps are built with ++ over a
+  * dozen per-module maps, where a duplicate query name would silently
+  * shadow an earlier module's operator (and its oracle). This spec
+  * makes any collision a named test failure instead.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val moduleQueryMaps = Seq(
+    "Relational" -> analytics.Relational.queries.keySet,
+    "Events" -> analytics.Events.queries.keySet,
+    "TransformQueries" -> analytics.TransformQueries.queries.keySet,
+    "ScaleQueries" -> analytics.ScaleQueries.queries.keySet,
+    "ParityQueries" -> analytics.ParityQueries.queries.keySet,
+    "CorpusQueries" -> analytics.CorpusQueries.queries.keySet,
+    "CorpusStats" -> analytics.CorpusStats.queries.keySet,
+    "CorpusDiversity" -> analytics.CorpusDiversity.queries.keySet,
+    "CorpusAudit" -> analytics.CorpusAudit.queries.keySet,
+    "Audit" -> analytics.Audit.queries.keySet,
+    "Attribution" -> analytics.Attribution.queries.keySet,
+    "Lifecycle" -> analytics.Lifecycle.queries.keySet,
+    "RobustStats" -> analytics.RobustStats.queries.keySet,
+    "Forecast" -> analytics.Forecast.queries.keySet)
+
+  test("no query name is registered by two modules") {
+    val owners = moduleQueryMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dups = owners.filter(_._2.size > 1)
+    assert(dups.isEmpty, s"query names registered twice: $dups")
+    assert(SparkEntry.queries.size == moduleQueryMaps.map(_._2.size).sum)
+  }
+
+  test("every oracle key has a query, and rows-only queries are the known four") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+    val rowsOnly = qs -- os
+    assert(rowsOnly == Set("q_approx_distinct", "q_simhash_pairs",
+      "q_approx_quantiles", "q_image_neardup"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+}
