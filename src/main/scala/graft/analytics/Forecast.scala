@@ -92,7 +92,11 @@ object Forecast {
     * q_gap_fill discipline, zero-filled); deviations use the snapped
     * grand mean; each lag is an equi-join on shifted dates. */
   def acf(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenue(spark, dir)
+    // the bounded daily relation is reused by FIVE branches (span, fill,
+    // mean, denominator, both join sides); without materialization the
+    // plan re-derives it each time — 12 fact scans for a 7-row output.
+    // localCheckpoint pins the dimension-sized grid once: ONE fact scan.
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
     val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
       .join(daily, Seq("day"), "left")

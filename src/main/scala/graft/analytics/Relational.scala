@@ -1027,6 +1027,10 @@ object Relational {
       .groupBy(col("n_name"),
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000").as("week"))
       .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("y"))
+      // reused by both pairwise sides and the week-count margin — without
+      // materialization the 3-table fact join re-derives 5× (15 scans);
+      // the weekly grid is dimension-sized, so pin it once
+      .localCheckpoint()
     val a = weekly.select(col("n_name"), col("week").as("w1"), col("y").as("y1"))
     val b = weekly.select(col("n_name"), col("week").as("w2"), col("y").as("y2"))
     val pairs = a.join(b, Seq("n_name")).filter(col("w2") > col("w1"))
