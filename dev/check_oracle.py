@@ -5,9 +5,23 @@ Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
 matching SQL from oracle_sql.json in DuckDB with the sfDir tables
-registered as views. Compares: schema (column names), row count, and
-values (columns sorted by name, rows sorted by all columns). Reports
-per-query PASS/FAIL with a diff preview and max numeric drift.
+registered as views. Compares: schema (column names), COLUMN TYPES, row
+count, and values (columns sorted by name, rows sorted by all columns).
+Reports per-query PASS/FAIL with a diff preview and max numeric drift.
+
+The type comparison exists because the driver's hash is type-sensitive
+while a value comparison is not: DuckDB promotes sum(BIGINT) to HUGEINT
+and parses bare decimal literals as DECIMAL, and either promotion fails
+the driver's gate on VALUE-equal results (r6: q_dup_stats). Types are
+compared between the DuckDB-read Spark parquet and the oracle relation,
+per column. The one allowed equivalence is within the plain integer
+family (TINYINT/SMALLINT/INTEGER/BIGINT): the driver converts through
+pandas where those all land in int64, and every r6 INTEGER-vs-BIGINT
+pair (Spark row_number is INT32, DuckDB's is BIGINT) was hash-green.
+HUGEINT and DECIMAL(x,y) are deliberately NOT in that family — they
+surface as Decimal objects driver-side and are exactly the bugs this
+check exists to catch (r6: q_dup_stats). CAST the oracle SQL rather
+than widening the allowlist.
 """
 import json, sys, math
 import duckdb
@@ -32,10 +46,12 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
+            got_types = dict(zip(got.columns, (str(t) for t in got.types)))
             got_rows = con.sql(
                 f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = dict(zip(exp.columns, (str(t) for t in exp.types)))
             con.register("exp_rel", exp)
             exp_rows = con.sql(
                 f"SELECT {', '.join(exp_cols)} FROM exp_rel ORDER BY ALL").fetchall()
@@ -45,6 +61,16 @@ def main(sf_dir, out_dir):
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: schema spark={got_cols} oracle={exp_cols}")
+            n_fail += 1
+            continue
+        INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        def norm_type(t):
+            return "INT" if t in INT_FAMILY else t
+        type_bad = [(c, got_types[c], exp_types[c]) for c in got_cols
+                    if norm_type(got_types[c]) != norm_type(exp_types[c])]
+        if type_bad:
+            det = ", ".join(f"{c}: spark={g} oracle={e}" for c, g, e in type_bad)
+            print(f"FAIL {name}: types {det}")
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):

@@ -166,11 +166,20 @@ object Attribution {
       sum(col("x") * col("x")).as("sxx"),
       Num.r(sum(col("y")), 2).as("sy"),
       Num.r(sum(col("x") * col("y")), 2).as("sxy"))
-    m.withColumn("slope",
-        Num.r((col("n_days") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_days") * col("sxx") - col("sx") * col("sx")), 6))
+    // Guard the OLS denominator: a nation with a single active day makes
+    // n·Σx² − (Σx)² zero and Spark 4 ANSI throws DIVIDE_BY_ZERO at
+    // runtime (double division included). Slope is undefined there →
+    // NULL, and the intercept NULL-propagates identically in both
+    // engines.
+    m.withColumn("den",
+        col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("den") =!= 0,
+          Num.r((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+            col("den"), 6)))
       .withColumn("intercept",
-        Num.r((col("sy") - col("slope") * col("sx")) / col("n_days"), 2))
+        when(col("slope").isNotNull,
+          Num.r((col("sy") - col("slope") * col("sx")) / col("n_days"), 2)))
       .select("n_name", "n_days", "slope", "intercept")
   }
 
@@ -189,10 +198,14 @@ object Attribution {
        |         ${Num.rSql("sum(y)", 2)} AS sy, ${Num.rSql("sum(x * y)", 2)} AS sxy
        |  FROM daily GROUP BY 1),
        |sl AS (
-       |  SELECT *, ${Num.rSql("(n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)", 6)} AS slope
+       |  SELECT *, CASE WHEN n_days * sxx - sx * sx <> 0
+       |              THEN ${Num.rSql("(n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)", 6)}
+       |            END AS slope
        |  FROM m)
        |SELECT n_name, n_days, slope,
-       |       ${Num.rSql("(sy - slope * sx) / n_days", 2)} AS intercept
+       |       CASE WHEN slope IS NOT NULL
+       |         THEN ${Num.rSql("(sy - slope * sx) / n_days", 2)}
+       |       END AS intercept
        |FROM sl""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

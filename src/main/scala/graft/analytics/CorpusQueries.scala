@@ -365,9 +365,13 @@ object CorpusQueries {
        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS shards
        |FROM d""".stripMargin
 
-  /** z² for the 95% Wilson interval, Scala-computed and embedded as the
-    * same literal in both engines. */
-  val WilsonZ2: Double = 1.96 * 1.96
+  /** z² for the 95% Wilson interval, embedded as the same literal in both
+    * engines. Written as the exact decimal 3.8416 (= 1.96²) rather than
+    * computed: `1.96 * 1.96` toString's to 3.8415999999999997, and a
+    * 17-digit scalar literal parses in DuckDB as DECIMAL(17,16) whose
+    * →DOUBLE conversion can drift an ulp from Spark's direct parse. The
+    * short literal converts exactly in both engines. */
+  val WilsonZ2: Double = 3.8416
 
   /** Wilson 95% confidence interval of the classifier keep rate per
     * source — keep-rate points without intervals invite over-reading on
@@ -494,8 +498,8 @@ object CorpusQueries {
        |SELECT * FROM hist
        |UNION ALL
        |SELECT 1,
-       |  (SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0),
-       |  (SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0)""".stripMargin
+       |  CAST((SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0) AS BIGINT),
+       |  CAST((SELECT count(*) FROM documents) - coalesce((SELECT sum(n_docs) FROM hist), 0) AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------------
   // Distributed global enumeration.

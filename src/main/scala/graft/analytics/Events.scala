@@ -691,8 +691,8 @@ object Events {
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Per-user event-type crosstab (pivot): one row per user, one count
-    * column per event type plus the value sum — the wide activity
-    * matrix BI layers ask of an engine. With explicit pivot values this
+    * column per event type — the wide activity matrix BI layers ask of
+    * an engine. With explicit pivot values this
     * is ONE hash aggregate whose map-side combine carries a fixed
     * 5-slot buffer per user; no domain-discovery scan, no extra
     * shuffle. The oracle uses portable CASE sums (identical semantics
@@ -765,11 +765,17 @@ object Events {
       sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
       count(when(col("arm") === 1, 1)).as("n_b"),
       sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    // Arm-count guards: an empty parity arm (possible on a filtered or
+    // tiny input) would make rate/z divide by zero, which Spark 4 ANSI
+    // throws on even for DOUBLE division.
     arms
-      .withColumn("rate_a", Num.r(col("conv_a").cast("double") / col("n_a"), 6))
-      .withColumn("rate_b", Num.r(col("conv_b").cast("double") / col("n_b"), 6))
+      .withColumn("rate_a",
+        when(col("n_a") > 0, Num.r(col("conv_a").cast("double") / col("n_a"), 6)))
+      .withColumn("rate_b",
+        when(col("n_b") > 0, Num.r(col("conv_b").cast("double") / col("n_b"), 6)))
       .withColumn("z", when(
-        col("conv_a") + col("conv_b") > 0 &&
+        col("n_a") > 0 && col("n_b") > 0 &&
+          col("conv_a") + col("conv_b") > 0 &&
           col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
         Num.r(
           (col("conv_a").cast("double") / col("n_a") - col("conv_b").cast("double") / col("n_b")) /
@@ -790,9 +796,9 @@ object Events {
        |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
        |  FROM u)
        |SELECT n_a, conv_a, n_b, conv_b,
-       |       ${Num.rSql("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
-       |       ${Num.rSql("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
-       |       CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+       |       CASE WHEN n_a > 0 THEN ${Num.rSql("CAST(conv_a AS DOUBLE) / n_a", 6)} END AS rate_a,
+       |       CASE WHEN n_b > 0 THEN ${Num.rSql("CAST(conv_b AS DOUBLE) / n_b", 6)} END AS rate_b,
+       |       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
        |       ${Num.rSql(
         "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
           "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +

@@ -113,7 +113,10 @@ object Forecast {
     lagged.groupBy(col("lag"))
       .agg(Num.r(sum(col("d") * col("pd")), -4).as("num"), count(lit(1)).as("n_pairs"))
       .crossJoin(denom)
-      .select(col("lag"), col("n_pairs"), Num.r(col("num") / col("den"), 6).as("acf"))
+      // den = 0 on a constant series (all deviations zero) — ACF is
+      // undefined there and Spark 4 ANSI throws on double div-by-zero.
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") =!= 0.0, Num.r(col("num") / col("den"), 6)).as("acf"))
   }
 
   val acfSql: String =
@@ -133,7 +136,7 @@ object Forecast {
        |  SELECT lg.lag, a.d, b.d AS pd
        |  FROM dev a CROSS JOIN lg JOIN dev b ON b.day = a.day - CAST(lg.lag AS INT))
        |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-       |       ${Num.rSql(s"(${Num.rSql("sum(d * pd)", -4)}) / den", 6)} AS acf
+       |       CASE WHEN den <> 0 THEN ${Num.rSql(s"(${Num.rSql("sum(d * pd)", -4)}) / den", 6)} END AS acf
        |FROM pairs CROSS JOIN den
        |GROUP BY lag, den""".stripMargin
 

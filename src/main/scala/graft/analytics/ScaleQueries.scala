@@ -1049,7 +1049,13 @@ object ScaleQueries {
     */
   val DcgWeights: Seq[Double] =
     (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
-  val IdcgAt10: Double = DcgWeights.sum
+
+  /** Ideal DCG@10, snapped to a 1e-12 grid BEFORE embedding: the raw sum
+    * toString's to 17 digits, which DuckDB parses as DECIMAL(18,17) whose
+    * →DOUBLE conversion can drift an ulp from Spark's direct parse (the
+    * Benford-constant trap, CLAUDE.md). The snapped value's short literal
+    * converts exactly in both engines; 1e-12 ≪ the 1e-6 output round. */
+  val IdcgAt10: Double = math.rint(DcgWeights.sum * 1e12) / 1e12
 
   /** Full retrieval-quality report for the IVF-PQ index: recall@10, MRR,
     * and binary-relevance nDCG@10 against the exact L2 top-10, one row
@@ -1319,7 +1325,12 @@ object ScaleQueries {
           Num.r(lit(1.0 - PrDamping) / col("nv") +
             lit(PrDamping) * coalesce(col("m"), lit(0.0)), 9).as("pr"))
     }
-    pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
+    // Materialize the (20-row) result eagerly so the edges cache can be
+    // released before returning — otherwise the persisted kNN graph
+    // lingers in executor memory for the rest of the session.
+    val out = pr.orderBy(col("pr").desc, col("vec_id")).limit(20).localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   val pagerankSql: String = {
