@@ -42,14 +42,35 @@ object Bench {
     // A query that throws must surface as an error, never as a (fast)
     // timing: an analysis exception takes ~0.05 s and would otherwise
     // masquerade as a 10x improvement in round-over-round diffs.
-    val results: Seq[(String, Either[String, Double])] =
+    //
+    // SPARK_GRAFT_BENCH_REPS >= 2 adds warm repetitions per query: the
+    // first (cold) timing stays the primary "queries" column, the min of
+    // the later passes lands in "queries_warm". The first execution of a
+    // query shape pays ~1-3 s of codegen+JIT and page-cache effects that
+    // a single sample cannot separate from plan changes — a warm column
+    // in the artifact itself ends the per-round ritual of exonerating
+    // cold outliers by hand (see BASELINE.md "Host regression").
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    val timings: Seq[(String, Seq[Either[String, Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-        name -> r
+        val cold = timed(fn)
+        val rest = if (cold.isRight) (2 to reps).map(_ => timed(fn)) else Nil
+        name -> (cold +: rest)
+      }
+    val results: Seq[(String, Either[String, Double])] =
+      timings.map { case (name, runs) => name -> runs.head }
+    val warmResults: Seq[(String, Either[String, Double])] =
+      timings.collect { case (name, runs) if runs.size > 1 =>
+        val oks = runs.tail.collect { case Right(v) => v }
+        name -> (if (oks.nonEmpty) Right(oks.min) else runs.tail.head)
       }
     def fmt(v: Double): String = f"$v%.3f"
     def jstr(s: String): String =
@@ -66,8 +87,14 @@ object Bench {
       }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
+    val warmPart =
+      if (warmResults.isEmpty) ""
+      else {
+        val wTotal = warmResults.collect { case (_, Right(v)) => v }.sum
+        s""","total_warm":${fmt(wTotal)},"queries_warm":${qjson(warmResults)}"""
+      }
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errs.size},"queries":${qjson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errs.size},"queries":${qjson(results)}$warmPart,"sf":"$sfDir"}"""
     // Round 4's driver artifact captured only a truncated stdout TAIL of
     // the (single, ~4 KB) bench line and parsed nothing. Defense in
     // depth: (1) the full per-query JSON goes to a FILE, (2) the full

@@ -468,8 +468,12 @@ object CorpusQueries {
     */
   def dupStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val clusters = Dedup.dupClusters(
-      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5))
+    dupStatsFrom(docs, Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)))
+  }
+
+  /** Histogram body shared by the exact and LSH dup-stats tiers. */
+  private def dupStatsFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     val hist = sizes.groupBy(col("cluster_size")).agg(
@@ -483,6 +487,23 @@ object CorpusQueries {
       (col("total") - col("clustered")).as("n_clusters"),
       (col("total") - col("clustered")).as("n_docs"))
     hist.unionByName(singletons)
+  }
+
+  /** LSH-input dup-stats tier — the same histogram over clusters built
+    * from `Dedup.minhashDupPairs` banded candidates instead of the
+    * quadratic shingle self-join, completing the LSH family alongside
+    * q_dup_clusters_lsh / q_canonical_docs_lsh. At 100 TB the exact
+    * tier's Σ C(df,2) pair expansion is the scale-killer; this path
+    * shuffles only signatures and band buckets. Carries the exact
+    * tier's oracle SQL on the ScaleSpec premise: LSH candidates are
+    * exact-verified (precision exact by construction) and recall is
+    * proved set-equal on the gate corpora, so the cluster relation —
+    * and hence this histogram — equals the exact tier's.
+    */
+  def dupStatsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dupStatsFrom(docs, Dedup.dupClusters(
+      Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5)))
   }
 
   // Reuses the exact-jaccard recursive-CTE cluster relation (see
@@ -707,6 +728,7 @@ object CorpusQueries {
     "q_keep_rate_ci" -> keepRateCi,
     "q_ess_weights" -> essWeights,
     "q_dup_stats" -> dupStats,
+    "q_dup_stats_lsh" -> dupStatsLsh,
     "q_global_index" -> globalIndex,
     "q_exact_median" -> exactMedian,
     "q_exact_quantiles" -> exactQuantiles,
@@ -721,6 +743,7 @@ object CorpusQueries {
     "q_keep_rate_ci" -> keepRateCiSql,
     "q_ess_weights" -> essWeightsSql,
     "q_dup_stats" -> dupStatsSql,
+    "q_dup_stats_lsh" -> dupStatsSql,
     "q_global_index" -> globalIndexSql,
     "q_exact_median" -> exactMedianSql,
     "q_exact_quantiles" -> exactQuantilesSql,

@@ -37,7 +37,19 @@ object Forecast {
       .agg(Num.ssum(sum(col("o_totalprice")), 2, 2).as("y"))
 
   /** Holt linear smoothing: level/trend state per day plus the one-step
-    * forecast. Initialization: l₁ = y₁, b₁ = 0. */
+    * forecast. Initialization: l₁ = y₁, b₁ = 0.
+    *
+    * Cost bound (the SlidingAgg-style note): the `acc || array(...)`
+    * append re-copies the accumulator per step, so the fold is O(n²) in
+    * n = rows of the DAY GRID — a calendar-bounded dimension (~2.4k days
+    * across the TPC-H date span; ~36k for a century), never the corpus,
+    * which was already collapsed by the dailyRevenue aggregate. At the
+    * century bound that is ~6·10⁸ tiny struct copies in one task —
+    * still sub-second-scale and independent of fact-table size; the
+    * recurrence itself is nonlinear state with no prefix-sum
+    * decomposition, so a wider-than-calendar grid is the signal to
+    * revisit, not data volume. ForecastSpec pins the fold against a
+    * driver-side sequential evaluation of the same recurrence. */
   def holtForecast(spark: SparkSession, dir: String): DataFrame =
     dailyRevenue(spark, dir)
       .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("a"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Forecast
+
+/** Pins the Holt `aggregate`-HOF fold against a driver-side sequential
+  * evaluation of the same recurrence (same init, same 1e-9 state snap),
+  * so a future rewrite of the fold (or a Catalyst change to HOF
+  * evaluation order) that alters any step's state fails loudly. Also
+  * sanity-bounds the ACF output domain.
+  */
+class ForecastSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def snap9(x: Double): Double =
+    math.floor(x * 1e9 + 0.5) / 1e9
+
+  test("holt fold equals the driver-side sequential recurrence") {
+    val rows = Forecast.holtForecast(spark, sf)
+      .orderBy(col("day"))
+      .select("day", "y", "level", "trend")
+      .collect()
+    assert(rows.length > 1)
+    var l = 0.0
+    var b = 0.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val y = r.getDouble(1)
+      if (i == 0) { l = y; b = 0.0 }
+      else {
+        val lNew = snap9(Forecast.HoltAlpha * y + (1.0 - Forecast.HoltAlpha) * (l + b))
+        val bNew = snap9(Forecast.HoltBeta * (lNew - l) + (1.0 - Forecast.HoltBeta) * b)
+        l = lNew; b = bNew
+      }
+      assert(r.getDouble(2) == l, s"level mismatch at step $i (${r.getDate(0)})")
+      assert(r.getDouble(3) == b, s"trend mismatch at step $i (${r.getDate(0)})")
+    }
+  }
+
+  test("acf values are in [-1, 1] and lags are exactly 1..7") {
+    val rows = Forecast.acf(spark, sf)
+      .select("lag", "acf").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows.keySet == (1L to 7L).toSet)
+    rows.values.flatten.foreach(v => assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6))
+  }
+}

@@ -33,13 +33,42 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == moduleQueryMaps.map(_._2.size).sum)
   }
 
-  test("every oracle key has a query, and rows-only queries are the known four") {
+  /** Rows-only allowlist WITH justifications: adding a query without an
+    * oracle now requires writing down here WHY no cross-engine SQL can
+    * exist and WHAT exact verification replaces it — so a rows-only
+    * addition self-documents instead of silently weakening the gate.
+    */
+  private val rowsOnlyJustified: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      ("HLL sketch registers depend on Spark's internal hashing; no SQL " +
+        "analog. Exact-verified: PropertySpec pins the estimate within " +
+        "the sketch's error bound of exact countDistinct."),
+    "q_approx_quantiles" ->
+      ("approx_percentile's GK-sketch cut points are implementation-" +
+        "defined; DuckDB's sketch differs legitimately. Exact-verified: " +
+        "PropertySpec bounds rank error vs exact quantiles."),
+    "q_simhash_pairs" ->
+      ("SimHash bits are xxhash64-seeded (engine-specific); the oracle " +
+        "cannot reproduce the signatures. Exact-verified: ScaleSpec " +
+        "checks candidates against direct Hamming distance and the " +
+        "banding pigeonhole guarantee."),
+    "q_image_neardup" ->
+      ("operates on the binary media column via the stubbed decode " +
+        "plumbing (no codec in-sandbox); DuckDB has no analog. " +
+        "Exact-verified: MultimodalSpec pins the deterministic fake-" +
+        "decode outputs."))
+
+  test("every oracle key has a query, and every rows-only query carries a justification") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     val rowsOnly = qs -- os
-    assert(rowsOnly == Set("q_approx_distinct", "q_simhash_pairs",
-      "q_approx_quantiles", "q_image_neardup"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly == rowsOnlyJustified.keySet,
+      s"rows-only set drifted from the justified allowlist: " +
+        s"unjustified=${rowsOnly -- rowsOnlyJustified.keySet} " +
+        s"stale=${rowsOnlyJustified.keySet -- rowsOnly}")
+    rowsOnlyJustified.foreach { case (k, why) =>
+      assert(why.length > 40, s"$k: justification too thin to be useful")
+    }
   }
 }

@@ -79,6 +79,13 @@ class ScaleSpec extends AnyFunSuite {
     val lshCanonical = ScaleQueries.canonicalDocsLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(lshCanonical == exactCanonical)
+    // the size histogram over those clusters must then also agree
+    val exactStats = graft.analytics.CorpusQueries.dupStats(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lshStats = graft.analytics.CorpusQueries.dupStatsLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lshStats == exactStats)
+    assert(lshStats.nonEmpty)
   }
 
   test("TopKAgg equals the window formulation, including under many partitions") {
