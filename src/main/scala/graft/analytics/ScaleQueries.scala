@@ -217,6 +217,59 @@ object ScaleQueries {
       .distinct()
   }
 
+  /** Cross-engine oracle for q_simhash_pairs — possible because SimHash64
+    * is seedless FNV-1a over whitespace tokens, fully replayable in SQL:
+    * a recursive CTE folds FNV-1a per token in HUGEINT arithmetic
+    * (mod-2⁶⁴ emulates Java's long wraparound; xor operands stay below
+    * 2⁶⁴ so two's-complement agreement is exact), bit votes tally per
+    * (doc, bit), and the signed signature re-biases at 2⁶³. The pair tier
+    * is brute-force Hamming ≤ SimHamming over the 500-doc gate corpus —
+    * sound as an oracle for the banded Spark path because the 7-chunk
+    * pigeonhole guarantees exact recall at radius 6 (see SimChunks) and
+    * ScaleSpec guards the hot-bucket-cap premise. Character caveat: the
+    * Scala side iterates UTF-16 units, the SQL side codepoints —
+    * equivalent for BMP text (gate corpora are ASCII; SchemaContractSpec
+    * would surface a drift through value mismatches here).
+    */
+  val simhashPairsSql: String = {
+    val offset = java.lang.Long.toUnsignedString(graft.scale.SimHash64.FnvOffset)
+    val prime = graft.scale.SimHash64.FnvPrime.toString
+    s"""WITH RECURSIVE
+       |tok AS (
+       |  SELECT doc_id, t AS tok, row_number() OVER () AS tid
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |fnv AS (
+       |  SELECT tid, doc_id, CAST(0 AS INT) AS i, $offset::HUGEINT AS h, length(tok) AS n, tok
+       |  FROM tok
+       |  UNION ALL
+       |  SELECT tid, doc_id, i + 1,
+       |         (xor(h, unicode(substr(tok, i + 1, 1))::HUGEINT) * $prime::HUGEINT)
+       |           % 18446744073709551616::HUGEINT,
+       |         n, tok
+       |  FROM fnv WHERE i < n),
+       |th AS (SELECT tid, doc_id, h FROM fnv WHERE i = n),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN ((h >> b) & 1::HUGEINT) = 1 THEN 1 ELSE -1 END) AS tally
+       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+       |  GROUP BY 1, 2),
+       |usig AS (
+       |  SELECT doc_id,
+       |         coalesce(sum(CASE WHEN tally > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 0::HUGEINT) AS u
+       |  FROM votes GROUP BY 1),
+       |sigs AS (
+       |  SELECT d.doc_id,
+       |         CAST(CASE WHEN coalesce(u.u, 0::HUGEINT) >= (1::HUGEINT << 63)
+       |              THEN coalesce(u.u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+       |              ELSE coalesce(u.u, 0::HUGEINT) END AS BIGINT) AS sig
+       |  FROM documents d LEFT JOIN usig u ON d.doc_id = u.doc_id)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $SimHamming""".stripMargin
+  }
+
   /** Exact cosine top-10 against vec 0 (brute-force baseline). */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), 0L, 10)
@@ -3358,6 +3411,9 @@ object ScaleQueries {
     // relations are equal — and deterministic, so the rows can't flake.
     // See dupClustersLsh.
     "q_minhash_pairs" -> jaccardPairsSql,
+    // seedless FNV-1a makes the signatures themselves SQL-replayable —
+    // see simhashPairsSql for the recursive-CTE construction.
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_dup_clusters_lsh" -> dupClustersSql,
     "q_canonical_docs_lsh" -> canonicalDocsSql,
     "q_cosine_topk" -> cosineTopKSql,

@@ -47,11 +47,6 @@ class RegistrySpec extends AnyFunSuite {
       ("approx_percentile's GK-sketch cut points are implementation-" +
         "defined; DuckDB's sketch differs legitimately. Exact-verified: " +
         "PropertySpec bounds rank error vs exact quantiles."),
-    "q_simhash_pairs" ->
-      ("SimHash bits are xxhash64-seeded (engine-specific); the oracle " +
-        "cannot reproduce the signatures. Exact-verified: ScaleSpec " +
-        "checks candidates against direct Hamming distance and the " +
-        "banding pigeonhole guarantee."),
     "q_image_neardup" ->
       ("operates on the binary media column via the stubbed decode " +
         "plumbing (no codec in-sandbox); DuckDB has no analog. " +
