@@ -10,6 +10,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the default) — at volume that turns
+      // every bounded-buffer typed aggregate (TopK, VecSum, sketches,
+      // capped collect_list) into a full sort of its input stream
+      // (measured at the sf10 stress: knn-graph pair agg 345 s -> 114 s,
+      // knn-delta 34 s -> 11 s just from this). Graft's typed buffers
+      // are all size-capped (TopK k<=50, VecSum dim doubles, bucket
+      // caps on collect_list), so half a million live groups per task
+      // is ~100 MB worst case -- keep the hash path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,10 +69,27 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
     }
+    // SPARK_GRAFT_BENCH_ONLY (builder-only, comma-separated substrings)
+    // restricts the run to matching query names — used for targeted
+    // stress runs (e.g. the sf10 scale-family pass) where the exact
+    // quadratic verification tier would be run outside its documented
+    // bounded regime. The driver sets no filter and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val timings: Seq[(String, Seq[Either[String, Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+        .map { case (name, fn) =>
         val cold = timed(fn)
         val rest = if (cold.isRight) (2 to reps).map(_ => timed(fn)) else Nil
+        // Incremental per-query line: a run killed or crashed mid-sweep
+        // keeps every completed timing in the log (the aggregate JSON is
+        // only written at the end). One line per query, greppable.
+        val shown = (cold +: rest).map {
+          case Right(v) => f"$v%.3f"
+          case Left(e) => s"err:$e"
+        }.mkString(" ")
+        println(s"[bench] $name $shown")
         name -> (cold +: rest)
       }
     val results: Seq[(String, Either[String, Double])] =

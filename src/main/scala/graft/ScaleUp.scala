@@ -25,6 +25,10 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the default); graft's typed buffers
+      // are size-capped, so keep the hash path (see Bench.scala).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,16 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the default) — at volume that turns
+      // every bounded-buffer typed aggregate (TopK, VecSum, sketches,
+      // capped collect_list) into a full sort of its input stream
+      // (measured at the sf10 stress: knn-graph pair agg 345 s -> 114 s,
+      // knn-delta 34 s -> 11 s just from this). Graft's typed buffers
+      // are all size-capped (TopK k<=50, VecSum dim doubles, bucket
+      // caps on collect_list), so half a million live groups per task
+      // is ~100 MB worst case -- keep the hash path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

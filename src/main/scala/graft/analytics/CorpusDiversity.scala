@@ -534,13 +534,22 @@ object CorpusDiversity {
         }
         (r.getLong(0), p)
       }.sortBy(_._1)
+    // The 16 sketch components are computed ONCE per row by the
+    // constant-table MatVecDot (referenced >once and non-cheap, so
+    // CollapseProject keeps it materialized); per query the candidate
+    // score is then 16 array reads — the inline form (16 dots × queries
+    // against literal sign vectors) put this stage past the JIT
+    // bytecode cliff and ran interpreted at ~264 µs/row (sf10 stress).
+    // element_at(__jlp, k+1)/4.0 is the identical double to the former
+    // dot(embedding, signs(k))/4.0, so the oracle is unchanged.
     val scored = qs.map { case (qid, qp) =>
       val ps = (0 until JlOutDim).map { k =>
-        (VectorOps.dot(col("embedding"), typedLit(signs(k))) / lit(4.0)) * lit(qp(k))
+        (element_at(col("__jlp"), k + 1) / lit(4.0)) * lit(qp(k))
       }.reduceLeft(_ + _)
       struct(lit(qid).as("q_id"), Num.r(ps, 6).as("ps"))
     }
     val cands = emb
+      .withColumn("__jlp", VectorOps.matVec(col("embedding"), signs))
       .select(col("vec_id"), explode(array(scored: _*)).as("s"))
       .select(col("vec_id"), col("s.q_id").as("q_id"), col("s.ps").as("ps"))
       .filter(col("vec_id") =!= col("q_id"))

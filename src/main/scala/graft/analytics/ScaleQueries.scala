@@ -1179,14 +1179,31 @@ object ScaleQueries {
     * grid.
     */
   val SemDedupTau = 0.4
-  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+
+  /** `k` is THE scale knob: cells hold ~n/k vectors and the pair stage is
+    * Σ C(cell, 2) ≈ n²/(2k), so k must grow with n to keep cells bounded
+    * (the registered gate query keeps the fixed default; the sf10 stress
+    * measured the fixed-k failure mode — see BASELINE.md "sf10 stress").
+    * `salt` splits the probe side into hash slices with the candidate
+    * side replicated per slice: same pair volume, but k×salt tasks
+    * instead of k — without it the cluster-keyed shuffle join collapses
+    * parallelism to k tasks regardless of cores (measured: 7 of 32 cores
+    * busy for ~30 min at sf10, k=8).
+    */
+  def semanticNearDup(spark: SparkSession, dir: String,
+      k: Int = KmeansK, salt: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val trained = graft.scale.KMeans.fit(emb, k, iters = 1)
     val assigned = graft.scale.KMeans.assign(emb, trained)
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(b, Seq("cluster"))
+    val a0 = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b0 = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val (a, b, keys) =
+      if (salt <= 1) (a0, b0, Seq("cluster"))
+      else (a0.withColumn("slice", pmod(xxhash64(col("v1")), lit(salt.toLong))),
+        b0.withColumn("slice", explode(lit((0L until salt.toLong).toArray))),
+        Seq("cluster", "slice"))
+    a.join(b, keys)
       .filter(col("v1") < col("v2"))
       .select(col("cluster"), col("v1"), col("v2"),
         Num.r(Similarity.cosine(col("e1"), col("e2")), 6).as("cos_sim"))
@@ -1219,9 +1236,16 @@ object ScaleQueries {
     */
   val KnnGraphK = 3
   val KnnGraphSalt = 16
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+
+  /** `cells` is the IVF scale knob (see semanticNearDup): the pair
+    * stream is n·(n/cells), so cells must track n to keep the per-vector
+    * candidate list bounded. The registered gate query keeps the fixed
+    * default; BASELINE.md "sf10 stress" records the measured fixed-k
+    * cost at 200k vectors and the cells-raised arm.
+    */
+  def knnGraph(spark: SparkSession, dir: String, cells: Int = KmeansK): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val trained = graft.scale.KMeans.fit(emb, KmeansK, iters = 1)
+    val trained = graft.scale.KMeans.fit(emb, cells, iters = 1)
     val asg = graft.scale.KMeans.assign(emb, trained)
     // the cell id alone has only KmeansK distinct values, so a plain
     // shuffle equi-join runs the whole n²/K pair volume through K tasks
@@ -3291,7 +3315,7 @@ object ScaleQueries {
     "q_ann_recall" -> annRecall,
     "q_retrieval_metrics" -> retrievalMetrics,
     "q_cluster_balance" -> clusterBalance,
-    "q_semantic_neardup" -> semanticNearDup,
+    "q_semantic_neardup" -> ((s: SparkSession, d: String) => semanticNearDup(s, d)),
     "q_span_dedup" -> spanDedup,
     "q_dup_runs" -> dupRuns,
     "q_winnow_pairs" -> winnowPairs,
@@ -3322,7 +3346,7 @@ object ScaleQueries {
     "q_token_counts" -> tokenCounts,
     "q_run_metrics" -> ((s: SparkSession, dir: String) => graft.Metrics.runMetrics(s, dir)),
     "q_lr_train" -> lrTrain,
-    "q_knn_graph" -> knnGraph,
+    "q_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "q_knn_delta" -> knnDelta,
     "q_pagerank" -> pagerank,
     "q_split_assign" -> splitAssign,

@@ -39,29 +39,16 @@ object KMeans {
         i -> r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq
       }
 
-  /** v·v − 2·v·c + c·c; `vv` is the hoisted v·v column so k candidates
-    * share one self-dot. The c·c term is a dot over foldable literals —
-    * constant-folded by Catalyst with the same accumulation order the
-    * oracle's list_dot_product(c,c) uses.
-    */
-  private def d2(vv: Column, v: Column, c: Seq[Double]): Column = {
-    val cl = typedLit(c)
-    vv - lit(2.0) * VectorOps.dot(v, cl) + VectorOps.dot(cl, cl)
-  }
-
   /** Nearest-centroid assignment: (vec_id, embedding, cluster, dist2).
-    * array_min over struct(dist, cid) gives argmin with the smallest-id
-    * tiebreak in one expression — no join, no shuffle.
+    * One constant-table argmin expression — no join, no shuffle, and
+    * O(1) generated-code size in k (the composed array_min-of-k-structs
+    * form put fused stages past HotSpot's 8 000-bytecode JIT refusal at
+    * k≈64 — see NearestCentroid's scaladoc; bit-identical semantics).
     */
   def assign(embeddings: DataFrame, centroids: Centroids): DataFrame = {
-    val cands = centroids.sortBy(_._1).map { case (cid, c) =>
-      struct(d2(col("__vv"), col("embedding"), c).as("d"), lit(cid).as("c"))
-    }
-    embeddings
-      .withColumn("__vv", VectorOps.dot(col("embedding"), col("embedding")))
-      .withColumn("__best", array_min(array(cands: _*)))
-      .select(col("vec_id"), col("embedding"),
-        col("__best.c").as("cluster"), col("__best.d").as("dist2"))
+    val best = KMeansExprs.nearestCentroid(col("embedding"), centroids)
+    embeddings.select(col("vec_id"), col("embedding"),
+      best.getField("c").as("cluster"), best.getField("d").as("dist2"))
   }
 
   /** One Lloyd update: per-cluster per-dimension mean of the assigned

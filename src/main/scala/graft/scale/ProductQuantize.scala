@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   *  - codebooks are trained per subspace by the deterministic Lloyd
   *    trainer (seeds = k lowest vec_ids, one pass) on SLICED embeddings
   *    — M tiny driver-held (K × dim/M) tables;
-  *  - code ASSIGNMENT is one corpus scan: per subspace an argmin over K
-  *    foldable-literal codewords (hoisted subvector self-dot, codegen'd
-  *    DotProduct) — zero shuffles, zero joins;
+  *  - code ASSIGNMENT is one corpus scan: per subspace a constant-table
+  *    argmin (NearestCentroid — O(1) generated-code size in K) — zero
+  *    shuffles, zero joins;
   *  - ADC SEARCH is the same scan summing M lookup-table literals, with
   *    top-k via TakeOrderedAndProject;
   *  - the whole fit+assign is a pure function of the table, so the
@@ -78,17 +78,9 @@ object ProductQuantize {
       keepSubs: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
     val withSubs = (0 until M).foldLeft(embeddings) { (df, s) =>
       df.withColumn(s"__sv$s", sliceCol(s))
-        .withColumn(s"__vv$s", VectorOps.dot(col(s"__sv$s"), col(s"__sv$s")))
     }
     val bests = books.zipWithIndex.map { case (cents, s) =>
-      val cands = cents.sortBy(_._1).map { case (cid, c) =>
-        val cl = typedLit(c)
-        struct(
-          (col(s"__vv$s") - lit(2.0) * VectorOps.dot(col(s"__sv$s"), cl) +
-            VectorOps.dot(cl, cl)).as("d"),
-          lit(cid).as("c"))
-      }
-      array_min(array(cands: _*)).as(s"__best$s")
+      KMeansExprs.nearestCentroid(col(s"__sv$s"), cents).as(s"__best$s")
     }
     val keep = (if (keepSubs) col("vec_id") +: (0 until M).map(s => col(s"__sv$s"))
                 else Seq(col("vec_id"))) ++ carry.map(col)

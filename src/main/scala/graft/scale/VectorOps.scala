@@ -75,4 +75,99 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** array<double> of dot(v, rows(k)) for every row of a driver-held
+    * matrix — ONE constant-table expression instead of k inline
+    * dot-against-literal columns. Same JIT-cliff rationale as
+    * NearestCentroid (KMeansExprs.scala): k separate literal dots put
+    * the fused stage's generated method past HotSpot's 8 000-bytecode
+    * compile refusal once k × dim is large (measured: the 16×64 JL
+    * scoring per query ran interpreted at ~264 µs/row in the sf10
+    * stress). Each component accumulates left-to-right in double —
+    * bit-identical to DotProduct(v, typedLit(rows(k))).
+    */
+  def matVec(v: Column, rows: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      MatVecDot(GraftColumnBridge.expression(v), rows.map(_.toArray).toArray))
+}
+
+/** See VectorOps.matVec. */
+case class MatVecDot(child: Expression, rows: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MatVecDot requires array<float|double>, got $dt")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    val fl = isFloat
+    val out = new Array[Double](rows.length)
+    var k = 0
+    while (k < rows.length) {
+      val r = rows(k)
+      val n = math.min(vn, r.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += (if (fl) v.getFloat(j).toDouble else v.getDouble(j)) * r(j)
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val rowsRef = ctx.addReferenceObj("rows", rows, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val vn = ctx.freshName("vn")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val r = ctx.freshName("r")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      s"""
+         |int $vn = $v.numElements();
+         |double[] $out = new double[$rowsRef.length];
+         |for (int $k = 0; $k < $rowsRef.length; $k++) {
+         |  double[] $r = $rowsRef[$k];
+         |  int $n = java.lang.Math.min($vn, $r.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += (double) $v.$get($j) * $r[$j];
+         |  }
+         |  $out[$k] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecDot =
+    copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case m: MatVecDot =>
+      m.child == child && m.rows.length == rows.length &&
+        m.rows.indices.forall(i => m.rows(i).sameElements(rows(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + rows.length
+  override def toString: String = s"mat_vec_dot($child, k=${rows.length})"
+  override def sql: String = s"mat_vec_dot(${child.sql}, k=${rows.length})"
 }

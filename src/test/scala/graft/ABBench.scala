@@ -364,6 +364,43 @@ object ABBench {
       .filter(coalesce(col("n_new"), lit(0L)) > coalesce(col("n_old"), lit(0L)))
   }
 
+  /** SimHash pair recovery banded on PAIRS of 8×8-bit chunks: radius-6
+    * errors dirty at most 6 of the 8 chunks, so at least one of the
+    * C(8,2)=28 chunk-pairs is fully clean — exact recall at Hamming ≤ 6
+    * like the registered 7-chunk form, but with 16-bit buckets (65536
+    * values) instead of ~9-bit (512). At 500k docs the 9-bit bucket
+    * space saturates: the average bucket holds ~977 docs, which is AT
+    * the MaxGroup drop cap, so ~half the buckets are dropped and the
+    * pigeonhole guarantee silently fails — while 16-bit buckets hold
+    * only true near-dup clusters plus ~8 random collisions. The price is
+    * 28/7 = 4× the per-true-pair band expansion, which only matters in
+    * the adversarial every-doc-99-copies ScaleUp regime.
+    */
+  private def simhashPairs8x8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.scale.{Dedup, SimHash64}
+    import graft.analytics.ScaleQueries.SimHamming
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
+    val combos = for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
+    val chunkArr = array(combos.zipWithIndex.map { case ((ci, cj), idx) =>
+      struct(lit(idx).as("chunk_idx"),
+        expr(s"((sig >> ${ci * 8}) & 255) * 256 + ((sig >> ${cj * 8}) & 255)")
+          .as("chunk"))
+    }: _*)
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))
+    sigs.select(explode(chunkArr).as("c"), col("doc_id"), col("sig"))
+      .groupBy(col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= Dedup.MaxGroup)
+      .select(explode(pairs).as("p"))
+      .filter(col("p.hamming") <= SimHamming)
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
+      .distinct()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -376,6 +413,10 @@ object ABBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the default); graft's typed buffers
+      // are size-capped, so keep the hash path (see Bench.scala).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -525,6 +566,19 @@ object ABBench {
       time(s"madq_$i") { analytics.RobustStats.valueMad(spark, sfDir).count() }
       time(s"seasonal_$i") { analytics.Relational.seasonalDecompose(spark, sfDir).count() }
       time(s"benford_$i") { analytics.Audit.benford(spark, sfDir).count() }
+      // round-7 sf10 stress arms: the fixed-k IVF failure mode vs the
+      // raised-cells / salted scale knobs, and 7-chunk vs 8×8-pair
+      // simhash banding (opt-in via the name filter — the *_fixed arms
+      // are the measured multi-minute regimes)
+      time(s"semneardup_fixed_$i") { analytics.ScaleQueries.semanticNearDup(spark, sfDir).count() }
+      time(s"semneardup_k64s8_$i") {
+        analytics.ScaleQueries.semanticNearDup(spark, sfDir, k = 64, salt = 8).count() }
+      time(s"knngraph_cells8_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
+      time(s"knngraph_cells64_$i") {
+        analytics.ScaleQueries.knnGraph(spark, sfDir, cells = 64).count() }
+      time(s"simhash_7chunk_$i") { analytics.ScaleQueries.simhashPairs(spark, sfDir).count() }
+      time(s"simhash_8x8pair_$i") { simhashPairs8x8(spark, sfDir).count() }
+      time(s"minhash_pairs_$i") { analytics.ScaleQueries.minhashPairs(spark, sfDir).count() }
     }
     spark.stop()
   }
