@@ -168,27 +168,38 @@ object ScaleQueries {
         Num.r(col("quality"), 4).as("quality"))
   }
 
-  /** SimHash near-dup pairs via disjoint-chunk LSH + Hamming verification
-    * (custom codegen'd expression; rows-only).
+  /** SimHash near-dup pairs via chunk-pair LSH + Hamming verification
+    * (custom codegen'd signature expression).
     *
-    * Banding matches the distance contract by pigeonhole: a radius-k
-    * filter needs k+1 disjoint chunks so that k differing bits always
-    * leave at least one chunk clean. For Hamming ≤ 6 the 64-bit signature
-    * is split into 7 chunks (10+9×6 bits) — 4×16-bit banding would
-    * silently miss distance-4..6 pairs whose errors spread across all
-    * four chunks. The coarser ~9-bit buckets are the price of the
-    * guarantee; at corpus scale, raise the chunk count only together with
-    * the verify-filter radius, and lean on the hot-bucket cap upstream
-    * (Dedup.MaxGroup) for mass-duplicate buckets.
+    * Banding matches the distance contract by pigeonhole: with the 64-bit
+    * signature split into 8 disjoint 8-bit chunks, a Hamming-≤6 pair
+    * dirties at most 6 chunks, so at least TWO chunks are clean — and
+    * therefore at least one of the C(8,2) = 28 ordered chunk PAIRS is
+    * fully clean. Banding on chunk pairs (16-bit buckets, 65 536 values
+    * per band) keeps exact recall at radius 6.
+    *
+    * Why pairs and not the minimal 7 single chunks (radius+1 pigeonhole):
+    * single ~9-bit chunks have only 512 bucket values, and the bucket
+    * population grows with corpus size until every bucket crosses the
+    * hot-bucket drop cap (Dedup.MaxGroup) — at the sf10 stress corpus
+    * (500 k docs) the 7-chunk scheme silently recovered only 8.1 M of the
+    * 53.9 M true radius-6 pairs (85 % recall loss) because saturated
+    * buckets were dropped wholesale. 16-bit buckets hold only true
+    * near-dup clusters plus ~n/65 536 random collisions, pushing the
+    * saturation point out by two orders of magnitude; the price is the
+    * 28/7 = 4× band expansion (7.3 s → 49.3 s at sf10 — the cost of not
+    * losing 85 % of the answer). Beyond ~10 M docs, widen the band key
+    * again (chunk triples, 24-bit buckets) together with the same
+    * pigeonhole arithmetic.
     */
   val SimHamming = 6
-  private val SimChunks: Seq[(Int, Int)] = // (bit offset, width): 7 chunks / 64 bits
-    Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+  private val SimChunkPairs: Seq[(Int, Int)] = // C(8,2) ordered 8-bit chunk pairs
+    for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
 
   /** Pairs (d1 < d2, hamming) from a sorted array of (doc_id, sig) structs —
     * the Hamming distance is computed INSIDE the bucket expansion so the
-    * radius filter applies before the distinct shuffle (the ~9-bit buckets
-    * are coarse; most co-bucketed pairs are far apart and die here).
+    * radius filter applies before the distinct shuffle (random 16-bit
+    * collisions die here, only true near-pairs reach the distinct).
     */
   private def sigPairs(ds: Column): Column =
     flatten(transform(ds, (x, i) =>
@@ -199,9 +210,10 @@ object ScaleQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
-    val chunkArr = array(SimChunks.zipWithIndex.map { case ((off, w), i) =>
-      struct(lit(i).as("chunk_idx"),
-        expr(s"(sig >> $off) & ${(1L << w) - 1}").as("chunk"))
+    val chunkArr = array(SimChunkPairs.zipWithIndex.map { case ((ci, cj), idx) =>
+      struct(lit(idx).as("chunk_idx"),
+        expr(s"((sig >> ${ci * 8}) & 255) * 256 + ((sig >> ${cj * 8}) & 255)")
+          .as("chunk"))
     }: _*)
     // one shuffle of (chunk, doc_id, sig) + in-bucket pair expansion with
     // the same hot-bucket guard as lshCandidates — not a self-join (which
@@ -224,8 +236,8 @@ object ScaleQueries {
     * 2⁶⁴ so two's-complement agreement is exact), bit votes tally per
     * (doc, bit), and the signed signature re-biases at 2⁶³. The pair tier
     * is brute-force Hamming ≤ SimHamming over the 500-doc gate corpus —
-    * sound as an oracle for the banded Spark path because the 7-chunk
-    * pigeonhole guarantees exact recall at radius 6 (see SimChunks) and
+    * sound as an oracle for the banded Spark path because the chunk-pair
+    * pigeonhole guarantees exact recall at radius 6 (see SimChunkPairs) and
     * ScaleSpec guards the hot-bucket-cap premise. Character caveat: the
     * Scala side iterates UTF-16 units, the SQL side codepoints —
     * equivalent for BMP text (gate corpora are ASCII; SchemaContractSpec

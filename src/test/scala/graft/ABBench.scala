@@ -364,28 +364,24 @@ object ABBench {
       .filter(coalesce(col("n_new"), lit(0L)) > coalesce(col("n_old"), lit(0L)))
   }
 
-  /** SimHash pair recovery banded on PAIRS of 8×8-bit chunks: radius-6
-    * errors dirty at most 6 of the 8 chunks, so at least one of the
-    * C(8,2)=28 chunk-pairs is fully clean — exact recall at Hamming ≤ 6
-    * like the registered 7-chunk form, but with 16-bit buckets (65536
-    * values) instead of ~9-bit (512). At 500k docs the 9-bit bucket
-    * space saturates: the average bucket holds ~977 docs, which is AT
-    * the MaxGroup drop cap, so ~half the buckets are dropped and the
-    * pigeonhole guarantee silently fails — while 16-bit buckets hold
-    * only true near-dup clusters plus ~8 random collisions. The price is
-    * 28/7 = 4× the per-true-pair band expansion, which only matters in
-    * the adversarial every-doc-99-copies ScaleUp regime.
+  /** The r7-RETIRED 7-chunk SimHash banding (single ~9-bit chunks,
+    * radius+1 pigeonhole), kept as the A/B control: at 500 k docs its
+    * 512-value bucket space saturates against the MaxGroup drop cap and
+    * it silently recovered only 8.1 M of 53.9 M true radius-6 pairs
+    * (sf10 stress). The registered ScaleQueries.simhashPairs now bands
+    * on C(8,2) chunk PAIRS (16-bit buckets) — exact recall, 4× band
+    * expansion.
     */
-  private def simhashPairs8x8(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashPairs7chunk(spark: SparkSession, dir: String): DataFrame = {
     import graft.scale.{Dedup, SimHash64}
     import graft.analytics.ScaleQueries.SimHamming
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
-    val combos = for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
-    val chunkArr = array(combos.zipWithIndex.map { case ((ci, cj), idx) =>
-      struct(lit(idx).as("chunk_idx"),
-        expr(s"((sig >> ${ci * 8}) & 255) * 256 + ((sig >> ${cj * 8}) & 255)")
-          .as("chunk"))
+    val chunks: Seq[(Int, Int)] = // (bit offset, width): 7 chunks / 64 bits
+      Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+    val chunkArr = array(chunks.zipWithIndex.map { case ((off, w), i) =>
+      struct(lit(i).as("chunk_idx"),
+        expr(s"(sig >> $off) & ${(1L << w) - 1}").as("chunk"))
     }: _*)
     val pairs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
@@ -576,8 +572,8 @@ object ABBench {
       time(s"knngraph_cells8_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
       time(s"knngraph_cells64_$i") {
         analytics.ScaleQueries.knnGraph(spark, sfDir, cells = 64).count() }
-      time(s"simhash_7chunk_$i") { analytics.ScaleQueries.simhashPairs(spark, sfDir).count() }
-      time(s"simhash_8x8pair_$i") { simhashPairs8x8(spark, sfDir).count() }
+      time(s"simhash_7chunk_$i") { simhashPairs7chunk(spark, sfDir).count() }
+      time(s"simhash_8x8pair_$i") { analytics.ScaleQueries.simhashPairs(spark, sfDir).count() }
       time(s"minhash_pairs_$i") { analytics.ScaleQueries.minhashPairs(spark, sfDir).count() }
     }
     spark.stop()
