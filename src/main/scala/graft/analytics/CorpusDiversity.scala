@@ -534,22 +534,23 @@ object CorpusDiversity {
         }
         (r.getLong(0), p)
       }.sortBy(_._1)
-    // The 16 sketch components are computed ONCE per row by the
-    // constant-table MatVecDot (referenced >once and non-cheap, so
-    // CollapseProject keeps it materialized); per query the candidate
-    // score is then 16 array reads — the inline form (16 dots × queries
-    // against literal sign vectors) put this stage past the JIT
-    // bytecode cliff and ran interpreted at ~264 µs/row (sf10 stress).
-    // element_at(__jlp, k+1)/4.0 is the identical double to the former
-    // dot(embedding, signs(k))/4.0, so the oracle is unchanged.
-    val scored = qs.map { case (qid, qp) =>
-      val ps = (0 until JlOutDim).map { k =>
-        (element_at(col("__jlp"), k + 1) / lit(4.0)) * lit(qp(k))
-      }.reduceLeft(_ + _)
-      struct(lit(qid).as("q_id"), Num.r(ps, 6).as("ps"))
+    // Two chained constant-table MatVecDots: sketch components once per
+    // row, then all query scores in one expression. The inline form
+    // (16 dots × 5 queries against literal sign/projection vectors) put
+    // this stage past the JIT bytecode cliff (16 131 bytecodes) and ran
+    // interpreted at ~264 µs/row (sf10 stress; PlanSpec now pins the
+    // stage under 8 000). Bit-identity with the oracle is preserved:
+    // ps = Σₖ (jlp[k]/4.0)·qp[k] = Σₖ jlp[k]·(qp[k]/4.0) exactly,
+    // because scaling by a power of two is exact and commutes with IEEE
+    // rounding of each product — so the /4.0 moves onto the driver-held
+    // (already 1e-9-snapped) query projections.
+    val qpDiv4: Seq[Seq[Double]] = qs.map(_._2.map(_ / 4.0).toSeq)
+    val scored = qs.zipWithIndex.map { case ((qid, _), qi) =>
+      struct(lit(qid).as("q_id"), Num.r(element_at(col("__ps"), qi + 1), 6).as("ps"))
     }
     val cands = emb
-      .withColumn("__jlp", VectorOps.matVec(col("embedding"), signs))
+      .withColumn("__ps",
+        VectorOps.matVec(VectorOps.matVec(col("embedding"), signs), qpDiv4))
       .select(col("vec_id"), explode(array(scored: _*)).as("s"))
       .select(col("vec_id"), col("s.q_id").as("q_id"), col("s.ps").as("ps"))
       .filter(col("vec_id") =!= col("q_id"))

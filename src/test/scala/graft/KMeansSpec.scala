@@ -57,4 +57,58 @@ class KMeansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
   }
+
+  test("NearestCentroid is bit-identical to the composed array_min form") {
+    // The constant-table expression replaced array_min over k
+    // struct(d2, cid) candidates (the JIT-cliff fix, r7). The oracle SQL
+    // still replays the composed arithmetic, so the two forms must agree
+    // to the LAST BIT: same left-to-right dot accumulation, same
+    // (vv − 2·dvc) + cc association, same Double.compare ordering with
+    // the lowest-cid tiebreak.
+    import graft.scale.VectorOps
+    val cents = KMeans.fit(emb, 7, 1) // odd k, off the usual 8 path
+    val composed = cents.sortBy(_._1).map { case (cid, c) =>
+      val cl = typedLit(c)
+      struct(
+        (VectorOps.dot(col("embedding"), col("embedding")) -
+          lit(2.0) * VectorOps.dot(col("embedding"), cl) +
+          VectorOps.dot(cl, cl)).as("d"),
+        lit(cid).as("c"))
+    }
+    val both = emb
+      .withColumn("__old", array_min(array(composed: _*)))
+      .withColumn("__new", graft.scale.KMeansExprs.nearestCentroid(col("embedding"), cents))
+      .select(col("vec_id"), col("__old.c").as("oc"), col("__old.d").as("od"),
+        col("__new.c").as("nc"), col("__new.d").as("nd"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3), s"cluster mismatch on vec ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        s"dist2 not bit-identical on vec ${r.getLong(0)}: ${r.getDouble(2)} vs ${r.getDouble(4)}")
+    }
+  }
+
+  test("MatVecDot is bit-identical to per-row literal dots") {
+    import graft.scale.VectorOps
+    val rows = (0 until 5).map(k => (0 until 64).map(j =>
+      if (((k * 64 + j) * 2654435761L >>> 13) % 2 == 0) 1.0 else -1.0))
+    val cmp = emb
+      .withColumn("__mv", VectorOps.matVec(col("embedding"), rows))
+      .select(col("vec_id"),
+        array(rows.map(r => VectorOps.dot(col("embedding"), typedLit(r))): _*).as("lit_dots"),
+        col("__mv"))
+      .collect()
+    cmp.foreach { r =>
+      val a = r.getSeq[Double](1)
+      val b = r.getSeq[Double](2)
+      assert(a.size == b.size)
+      a.indices.foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(a(i)) ==
+          java.lang.Double.doubleToRawLongBits(b(i)),
+          s"component $i differs on vec ${r.getLong(0)}")
+      }
+    }
+  }
 }

@@ -385,4 +385,38 @@ class PlanSpec extends AnyFunSuite {
     val full = spark.read.parquet(tmp)
     assert(df.count() < full.count())
   }
+
+  test("knn-graph pair stage stays under HotSpot's JIT bytecode refusal") {
+    // HotSpot never compiles a method past 8 000 bytecodes
+    // (-XX:DontCompileHugeMethods): past the cliff the whole fused stage
+    // runs INTERPRETED, ~50× slower — the r7 sf10 stress caught the
+    // k-means assign composed as array_min over k literal-centroid
+    // structs pushing the knn-graph stage to 47 KB of bytecode (23
+    // core-hours, killed). NearestCentroid/MatVecDot keep generated code
+    // O(1) in k; this pin fails if a future edit reintroduces
+    // expression-count-scaling codegen into the scan/join stages. The
+    // raised cells value is the SCALE configuration — code size must not
+    // grow with it.
+    import org.apache.spark.sql.execution.debug._
+    for (cells <- Seq(8, 64)) {
+      val df = analytics.ScaleQueries.knnGraph(spark, sf, cells = cells)
+      df.collect() // materialize AQE stages so codegen subtrees exist
+      val stats = codegenStringSeq(df.queryExecution.executedPlan)
+      assert(stats.nonEmpty, "no codegen subtrees found")
+      val worst = stats.map(_._3.maxMethodCodeSize).max
+      assert(worst < 8000,
+        s"cells=$cells: generated method of $worst bytecodes crosses the " +
+          s"JIT compile refusal (8000) — the stage would run interpreted")
+    }
+  }
+
+  test("JL sketch scoring stage stays under the JIT bytecode refusal") {
+    import org.apache.spark.sql.execution.debug._
+    val df = analytics.CorpusDiversity.annJl(spark, sf)
+    df.collect()
+    val stats = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty)
+    val worst = stats.map(_._3.maxMethodCodeSize).max
+    assert(worst < 8000, s"annJl generated method of $worst bytecodes")
+  }
 }
