@@ -419,4 +419,31 @@ class PlanSpec extends AnyFunSuite {
     val worst = stats.map(_._3.maxMethodCodeSize).max
     assert(worst < 8000, s"annJl generated method of $worst bytecodes")
   }
+
+  test("expression-heavy query family stays under the JIT bytecode refusal") {
+    // Bulk sweep of every registered query that embeds driver-held
+    // matrices/codebooks/literal tables in scan-stage expressions — the
+    // family where generated-code size can silently scale with a model
+    // constant. Each query executes at sf0.001 and every whole-stage
+    // codegen method in its executed (post-AQE) plan must stay JITable.
+    import org.apache.spark.sql.execution.debug._
+    val heavy = Seq(
+      "q_kmeans_assign", "q_semantic_neardup", "q_knn_graph", "q_knn_delta",
+      "q_pq_codes", "q_ivfpq_topk", "q_ivfpq_probed", "q_pq_distortion",
+      "q_ann_lsh", "q_ann_jl", "q_ann_recall", "q_jl_project",
+      "q_retrieval_metrics", "q_hybrid_search", "q_cluster_prototypes",
+      "q_embed_neardup", "q_cosine_topk", "q_coreset_kcenter")
+    val registry = SparkEntry.queries
+    val present = heavy.filter(registry.contains)
+    assert(present.size >= 12, s"sweep list drifted from the registry: $present")
+    present.foreach { name =>
+      val df = registry(name)(spark, sf)
+      df.collect()
+      val stats = codegenStringSeq(df.queryExecution.executedPlan)
+      val worst = if (stats.isEmpty) 0 else stats.map(_._3.maxMethodCodeSize).max
+      assert(worst < 8000,
+        s"$name: generated method of $worst bytecodes crosses the JIT " +
+          "compile refusal — the stage would run interpreted at scale")
+    }
+  }
 }
