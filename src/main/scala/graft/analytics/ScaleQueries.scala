@@ -2771,7 +2771,17 @@ object ScaleQueries {
     * only shuffles survivors.
     */
   def trainingMix(spark: SparkSession, dir: String): DataFrame = {
-    val passRep = repetitionFilter(spark, dir).filter(col("keep")).select("doc_id")
+    // Single-reference gate predicate: filter(keep) pushes `keep` =
+    // dtr.isNotNull && dtr <= t below the projections, substituting the
+    // whole trigram chain once PER REFERENCE (twice); coalesce(dtr, 1.0)
+    // <= t is the same predicate with one reference (null -> 1.0 > t
+    // drops the row). Measured at sf10: warm 19.2 -> 14.3 s. The fully
+    // FUSED scan (gates inline, no join) was tried and measured WORSE
+    // (17.7-43 s): the pruned doc_id-only branch + equi-join beats
+    // carrying text-wide rows through the trigram filter stage.
+    val passRep = repetitionFilter(spark, dir)
+      .filter(coalesce(col("dup_tri_ratio"), lit(1.0)) <= RepetitionMaxDupTriRatio)
+      .select("doc_id")
     val contaminated = decontaminate(spark, dir)
       .filter(col("ratio") >= 0.5).select("doc_id")
     val t = col("text")
