@@ -644,6 +644,106 @@ object CorpusAudit {
        |JOIN c ON base.source = c.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Spearman length bias of the quality classifier.
+  // ---------------------------------------------------------------------
+
+  /** Doubled midranks (2·midrank, always an integer) of one grid-valued
+    * column, computed WITHOUT ranking the corpus: the column collapses to
+    * its value histogram (one hash-aggregate shuffle, one row per distinct
+    * value — bounded: `prob` lives on the 1e-6 grid, `n_chars` under the
+    * max document length), the rank arithmetic runs as a cumulative window
+    * over that bounded relation only, and the ranks broadcast-join back
+    * onto the rows by value. 2·midrank = 2·|{< v}| + c + 1 for a value
+    * with c ties. Same decomposition family as [[aucOf]] / the exact
+    * quantile ladder.
+    */
+  private[graft] def doubledRanks(df: DataFrame, v: String, out: String): DataFrame = {
+    val byVal = df.groupBy(col(v)).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn(out,
+        lit(2L) * coalesce(sum(col("c")).over(w), lit(0L)) + col("c") + lit(1L))
+      .select(col(v), col(out))
+  }
+
+  /** Spearman rank correlation between the hashed-linear quality
+    * classifier's probability and raw document length — the length-bias
+    * audit: quality classifiers notoriously learn "long ⇒ good", and a
+    * curation gate built on one then skews the corpus's length
+    * distribution. ρ is Pearson over midranks (tie-aware), so the number
+    * is monotone-invariant — it catches the bias even when the
+    * prob↔length relation is nonlinear.
+    *
+    * Scale shape: two bounded value histograms + broadcast rank joins
+    * (the corpus is never sorted; the only windows run over the distinct-
+    * value relations), then one scan accumulates the five rank moments.
+    * Ranks are doubled so every term is integer-valued; the moment sums
+    * run in DOUBLE and snap at negative scales (Num.r overflow rule —
+    * Spark's LONG floor saturates past 2^63 where DuckDB's stays double,
+    * and n·Σrₓrᵧ ≈ 4n⁴ leaves BIGINT near n = 1.2e6 anyway): exact below
+    * 2^53, and the 1e4 grid absorbs fp accumulation noise for another
+    * ~decade of corpus growth (sum·2⁻⁵² ≪ 5e3 up to Σ ≈ 1e19). The final
+    * ratio is identical double arithmetic in both engines. Variance-zero
+    * denominators (degenerate corpora) are CASE-guarded per the ANSI
+    * divide-by-zero rule.
+    */
+  def spearmanQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val rx = doubledRanks(scored, "prob", "rx")
+    val ry = doubledRanks(scored, "n_chars", "ry")
+    val j = scored
+      .join(broadcast(rx), "prob")
+      .join(broadcast(ry), "n_chars")
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      Num.r(sum(col("rx").cast("double")), -2).as("sx"),
+      Num.r(sum(col("ry").cast("double")), -2).as("sy"),
+      Num.r(sum((col("rx") * col("rx")).cast("double")), -4).as("sxx"),
+      Num.r(sum((col("ry") * col("ry")).cast("double")), -4).as("syy"),
+      Num.r(sum((col("rx") * col("ry")).cast("double")), -4).as("sxy"))
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("n"),
+      when(den =!= 0.0,
+        Num.r((col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
+        .as("rho_len_quality"))
+  }
+
+  /** DuckDB replay: 2·midrank = 2·rank() + tie-count − 1 (rank() = 1 +
+    * |{< v}|), windowed directly at gate scale; moments cast to DOUBLE
+    * before summing and snapped on the same grids.
+    */
+  val spearmanQualitySql: String = {
+    val den = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    s"""WITH p AS (${ScaleQueries.qualityClassifierSql}),
+       |j AS (
+       |  SELECT p.prob, d.n_chars
+       |  FROM p JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT 2 * rank() OVER (ORDER BY prob)
+       |           + CAST(count(*) OVER (PARTITION BY prob) AS BIGINT) - 1 AS rx,
+       |         2 * rank() OVER (ORDER BY n_chars)
+       |           + CAST(count(*) OVER (PARTITION BY n_chars) AS BIGINT) - 1 AS ry
+       |  FROM j),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         ${Num.rSql("sum(CAST(rx AS DOUBLE))", -2)} AS sx,
+       |         ${Num.rSql("sum(CAST(ry AS DOUBLE))", -2)} AS sy,
+       |         ${Num.rSql("sum(CAST(rx * rx AS DOUBLE))", -4)} AS sxx,
+       |         ${Num.rSql("sum(CAST(ry * ry AS DOUBLE))", -4)} AS syy,
+       |         ${Num.rSql("sum(CAST(rx * ry AS DOUBLE))", -4)} AS sxy
+       |  FROM r)
+       |SELECT n,
+       |       CASE WHEN $den <> 0
+       |            THEN ${Num.rSql(s"(n * sxy - sx * sy) / $den", 6)}
+       |       END AS rho_len_quality
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> splitLeakageQ,
@@ -653,7 +753,8 @@ object CorpusAudit {
     "q_mojibake" -> mojibake,
     "q_dup_threshold_sweep" -> dupThresholdSweep,
     "q_score_znorm" -> scoreZnorm,
-    "q_data_card" -> dataCard)
+    "q_data_card" -> dataCard,
+    "q_spearman_quality" -> spearmanQuality)
 
   val oracles: Map[String, String] = Map(
     "q_split_leakage" -> splitLeakageSql,
@@ -663,5 +764,6 @@ object CorpusAudit {
     "q_mojibake" -> mojibakeSql,
     "q_dup_threshold_sweep" -> dupThresholdSweepSql,
     "q_score_znorm" -> scoreZnormSql,
-    "q_data_card" -> dataCardSql)
+    "q_data_card" -> dataCardSql,
+    "q_spearman_quality" -> spearmanQualitySql)
 }

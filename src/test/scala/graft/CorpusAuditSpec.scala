@@ -226,4 +226,48 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(pct >= 0.0 && pct <= 1.0)
     }
   }
+
+  test("spearman: doubled midranks — tie fixture, permutation-sum invariant") {
+    val s = spark; import s.implicits._
+    // values 5,5,2,9,9,9,1 → midranks: 1→1, 2→2, 5→(3+4)/2=3.5, 9→(5+6+7)/2=6
+    val df = Seq(5, 5, 2, 9, 9, 9, 1).toDF("v")
+    val got = CorpusAudit.doubledRanks(df, "v", "r2").collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("r2")).toMap
+    assert(got == Map(1 -> 2L, 2 -> 4L, 5 -> 7L, 9 -> 12L))
+    // joined back, doubled midranks always sum to n(n+1)
+    val n = 7L
+    val tot = df.join(CorpusAudit.doubledRanks(df, "v", "r2"), "v")
+      .agg(sum("r2")).collect().head.getLong(0)
+    assert(tot == n * (n + 1))
+  }
+
+  test("spearman: matches the naive full-window rank correlation at sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val scored = graft.analytics.ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    // naive oracle: corpus-wide midranks via avg(row_number) per value —
+    // the decomposition this query exists to avoid at scale
+    def midrank(v: String) = avg(row_number().over(Window.orderBy(col(v))))
+      .over(Window.partitionBy(col(v)))
+    val naive = scored
+      .withColumn("rx", midrank("prob"))
+      .withColumn("ry", midrank("n_chars"))
+      .agg(corr(col("rx"), col("ry"))).collect().head.getDouble(0)
+    val got = CorpusAudit.spearmanQuality(spark, sf).collect().head
+    assert(got.getAs[Long]("n") == scored.count())
+    assert(math.abs(got.getAs[Double]("rho_len_quality") - naive) < 2e-4,
+      s"got ${got.getAs[Double]("rho_len_quality")} naive $naive")
+  }
+
+  test("spearman plan: rank joins broadcast, corpus never globally sorted") {
+    val p = plan(CorpusAudit.spearmanQuality(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    // the only Sort+Window pair may run over the bounded distinct-value
+    // relations (partial agg upstream); a corpus-wide window would show a
+    // Window directly over the document scan with no aggregate between
+    assert(p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
 }
