@@ -733,8 +733,106 @@ object CorpusStats {
   }
 
   // ---------------------------------------------------------------------
+  // Per-source two-sample Kolmogorov–Smirnov drift.
+  // ---------------------------------------------------------------------
+
+  /** Two-sample KS statistic of one integer-valued column, each source
+    * against the REST of the corpus: D = max over v of
+    * |F_src(v) − F_rest(v)| — the nonparametric sibling of [[sourceKl]]
+    * (KL needs the same support; KS reads the raw CDF gap, so it flags a
+    * crawler that suddenly ships truncated pages even when the vocabulary
+    * is unchanged).
+    *
+    * Scale shape: the column collapses to its (source, value) histogram —
+    * one hash-aggregate shuffle, bounded by sources × distinct values —
+    * and every window (per-source CDF, global CDF) runs over that bounded
+    * relation densified on the sources × grid cross of two tiny
+    * broadcasts; the corpus is never sorted. The CDF gap is compared in
+    * EXACT integer arithmetic (cross-multiplied: |cs·(n−ns) −
+    * (cal−cs)·ns|, every term BIGINT in both engines), so the max is
+    * deterministic; one final division of two exact integers lands on the
+    * same double cross-engine before the 1e-6 snap. Integer-exactness
+    * bound: cs·(n−ns) ≤ N², safe under 2^63 to N ≈ 3e9 documents per
+    * snapshot (ANSI overflow would throw, not corrupt). The rest-side
+    * denominator is zero for a single-source corpus — CASE-guarded per
+    * the ANSI divide-by-zero rule.
+    */
+  private[graft] def ksOf(pairs: DataFrame, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pairs.groupBy(col("source"), col(v)).agg(count(lit(1)).as("c"))
+    val grid = hist.select(col(v)).distinct()
+    val srcTot = hist.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val wAll = Window.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ca = hist.groupBy(col(v)).agg(sum(col("c")).as("cg"))
+      .select(col(v), sum(col("cg")).over(wAll).as("cal"))
+    val total = broadcast(hist.agg(sum(col("c")).as("n")))
+    val dense = srcTot.crossJoin(grid)
+      .join(hist, Seq("source", v), "left")
+      .select(col("source"), col("ns"), col(v),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wS = Window.partitionBy(col("source")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("cs", sum(col("c")).over(wS))
+      .join(broadcast(ca), v)
+      .crossJoin(total)
+      .select(col("source"), col("ns"), col("n"),
+        abs(col("cs") * (col("n") - col("ns")) -
+          (col("cal") - col("cs")) * col("ns")).as("num"))
+      .groupBy(col("source"), col("ns"), col("n"))
+      .agg(max(col("num")).as("m"))
+      .select(col("source"), col("ns").as("n_docs"),
+        when(col("ns") * (col("n") - col("ns")) =!= 0,
+          Num.r(col("m").cast("double") /
+            (col("ns") * (col("n") - col("ns"))).cast("double"), 6))
+          .as("ks_len"))
+  }
+
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksOf(Tables.documents(spark, dir).select(col("source"), col("n_chars")),
+      "n_chars")
+
+  /** DuckDB replay: same histogram/densify/window decomposition at gate
+    * scale; every cumulative count CAST to BIGINT so the cross-multiplied
+    * gap stays integer-typed (HUGEINT rule), the final ratio CAST to
+    * DOUBLE on both sides.
+    */
+  val ksDriftSql: String =
+    s"""WITH h AS (
+       |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM h GROUP BY 1),
+       |g AS (SELECT DISTINCT n_chars FROM h),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+       |ca AS (
+       |  SELECT n_chars,
+       |         CAST(sum(cg) OVER (ORDER BY n_chars) AS BIGINT) AS cal
+       |  FROM (SELECT n_chars, sum(c) AS cg FROM h GROUP BY 1)),
+       |dense AS (
+       |  SELECT st.source, st.ns, g.n_chars,
+       |         coalesce(h.c, CAST(0 AS BIGINT)) AS c
+       |  FROM st CROSS JOIN g
+       |  LEFT JOIN h ON h.source = st.source AND h.n_chars = g.n_chars),
+       |cums AS (
+       |  SELECT source, ns, n_chars,
+       |         CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cs
+       |  FROM dense),
+       |j AS (
+       |  SELECT source, ns, n,
+       |         abs(cs * (n - ns) - (cal - cs) * ns) AS num
+       |  FROM cums JOIN ca USING (n_chars) CROSS JOIN tot)
+       |SELECT source, ns AS n_docs,
+       |       CASE WHEN ns * (n - ns) <> 0
+       |            THEN ${Num.rSql(
+      "CAST(max(num) AS DOUBLE) / CAST(ns * (n - ns) AS DOUBLE)", 6)}
+       |       END AS ks_len
+       |FROM j GROUP BY source, ns, n""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> ksDrift,
     "q_vocab_entropy" -> vocabEntropy,
     "q_source_kl" -> sourceKl,
     "q_source_overlap" -> sourceOverlap,
@@ -748,6 +846,7 @@ object CorpusStats {
     "q_embed_drift" -> embedDrift)
 
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" -> ksDriftSql,
     "q_vocab_entropy" -> vocabEntropySql,
     "q_source_kl" -> sourceKlSql,
     "q_source_overlap" -> sourceOverlapSql,

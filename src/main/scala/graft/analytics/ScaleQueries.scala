@@ -68,6 +68,64 @@ object ScaleQueries {
        |JOIN sizes s2 ON d2 = s2.doc_id
        |WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5""".stripMargin
 
+  /** Corpus augmented with 40%-word-prefix excerpts of every 10th
+    * document — the containment fixture: an excerpt's shingles are a
+    * subset of its parent's, so containment reads ~1.0 while Jaccard
+    * falls with the length ratio below any dedup threshold (measured at
+    * sf0.001: every Jaccard ≥ 0.5 pair also clears containment 0.9, so
+    * without the excerpts this query would be [[jaccardPairs]] under
+    * another name).
+    */
+  private def docsWithPrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(w, lit(1),
+            greatest(lit(5), floor(size(w) * 2 / 5).cast("int"))), " ").as("text")))
+  }
+
+  /** Containment (|A∩B| / min(|A|,|B|)) near-superset pairs ≥ 0.9 over
+    * the prefix-augmented corpus; jaccard rides along so the report shows
+    * which pairs a resemblance-thresholded pass would have missed.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsWithPrefixes(spark, dir), "text", "doc_id", 3, 0.9)
+      .select(col("d1"), col("d2"),
+        Num.r(col("containment"), 6).as("containment"),
+        Num.r(col("jaccard"), 6).as("jaccard"))
+
+  val containmentPairsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |         array_to_string(list_slice(w, 1,
+       |           greatest(5, CAST(floor(len(w) * 2 / 5) AS INT))), ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+       |  WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |        ELSE [] END) AS s
+       |    FROM toks) t),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       ${Num.rSql("CAST(c AS DOUBLE) / least(s1.n_sh, s2.n_sh)", 6)} AS containment,
+       |       ${Num.rSql("CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c)", 6)} AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(c AS DOUBLE) / least(s1.n_sh, s2.n_sh) >= 0.9""".stripMargin
+
   /** Dedup clusters: connected components over the exact near-dup pairs
     * (keep min doc_id per cluster as canonical). Oracle: recursive-CTE
     * transitive closure with min-reachable labels.
@@ -3355,6 +3413,7 @@ object ScaleQueries {
     "q_multimodal_stats" -> multimodalStats,
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
+    "q_containment_pairs" -> containmentPairs,
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_lsh" -> dupClustersLsh,
     "q_canonical_docs_lsh" -> canonicalDocsLsh,
@@ -3450,6 +3509,7 @@ object ScaleQueries {
     "q_ivf_topk" -> ivfTopKSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
+    "q_containment_pairs" -> containmentPairsSql,
     "q_dup_clusters" -> dupClustersSql,
     // The LSH tier carries the EXACT tier's oracle SQL: candidates are
     // exact-verified (precision exact by construction) and ScaleSpec

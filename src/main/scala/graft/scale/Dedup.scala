@@ -82,10 +82,20 @@ object Dedup {
     * default cap no organic corpus is affected (see MaxGroup).
     */
   def jaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
-      n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame = {
-    // one shingling pass: each exploded (shingle, doc) row carries the
-    // doc's distinct-shingle count, so the Jaccard denominator needs no
-    // second corpus scan and no size joins downstream
+      n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame =
+    overlapCounts(docs, textCol, keyCol, n, maxDf)
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared candidate-pair overlap relation for the exact-similarity
+    * family: (d1, d2, c = |shingles ∩|, n1, n2 = distinct-shingle
+    * counts). One shingling pass — each exploded (shingle, doc) row
+    * carries the doc's distinct-shingle count, so similarity denominators
+    * need no second corpus scan and no size joins downstream.
+    */
+  private def overlapCounts(docs: DataFrame, textCol: String, keyCol: String,
+      n: Int, maxDf: Int): DataFrame = {
     val sh = docs
       .select(col(keyCol).as("doc_id"), shingleHashes(col(textCol), n).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("s"))
@@ -95,10 +105,25 @@ object Dedup {
       .select(explode(pairsWithSizes(col("ds"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("c"), first(col("p.n1")).as("n1"), first(col("p.n2")).as("n2"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact n-gram CONTAINMENT pairs ≥ threshold: |A∩B| / min(|A|, |B|) —
+    * the asymmetric near-dup measure. A truncated crawl, a quoted
+    * article, an excerpt shard is ~fully contained in its parent while
+    * its Jaccard resemblance falls with the length ratio, so a
+    * Jaccard-thresholded dedup pass never pairs them; containment reads
+    * 1.0 regardless of the parent's extra length (Broder's containment,
+    * the measure superset-dedup passes run on). Same inverted-index
+    * shape, df-cap, and O(candidate-pairs) cost as [[jaccardPairs]];
+    * jaccard rides along for the contrast report.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, keyCol: String,
+      n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame =
+    overlapCounts(docs, textCol, keyCol, n, maxDf)
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / least(col("n1"), col("n2"))).as("containment"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
 
   val MinHashPerms = 64
   val LshBands = 16

@@ -199,6 +199,52 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n1") + row.getAs[Long]("n2") === total)
   }
 
+  test("ks drift: fixture CDFs — disjoint 1.0, identical 0.0, half-overlap 0.5") {
+    val s = spark; import s.implicits._
+    def ks(rows: (String, Long)*): Map[String, Double] =
+      CorpusStats.ksOf(rows.toDF("source", "n_chars"), "n_chars")
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("ks_len")).toMap
+    // disjoint supports: each side's CDF reaches 1 before the other starts
+    val d = ks("a" -> 1L, "a" -> 1L, "a" -> 2L, "b" -> 5L, "b" -> 6L)
+    assert(d("a") == 1.0 && d("b") == 1.0)
+    // identical distributions
+    val e = ks("a" -> 1L, "a" -> 2L, "b" -> 1L, "b" -> 2L)
+    assert(e("a") == 0.0 && e("b") == 0.0)
+    // F_a = (0.5, 1), F_b = (0, 1) -> D = 0.5
+    val h = ks("a" -> 1L, "a" -> 2L, "b" -> 2L)
+    assert(h("a") == 0.5 && h("b") == 0.5)
+  }
+
+  test("ks drift: matches the naive collected CDF scan at sf0.001") {
+    val pairs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val grid = pairs.map(_._2).distinct.sorted
+    val n = pairs.length.toLong
+    val naive = pairs.map(_._1).distinct.map { src =>
+      val mine = pairs.filter(_._1 == src).map(_._2)
+      val ns = mine.length.toLong
+      val d = grid.map { v =>
+        val cs = mine.count(_ <= v).toLong
+        val cr = pairs.count(_._2 <= v).toLong - cs
+        math.abs(cs * (n - ns) - cr * ns)
+      }.max
+      src -> math.floor(d.toDouble / (ns * (n - ns)).toDouble * 1e6 + 0.5) / 1e6
+    }.toMap
+    val got = CorpusStats.ksDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ks_len")).toMap
+    assert(got == naive, s"got $got naive $naive")
+  }
+
+  test("ks drift plan: windows run post-aggregate, no corpus-wide sort") {
+    val p = plan(CorpusStats.ksDrift(spark, sf))
+    // the document scan feeds a hash aggregate before any Window; the
+    // dense grid joins are broadcast
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embed drift: cosine in [-1,1], shift >= 0, halves partition the table") {
     val r = CorpusStats.embedDrift(spark, sf).collect()
     assert(r.length === 1)

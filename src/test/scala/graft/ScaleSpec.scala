@@ -35,6 +35,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("containment: excerpt fixture reads 1.0 where jaccard stays under 0.5") {
+    import spark.implicits._
+    // B = 4-word prefix of the 12-word A: every B-shingle is in A, so
+    // containment = 1.0 while jaccard = 2 / 10 — invisible to a
+    // resemblance-thresholded pass
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.scale.Dedup.containmentPairs(docs, "text", "doc_id", 3, 0.9)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("d1") == 1L && got(0).getAs[Long]("d2") == 2L)
+    assert(got(0).getAs[Double]("containment") == 1.0)
+    assert(math.abs(got(0).getAs[Double]("jaccard") - 0.2) < 1e-9)
+    // and jaccardPairs at 0.5 indeed misses the pair
+    assert(graft.scale.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5).count() == 0)
+  }
+
+  test("containment query: every planted prefix excerpt pairs with its parent") {
+    val pairs = ScaleQueries.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment"))).toSet
+    // every excerpt doc (parent + 2000000) must be caught against its parent
+    val parents = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    parents.foreach { p =>
+      val hit = pairs.exists(t => t._1 == p && t._2 == p + 2000000L && t._3 >= 0.9)
+      assert(hit, s"excerpt of $p not paired with its parent")
+    }
+    // containment >= jaccard on every reported pair
+    ScaleQueries.containmentPairs(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-9)
+    }
+  }
+
   test("SimHash64 expression is deterministic and codegen-consistent") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox",
