@@ -539,6 +539,105 @@ object ScaleQueries {
        |                            ORDER BY c DESC, bigram ASC) AS rank
        |  FROM counts) WHERE rank <= 5""".stripMargin
 
+  /** PMI-ranked collocations: the top word bigrams by pointwise mutual
+    * information, min-count-gated — the classic corpus-linguistics
+    * extraction (multiword expressions, named-entity fragments, domain
+    * jargon) and the phrase-vocabulary seed for tokenizer/phrase-mining
+    * passes. PMI = ln(p(ab) / (p(a)·p(b))) over bigram vs unigram
+    * distributions.
+    *
+    * Scale shape: token instances shuffle once to vocabulary-bounded
+    * unigram counts and once to bigram counts, both keyed on 8-byte
+    * xxhash64 longs (no term string in a shuffle — house rule); the
+    * min-count filter prunes the bigram relation BEFORE its two
+    * hash-keyed unigram joins; totals ride as broadcasts (the bigram
+    * total comes from a narrow per-document size aggregate, not a third
+    * explode). Winner strings resolve through the [[ngramTopK]]
+    * boundary-tie pattern: the rounded kth PMI broadcasts, the boundary
+    * survivors (bounded by ties at the cut) broadcast against one
+    * re-scan of the grams, and the final rank runs as a window over that
+    * bounded candidate relation only — ROUND BEFORE RANKING with the
+    * bigram-string tiebreak, so rank order cannot flip on an ulp.
+    */
+  val PmiK = 20
+  val PmiMinCount = 5
+
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val wArr = split(trim(lower(col("text"))), "\\s+")
+    val pairsArr = when(size(col("w")) >= 2,
+      zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb"))))
+      .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+    val grams = docs.select(wArr.as("w"))
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val uni = docs.select(explode(wArr).as("term"))
+      .filter(col("term") =!= "")
+      .select(xxhash64(col("term")).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("cu"))
+    val n1 = broadcast(uni.agg(sum(col("cu")).as("n1")))
+    val nb = broadcast(docs.select(greatest(size(wArr) - 1, lit(0)).as("nb0"))
+      .agg(sum(col("nb0")).as("nb")))
+    val scored = grams
+      .select(xxhash64(col("wa")).as("ha"), xxhash64(col("wb")).as("hb"))
+      .groupBy(col("ha"), col("hb")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinCount)
+      .join(uni.select(col("th").as("ha"), col("cu").as("ca")), "ha")
+      .join(uni.select(col("th").as("hb"), col("cu").as("cb")), "hb")
+      .crossJoin(n1).crossJoin(nb)
+      .select(col("ha"), col("hb"), col("cab"),
+        Num.r(log((col("cab").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("n1")) *
+            (col("cb").cast("double") / col("n1")))), 6).as("pmi"))
+    val kth = broadcast(scored.agg(
+      array_min(graft.scale.TopK.topK(col("pmi"), col("ha"), PmiK)
+        .getField("score")).as("kth")))
+    val cands = scored.crossJoin(kth)
+      .filter(col("pmi") >= col("kth"))
+      .select(col("ha"), col("hb"), col("cab"), col("pmi"))
+    val rec = grams
+      .select(col("wa"), col("wb"),
+        xxhash64(col("wa")).as("ha"), xxhash64(col("wb")).as("hb"))
+      .join(broadcast(cands), Seq("ha", "hb"))
+      .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("cab"), col("pmi"))
+      .distinct()
+    rec
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi").desc, col("bigram").asc)))
+      .filter(col("rank") <= PmiK)
+      .select(col("rank"), col("bigram"), col("cab").as("n"), col("pmi"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+       |          SELECT unnest(w) AS term FROM toks) WHERE term <> '' GROUP BY 1),
+       |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+       |nbt AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS nb FROM toks),
+       |bg AS (SELECT p[1] AS wa, p[2] AS wb FROM (
+       |         SELECT unnest(CASE WHEN len(w) >= 2
+       |             THEN list_transform(range(1, len(w)), i -> [w[i], w[i+1]])
+       |             ELSE [] END) AS p
+       |         FROM toks)),
+       |big AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cab
+       |        FROM bg GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+       |scored AS (
+       |  SELECT wa || ' ' || wb AS bigram, cab,
+       |         ${Num.rSql(
+      "ln((CAST(cab AS DOUBLE) / nb) / ((CAST(a.c AS DOUBLE) / n1) * (CAST(b.c AS DOUBLE) / n1)))",
+      6)} AS pmi
+       |  FROM big JOIN uni a ON wa = a.term JOIN uni b ON wb = b.term
+       |  CROSS JOIN n1 CROSS JOIN nbt)
+       |SELECT rank, bigram, cab AS n, pmi FROM (
+       |  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $PmiK""".stripMargin
+
   /** Multimodal asset-table stats through the binary+metadata schema
     * (graft.multimodal): proves the asset plumbing end-to-end with a SQL
     * oracle over the source documents.
@@ -1502,6 +1601,102 @@ object ScaleQueries {
        |$iters
        |SELECT vec_id, pr FROM prr$PrIters ORDER BY pr DESC, vec_id LIMIT 20""".stripMargin
   }
+
+  /** Exact triangle count + global transitivity over an undirected edge
+    * relation — the local-structure audit of a similarity graph (a
+    * well-clustered embedding space closes its wedges; transitivity
+    * collapsing between snapshots flags representation drift that
+    * centroid shift alone misses). Degree-ordered orientation (each edge
+    * points from its lexicographically-smaller (deg, id) endpoint): the
+    * out-degree of every vertex is then O(√m), so the wedge self-join —
+    * the quadratic term — is bounded by Σ outdeg² instead of Σ deg²
+    * (the hub that breaks the naive formulation), every triangle is
+    * counted exactly once, and every step is an equi-join on node ids:
+    * three bounded shuffles, no per-vertex adjacency list in any single
+    * task. Counts are exact integers end to end; transitivity = 3·T /
+    * Σ C(deg,2) is computed as 6·T / Σ deg·(deg−1) so both operands stay
+    * integer, with one final division snapped at 1e-6 (zero-wedge graph
+    * CASE-guarded per the ANSI rule). The edge relation is persisted —
+    * degrees, orientation, and the wedge join all reuse it, and Catalyst
+    * does not CSE logical branches (CLAUDE.md rule).
+    */
+  private[graft] def triangleStatsOf(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("nid"))
+      .unionByName(und.select(col("b").as("nid")))
+      .groupBy(col("nid")).agg(count(lit(1)).as("deg"))
+    // deg has one row per VERTEX — broadcastable at gate scale but not at
+    // 100 TB, so both endpoint lookups are plain equi-joins (AQE may
+    // still choose broadcast when the graph is small)
+    val o = und
+      .join(deg.select(col("nid").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("nid").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .persist()
+    val wedges = o.select(col("u"), col("v").as("wa"), col("dv").as("dva"))
+      .join(o.select(col("u"), col("v").as("wb"), col("dv").as("dvb")), "u")
+      .filter(col("dva") < col("dvb") ||
+        (col("dva") === col("dvb") && col("wa") < col("wb")))
+      .select(col("wa"), col("wb"))
+    val tri = wedges
+      .join(o.select(col("u").as("wa"), col("v").as("wb")), Seq("wa", "wb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg") * (col("deg") - 1)).as("w2"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val out = nodes.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("w2") =!= 0,
+          Num.r((lit(6L) * col("n_triangles")).cast("double") /
+            col("w2").cast("double"), 6)).as("transitivity"))
+      .localCheckpoint()
+    und.unpersist()
+    o.unpersist()
+    out
+  }
+
+  /** Triangle census of the kNN similarity graph (edges undirected from
+    * the directed top-k relation).
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleStatsOf(knnGraph(spark, dir)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b")))
+
+  val triangleCountSql: String =
+    s"""WITH gg AS ($knnGraphSql),
+       |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+       |                        greatest(vec_id, nbr_id) AS b FROM gg),
+       |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS deg FROM (
+       |          SELECT a AS nid FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1),
+       |e AS (SELECT und.a, und.b, x.deg AS da, y.deg AS db
+       |      FROM und JOIN deg x ON und.a = x.nid JOIN deg y ON und.b = y.nid),
+       |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+       |             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+       |      FROM e),
+       |w AS (SELECT x.v AS wa, y.v AS wb
+       |      FROM o x JOIN o y ON x.u = y.u
+       |      WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |      FROM w JOIN o ON w.wa = o.u AND w.wb = o.v),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_triangles,
+       |       CASE WHEN w2 <> 0
+       |            THEN ${Num.rSql(
+      "CAST(6 * n_triangles AS DOUBLE) / CAST(w2 AS DOUBLE)", 6)}
+       |       END AS transitivity
+       |FROM nn CROSS JOIN ne CROSS JOIN t""".stripMargin
 
   /** Deterministic 3-way train/val/test split (80/10/10) from the md5 of
     * the TEXT (same stable-bucket construction as q_corpus_sample: exact
@@ -3403,6 +3598,7 @@ object ScaleQueries {
     "q_weighted_sample" -> weightedSample,
     "q_canonical_docs" -> canonicalDocs,
     "q_ngram_topk" -> ngramTopK,
+    "q_pmi_collocations" -> pmiCollocations,
     "q_frame_sample" -> frameSample,
     "q_image_neardup" -> ((s, d) => graft.multimodal.Multimodal.imageNeardup(s, d)),
     "q_corpus_curation" -> corpusCuration,
@@ -3430,6 +3626,7 @@ object ScaleQueries {
     "q_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "q_knn_delta" -> knnDelta,
     "q_pagerank" -> pagerank,
+    "q_triangle_count" -> triangleCount,
     "q_split_assign" -> splitAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_hybrid_search" -> hybridSearch,
@@ -3443,6 +3640,7 @@ object ScaleQueries {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_delta" -> knnDeltaSql,
     "q_pagerank" -> pagerankSql,
+    "q_triangle_count" -> triangleCountSql,
     "q_split_assign" -> splitAssignSql,
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,
@@ -3499,6 +3697,7 @@ object ScaleQueries {
     "q_weighted_sample" -> weightedSampleSql,
     "q_canonical_docs" -> canonicalDocsSql,
     "q_ngram_topk" -> ngramTopKSql,
+    "q_pmi_collocations" -> pmiCollocationsSql,
     "q_frame_sample" -> frameSampleSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_sample" -> corpusSampleSql,

@@ -70,6 +70,75 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles: K4, path, and K4-minus-an-edge fixtures count exactly") {
+    import spark.implicits._
+    def stats(edges: (Long, Long)*): (Long, Long, Long, Option[Double]) = {
+      val r = ScaleQueries.triangleStatsOf(edges.toDF("a", "b")).collect().head
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_triangles"),
+        Option(r.getAs[java.lang.Double]("transitivity")).map(_.doubleValue))
+    }
+    // K4: 4 triangles, every wedge closed -> transitivity 1
+    val k4 = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(k4 == ((4L, 6L, 4L, Some(1.0))))
+    // path 1-2-3-4: no triangles, wedges open
+    val path = stats(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(path == ((4L, 3L, 0L, Some(0.0))))
+    // K4 minus edge (3,4): 2 triangles; wedges2 = sum deg(deg-1) = 6+6+2+2 = 16
+    val k4m = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L)
+    assert(k4m._3 == 2L && k4m._4 == Some(0.75))
+    // duplicate / reversed / self edges canonicalize away
+    val dup = stats(1L -> 2L, 2L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
+    assert(dup == ((3L, 3L, 1L, Some(1.0))))
+  }
+
+  test("triangle query: count matches a local recomputation of the knn graph") {
+    val edges = ScaleQueries.knnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val naive = und.map { case (x, y) =>
+      (adj(x) & adj(y)).count(z => z > y) // canonical x<y<z per triangle
+    }.sum
+    val got = ScaleQueries.triangleCount(spark, sf).collect().head
+    assert(got.getAs[Long]("n_edges") == und.length.toLong)
+    assert(got.getAs[Long]("n_triangles") == naive.toLong,
+      s"got ${got.getAs[Long]("n_triangles")} naive $naive")
+  }
+
+  test("pmi: matches a local recomputation at sf0.001, ranks deterministically") {
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val words = docs.map(t => t.trim.toLowerCase.split("\\s+"))
+    val uni = new scala.collection.mutable.HashMap[String, Long]()
+    val big = new scala.collection.mutable.HashMap[(String, String), Long]()
+    var nb = 0L
+    words.foreach { w =>
+      w.filter(_.nonEmpty).foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      if (w.length >= 2) {
+        nb += w.length - 1
+        w.sliding(2).foreach(p => big(p(0) -> p(1)) = big.getOrElse(p(0) -> p(1), 0L) + 1)
+      }
+    }
+    val n1 = uni.values.sum
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val naive = big.toSeq
+      .filter { case ((a, b), c) => c >= 5 && uni.contains(a) && uni.contains(b) }
+      .map { case ((a, b), c) =>
+        (s"$a $b", c, snap6(math.log((c.toDouble / nb) /
+          ((uni(a).toDouble / n1) * (uni(b).toDouble / n1)))))
+      }
+      .sortBy { case (bg, _, pmi) => (-pmi, bg) }
+      .take(ScaleQueries.PmiK)
+    val got = ScaleQueries.pmiCollocations(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n"), r.getAs[Double]("pmi")))
+    assert(got.toSeq == naive, s"got ${got.toSeq}\nnaive $naive")
+  }
+
   test("SimHash64 expression is deterministic and codegen-consistent") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox",
