@@ -114,8 +114,13 @@ object Dedup {
     * Jaccard-thresholded dedup pass never pairs them; containment reads
     * 1.0 regardless of the parent's extra length (Broder's containment,
     * the measure superset-dedup passes run on). Same inverted-index
-    * shape, df-cap, and O(candidate-pairs) cost as [[jaccardPairs]];
-    * jaccard rides along for the contrast report.
+    * shape, df-cap, and O(candidate-pairs) cost as [[jaccardPairs]] —
+    * and the same EXACT-TIER status: Σ C(df,2) pair expansion is
+    * quadratic in duplication density (BASELINE.md round-7 sf1 spot
+    * check: ~23 s warm on the adversarial ScaleUp corpus, right beside
+    * the exact jaccard entry). The bounded verification baseline; at
+    * volume run it on post-LSH / delta candidate sets, not the raw
+    * corpus. Jaccard rides along for the contrast report.
     */
   def containmentPairs(docs: DataFrame, textCol: String, keyCol: String,
       n: Int, threshold: Double, maxDf: Int = MaxGroup): DataFrame =
