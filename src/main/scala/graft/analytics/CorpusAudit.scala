@@ -744,6 +744,76 @@ object CorpusAudit {
   }
 
   // ---------------------------------------------------------------------
+  // Neyman-allocation audit sampling design.
+  // ---------------------------------------------------------------------
+
+  /** Fixed total audit-sample budget. */
+  val AuditBudget = 1000
+
+  /** Neyman (variance-optimal) allocation of a fixed audit-sample budget
+    * across sources: n_h ∝ N_h·σ_h — the stratified-sampling design that
+    * minimizes the variance of the corpus-wide estimate for a fixed
+    * number of human-audited documents (big uniform strata need few
+    * samples; small high-variance strata need many). σ here is the
+    * population sd of document length, the variable a length-biased
+    * audit estimate is most sensitive to.
+    *
+    * Scale shape: one hash-aggregate shuffle to per-source exact integer
+    * moments (n, Σx, Σx² — n_chars is integer so both sums are exact
+    * BIGINTs; Σx² stays under 2^63 to ~10⁹ docs/source at 10⁴ chars);
+    * everything after runs on the source-bounded relation, with the
+    * budget total as ANOTHER WINDOW over it (one fact scan — the
+    * ValueQuantiles pattern, since Catalyst does not CSE a reused
+    * branch). Cross-engine: σ is snapped to the 1e-6 grid before the
+    * total, the total snaps on the 1e2 grid (accumulation noise over
+    * source-count terms ≪ half a step at any corpus magnitude), and the
+    * share/allocation divisions then run on identical doubles. The
+    * degenerate all-constant corpus (t = 0) is CASE-guarded.
+    */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val s2 = m.select(col("source"), col("n_docs"),
+      Num.r(sqrt(greatest(
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n_docs")) /
+          col("n_docs"), lit(0.0))), 6).as("sig6"))
+    val wAll = Window.partitionBy(lit(0))
+    val term = col("n_docs").cast("double") * col("sig6")
+    s2.withColumn("t", Num.r(sum(term).over(wAll), -2))
+      .select(col("source"), col("n_docs"), col("sig6").as("sigma_chars"),
+        when(col("t") =!= 0.0, Num.r(term / col("t"), 6)).as("alloc_share"),
+        when(col("t") =!= 0.0,
+          Num.r(lit(AuditBudget.toDouble) * (term / col("t")), 0).cast("long"))
+          .as("alloc_n"))
+  }
+
+  val neymanAllocSql: String =
+    s"""WITH m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS sx,
+       |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1),
+       |s2 AS (
+       |  SELECT source, n_docs,
+       |         ${Num.rSql(
+      "sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / n_docs, 0.0))",
+      6)} AS sig6
+       |  FROM m),
+       |t AS (SELECT ${Num.rSql("sum(CAST(n_docs AS DOUBLE) * sig6)", -2)} AS t FROM s2)
+       |SELECT source, n_docs, sig6 AS sigma_chars,
+       |       CASE WHEN t <> 0.0
+       |            THEN ${Num.rSql("CAST(n_docs AS DOUBLE) * sig6 / t", 6)} END AS alloc_share,
+       |       CASE WHEN t <> 0.0
+       |            THEN CAST(${Num.rSql(
+      s"${AuditBudget.toDouble} * (CAST(n_docs AS DOUBLE) * sig6 / t)", 0)} AS BIGINT)
+       |       END AS alloc_n
+       |FROM s2 CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> splitLeakageQ,
@@ -754,7 +824,8 @@ object CorpusAudit {
     "q_dup_threshold_sweep" -> dupThresholdSweep,
     "q_score_znorm" -> scoreZnorm,
     "q_data_card" -> dataCard,
-    "q_spearman_quality" -> spearmanQuality)
+    "q_spearman_quality" -> spearmanQuality,
+    "q_neyman_alloc" -> neymanAlloc)
 
   val oracles: Map[String, String] = Map(
     "q_split_leakage" -> splitLeakageSql,
@@ -765,5 +836,6 @@ object CorpusAudit {
     "q_dup_threshold_sweep" -> dupThresholdSweepSql,
     "q_score_znorm" -> scoreZnormSql,
     "q_data_card" -> dataCardSql,
-    "q_spearman_quality" -> spearmanQualitySql)
+    "q_spearman_quality" -> spearmanQualitySql,
+    "q_neyman_alloc" -> neymanAllocSql)
 }

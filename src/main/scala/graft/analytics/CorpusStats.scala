@@ -733,6 +733,64 @@ object CorpusStats {
   }
 
   // ---------------------------------------------------------------------
+  // Per-source readability profile.
+  // ---------------------------------------------------------------------
+
+  /** Flesch reading-ease profile per source: 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W), with syllables approximated as vowel-group runs and
+    * sentences as terminal-punctuation runs — the standard cheap proxy
+    * (exact syllabification needs a dictionary; the vowel-run estimate
+    * is the one production quality filters ship). A source whose
+    * readability drifts (crawler starts ingesting minified JS, OCR noise,
+    * legalese) moves this dial before the vocabulary dials notice.
+    *
+    * Scale shape: three regexp counters per document inside the scan
+    * projection (codegen'd, no explode — the token arrays never
+    * materialize past the size() call), then one hash aggregate to
+    * per-source sums. W/S/Syl are integer-valued doubles so their sums
+    * are exact below 2^53; per-document scores are snapped at 1e-6
+    * before the savg (sum grid 1e-2 — accumulation noise over 10¹⁰ docs
+    * stays under half a step). W and S are clamped ≥ 1 in both engines
+    * (ANSI divide-by-zero rule).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = greatest(size(split(trim(lower(col("text"))), "\\s+")), lit(1))
+      .cast("double")
+    val sent = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+      lit(1)).cast("double")
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    val flesch = Num.r(
+      lit(206.835) - lit(1.015) * (col("w") / col("s")) -
+        lit(84.6) * (col("y") / col("w")), 6)
+    Tables.documents(spark, dir)
+      .select(col("source"), w0.as("w"), sent.as("s"), syl.as("y"))
+      .select(col("source"), col("w"), col("s"), col("y"), flesch.as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Num.savg(sum(col("f")), count(lit(1)), 2, 4).as("avg_flesch"),
+        Num.r(sum(col("w")) / sum(col("s")), 6).as("words_per_sentence"),
+        Num.r(sum(col("y")) / sum(col("w")), 6).as("syllables_per_word"))
+  }
+
+  val readabilitySql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) AS DOUBLE) AS w,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, w, s, y,
+       |         ${Num.rSql("206.835 - 1.015 * (w / s) - 84.6 * (y / w)", 6)} AS f
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${Num.savgSql("sum(f)", "count(*)", 2, 4)} AS avg_flesch,
+       |       ${Num.rSql("sum(w) / sum(s)", 6)} AS words_per_sentence,
+       |       ${Num.rSql("sum(y) / sum(w)", 6)} AS syllables_per_word
+       |FROM f GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-source two-sample Kolmogorov–Smirnov drift.
   // ---------------------------------------------------------------------
 
@@ -833,6 +891,7 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_drift" -> ksDrift,
+    "q_readability" -> readability,
     "q_vocab_entropy" -> vocabEntropy,
     "q_source_kl" -> sourceKl,
     "q_source_overlap" -> sourceOverlap,
@@ -847,6 +906,7 @@ object CorpusStats {
 
   val oracles: Map[String, String] = Map(
     "q_ks_drift" -> ksDriftSql,
+    "q_readability" -> readabilitySql,
     "q_vocab_entropy" -> vocabEntropySql,
     "q_source_kl" -> sourceKlSql,
     "q_source_overlap" -> sourceOverlapSql,

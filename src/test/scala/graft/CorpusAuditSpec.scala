@@ -261,6 +261,41 @@ class CorpusAuditSpec extends AnyFunSuite {
       s"got ${got.getAs[Double]("rho_len_quality")} naive $naive")
   }
 
+  test("neyman: allocation matches a local recomputation; shares sum to ~1") {
+    def snap(x: Double, s: Int) = {
+      val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+    }
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toLong
+      val sx = v.sum
+      val sxx = v.map(x => x * x).sum
+      val sig = snap(math.sqrt(math.max(
+        (sxx.toDouble - sx.toDouble * sx.toDouble / n) / n, 0.0)), 6)
+      s -> ((n, sig))
+    }
+    val t = snap(bySrc.values.map { case (n, sig) => n.toDouble * sig }.sum, -2)
+    val got = CorpusAudit.neymanAlloc(spark, sf).collect()
+    assert(got.length == bySrc.size)
+    var shareSum = 0.0
+    got.foreach { r =>
+      val (n, sig) = bySrc(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Double]("sigma_chars") == sig)
+      val share = snap(n.toDouble * sig / t, 6)
+      assert(r.getAs[Double]("alloc_share") == share)
+      assert(r.getAs[Long]("alloc_n") ==
+        snap(CorpusAudit.AuditBudget.toDouble * (n.toDouble * sig / t), 0).toLong)
+      shareSum += share
+    }
+    // shares sum to Σterms/t_snapped: the 1e2-grid snap of t moves the
+    // total by up to 50/t, plus 5e-7 half-up wander per source
+    assert(math.abs(shareSum - 1.0) <= 50.0 / t + 5e-7 * bySrc.size)
+  }
+
   test("spearman plan: rank joins broadcast, corpus never globally sorted") {
     val p = plan(CorpusAudit.spearmanQuality(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

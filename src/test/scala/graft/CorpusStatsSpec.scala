@@ -199,6 +199,39 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n1") + row.getAs[Long]("n2") === total)
   }
 
+  test("readability: matches a local regex recomputation at sf0.001") {
+    def snap(x: Double, s: Int) = {
+      val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+    }
+    val vowel = "[aeiouy]+".r
+    val sentRe = "[.!?]+".r
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val naive = rows.groupBy(_._1).map { case (src, docs) =>
+      val triples = docs.map { case (_, t) =>
+        val w = math.max(t.trim.toLowerCase.split("\\s+").length, 1).toDouble
+        val s = math.max(sentRe.findAllIn(t).length, 1).toDouble
+        val y = vowel.findAllIn(t.toLowerCase).length.toDouble
+        (w, s, y, snap(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6))
+      }
+      val (ws, ss, ys, fs) = (triples.map(_._1).sum, triples.map(_._2).sum,
+        triples.map(_._3).sum, triples.map(_._4).sum)
+      src -> ((triples.length.toLong, snap(snap(fs, 2) / triples.length, 4),
+        snap(ws / ss, 6), snap(ys / ws, 6)))
+    }
+    val got = CorpusStats.readability(spark, sf).collect()
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val (n, f, wps, spw) = naive(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Double]("avg_flesch") == f,
+        s"${r.getString(0)}: got ${r.getAs[Double]("avg_flesch")} want $f")
+      assert(r.getAs[Double]("words_per_sentence") == wps)
+      assert(r.getAs[Double]("syllables_per_word") == spw)
+    }
+  }
+
   test("ks drift: fixture CDFs — disjoint 1.0, identical 0.0, half-overlap 0.5") {
     val s = spark; import s.implicits._
     def ks(rows: (String, Long)*): Map[String, Double] =
