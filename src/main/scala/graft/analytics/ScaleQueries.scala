@@ -1698,6 +1698,66 @@ object ScaleQueries {
        |       END AS transitivity
        |FROM nn CROSS JOIN ne CROSS JOIN t""".stripMargin
 
+  /** Neighborhood-coherence outliers: for every vector, the cosine
+    * between its embedding and the MEAN of its kNN neighbors' embeddings
+    * — one round of GraphSAGE-style mean aggregation used as an audit
+    * signal. A low-coherence vector sits in a neighborhood that
+    * disagrees with it: a mislabeled document, a boundary point between
+    * clusters, or an embedding-pipeline glitch — exactly the review
+    * queue a SemDeDup-style curation run wants ranked. Bottom-20
+    * reported.
+    *
+    * Scale shape: message passing as relational algebra — one
+    * edges⋈embeddings equi-join, one VecSumAgg per vertex (fixed
+    * dim-doubles state, no dim× row expansion), one join back for the
+    * self side, and the bounded TopKAgg on the NEGATED score for the
+    * bottom-k (no corpus-wide sort). Mean components snap on the 1e-9
+    * grid before the cosine (k-neighbor float sums can differ by an ulp
+    * in accumulation order across engines), and the final score rounds
+    * at 1e-6 BEFORE ranking with the id tiebreak.
+    */
+  def graphCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+    val meanV = edges
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
+        "nbr_id")
+      .groupBy(col("vec_id"))
+      .agg(graft.scale.VecSum.vecSum(col("nbr_emb")).as("vs"))
+      .select(col("vec_id"),
+        transform(col("vs.sums"), x => Num.r(x / col("vs.n"), 9)).as("m"))
+    val den = Similarity.norm(col("embedding")) * Similarity.norm(col("m"))
+    val scored = meanV
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"),
+        Num.r(when(den > 0,
+          Similarity.dot(col("embedding"), col("m")) / den).otherwise(0.0), 6)
+          .as("coherence"))
+    scored
+      .agg(graft.scale.TopK.topK(col("coherence") * lit(-1.0), col("vec_id"), 20)
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).as("rank"), col("e.id").as("vec_id"),
+        Num.r(col("e.score") * lit(-1.0), 6).as("coherence"))
+  }
+
+  val graphCoherenceSql: String =
+    s"""WITH gg AS ($knnGraphSql),
+       |e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
+       |nm AS (
+       |  SELECT g.vec_id, t.i, ${Num.rSql("avg(e.v[i])", 9)} AS mu
+       |  FROM gg g JOIN e ON e.vec_id = g.nbr_id CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY 1, 2),
+       |mv AS (SELECT vec_id, array_agg(mu ORDER BY i) AS m FROM nm GROUP BY 1),
+       |sc AS (
+       |  SELECT e.vec_id, ${Num.rSql(cosSql("e.v", "mv.m"), 6)} AS coherence
+       |  FROM mv JOIN e ON mv.vec_id = e.vec_id)
+       |SELECT rank, vec_id, coherence FROM (
+       |  SELECT vec_id, coherence,
+       |         row_number() OVER (ORDER BY coherence ASC, vec_id ASC) AS rank
+       |  FROM sc)
+       |WHERE rank <= 20""".stripMargin
+
   /** Deterministic 3-way train/val/test split (80/10/10) from the md5 of
     * the TEXT (same stable-bucket construction as q_corpus_sample: exact
     * duplicates land in the same split, re-runs are reproducible across
@@ -3627,6 +3687,7 @@ object ScaleQueries {
     "q_knn_delta" -> knnDelta,
     "q_pagerank" -> pagerank,
     "q_triangle_count" -> triangleCount,
+    "q_graph_coherence" -> graphCoherence,
     "q_split_assign" -> splitAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_hybrid_search" -> hybridSearch,
@@ -3641,6 +3702,7 @@ object ScaleQueries {
     "q_knn_delta" -> knnDeltaSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_graph_coherence" -> graphCoherenceSql,
     "q_split_assign" -> splitAssignSql,
     "q_bigram_logprob" -> bigramLogprobSql,
     "q_hybrid_search" -> hybridSearchSql,

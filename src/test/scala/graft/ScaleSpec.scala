@@ -109,6 +109,32 @@ class ScaleSpec extends AnyFunSuite {
       s"got ${got.getAs[Long]("n_triangles")} naive $naive")
   }
 
+  test("coherence: bottom-20 matches a local mean-neighbor recomputation") {
+    def snap(x: Double, s: Int) = {
+      val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val nbrs = ScaleQueries.knnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val naive = nbrs.toSeq.map { case (id, ns) =>
+      val dim = emb(id).length
+      val m = Array.tabulate(dim)(i => snap(ns.map(n => emb(n)(i)).sum / ns.length, 9))
+      val v = emb(id)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(dot(v, v)) * math.sqrt(dot(m, m))
+      id -> snap(if (den > 0) dot(v, m) / den else 0.0, 6)
+    }.sortBy { case (id, c) => (c, id) }.take(20)
+    val got = ScaleQueries.graphCoherence(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("coherence"))
+    assert(got.toSeq == naive, s"got ${got.toSeq}\nnaive $naive")
+  }
+
   test("pmi: matches a local recomputation at sf0.001, ranks deterministically") {
     val docs = Tables.documents(spark, sf).select("text").collect()
       .map(_.getString(0))
