@@ -689,9 +689,14 @@ object CorpusAudit {
     */
   def spearmanQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // persisted: the scored relation feeds BOTH rank histograms and the
+    // moment scan, and Catalyst does not CSE logical branches — without
+    // this the classifier scan+join re-runs three times (ABBench spearman
+    // arms at sf1: 2.8 s warm unpersisted → 1.65 s persisted)
     val scored = ScaleQueries.qualityClassify(docs)
       .select(col("doc_id"), col("prob"))
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .persist()
     val rx = doubledRanks(scored, "prob", "rx")
     val ry = doubledRanks(scored, "n_chars", "ry")
     val j = scored
@@ -706,10 +711,15 @@ object CorpusAudit {
       Num.r(sum((col("rx") * col("ry")).cast("double")), -4).as("sxy"))
     val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
       sqrt(col("n") * col("syy") - col("sy") * col("sy"))
-    m.select(col("n"),
+    // materialize the one-row result eagerly so the scored cache can be
+    // released before returning (the pagerank/triangleStatsOf pattern)
+    val out = m.select(col("n"),
       when(den =!= 0.0,
         Num.r((col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
         .as("rho_len_quality"))
+      .localCheckpoint()
+    scored.unpersist()
+    out
   }
 
   /** DuckDB replay: 2·midrank = 2·rank() + tie-count − 1 (rank() = 1 +

@@ -575,8 +575,65 @@ object ABBench {
       time(s"simhash_7chunk_$i") { simhashPairs7chunk(spark, sfDir).count() }
       time(s"simhash_8x8pair_$i") { analytics.ScaleQueries.simhashPairs(spark, sfDir).count() }
       time(s"minhash_pairs_$i") { analytics.ScaleQueries.minhashPairs(spark, sfDir).count() }
+      // round-7 sixth-session wave: corpus-wide-window baselines vs the
+      // registered bounded-histogram decompositions, plus the new graph
+      // and collocation plans for trend tracking
+      time(s"spearman_window_$i") { spearmanWindowed(spark, sfDir).count() }
+      time(s"spearman_hist_$i") { analytics.CorpusAudit.spearmanQuality(spark, sfDir).count() }
+      time(s"ks_window_$i") { ksWindowed(spark, sfDir).count() }
+      time(s"ks_hist_$i") { analytics.CorpusStats.ksDrift(spark, sfDir).count() }
+      time(s"triangle_$i") { analytics.ScaleQueries.triangleCount(spark, sfDir).count() }
+      time(s"coherence_$i") { analytics.ScaleQueries.graphCoherence(spark, sfDir).count() }
+      time(s"pmi_$i") { analytics.ScaleQueries.pmiCollocations(spark, sfDir).count() }
     }
     spark.stop()
+  }
+
+  /** Naive Spearman: corpus-wide midranks from row_number/avg windows
+    * over the FULL scored relation — one task sorts the corpus twice.
+    * The shape CorpusAudit.spearmanQuality's bounded value-histogram
+    * decomposition exists to avoid.
+    */
+  private def spearmanWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = analytics.ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    def midrank(v: String) =
+      avg(row_number().over(Window.orderBy(col(v))))
+        .over(Window.partitionBy(col(v)))
+    scored.withColumn("rx", midrank("prob"))
+      .withColumn("ry", midrank("n_chars"))
+      .agg(corr(col("rx"), col("ry")).as("rho"))
+  }
+
+  /** Naive KS: row-level cumulative counts from a corpus-wide
+    * single-partition range window (plus a per-source one) — the CDFs
+    * CorpusStats.ksOf derives from the bounded value histogram instead.
+    */
+  private def ksWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val wAll = Window.orderBy(col("n_chars"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySrc = broadcast(d.groupBy("source").agg(count(lit(1)).as("ns")))
+    val tot = broadcast(d.agg(count(lit(1)).as("n")))
+    d.withColumn("call", count(lit(1)).over(wAll))
+      .withColumn("cs", count(lit(1)).over(wSrc))
+      .join(bySrc, "source").crossJoin(tot)
+      .select(col("source"), col("ns"), col("n"),
+        abs(col("cs") * (col("n") - col("ns")) -
+          (col("call") - col("cs")) * col("ns")).as("num"))
+      .groupBy(col("source"), col("ns"), col("n"))
+      .agg(max(col("num")).as("m"))
+      .select(col("source"), col("ns").as("n_docs"),
+        when(col("ns") * (col("n") - col("ns")) =!= 0,
+          Num.r(col("m").cast("double") /
+            (col("ns") * (col("n") - col("ns"))).cast("double"), 6))
+          .as("ks_len"))
   }
 
   /** Basket pairs via the corpus-wide self-join — the shape the grouped

@@ -297,7 +297,14 @@ class CorpusAuditSpec extends AnyFunSuite {
   }
 
   test("spearman plan: rank joins broadcast, corpus never globally sorted") {
-    val p = plan(CorpusAudit.spearmanQuality(spark, sf))
+    // spearmanQuality itself returns a localCheckpoint (cache-release
+    // pattern), so assemble the same pre-checkpoint composition here
+    val docs = Tables.documents(spark, sf)
+    val scored = graft.analytics.ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val p = plan(scored.join(
+      broadcast(CorpusAudit.doubledRanks(scored, "prob", "rx")), "prob"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     // the only Sort+Window pair may run over the bounded distinct-value
     // relations (partial agg upstream); a corpus-wide window would show a
