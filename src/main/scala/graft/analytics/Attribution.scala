@@ -208,15 +208,165 @@ object Attribution {
        |       END AS intercept
        |FROM sl""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Markov removal-effect (data-driven) attribution.
+  // ---------------------------------------------------------------------
+
+  /** Absorption horizon: reach-within-8-steps, the documented truncation
+    * (the chain's spectral gap makes longer horizons move the shares
+    * below the 1e-6 display grid on this data).
+    */
+  val MarkovSteps = 8
+
+  /** Markov removal-effect attribution — the data-driven model that
+    * replaces positional heuristics (last/linear touch): build the
+    * first-order journey chain with a synthetic `(start)` state and
+    * `purchase` absorbing, compute the start→purchase absorption
+    * probability, then re-compute it with each channel's state REMOVED;
+    * a channel's credit is its removal effect 1 − reach₋c/reach,
+    * normalized over channels (negative effects clamp to zero, the
+    * standard convention).
+    *
+    * Scale shape: the event stream is touched exactly twice — the
+    * pane-decomposed transition counts ([[graft.scale.SlidingAgg]], no
+    * per-user history sort) and a grouped-argmax first-touch aggregate —
+    * and everything after runs on the |types+1|²-bounded transition
+    * matrix, localCheckpointed once and reused by every removal arm (the
+    * branch-reuse rule). All K+1 arms advance TOGETHER as one (rc, state)
+    * relation per step — K+1 chains cost the same three bounded shuffles
+    * per step as one. Products/sums re-snap at 1e-9 every step
+    * (q_purchase_reach discipline) so both engines iterate identical
+    * doubles; the share normalizer snaps before the final division.
+    */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val pairs = graft.scale.SlidingAgg.transitionCounts(
+      ev, Seq("user_id"), col("ts"), col("event_type"), col("event_id"),
+      7L * 86400 * 1000000)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+      .groupBy(col("f.event_type").as("next")).agg(count(lit(1)).as("n"))
+      .select(lit("(start)").as("prev"), col("next"), col("n"))
+    val counts = pairs.select(col("prev"), col("next"), col("n"))
+      .unionByName(firsts)
+    val totals = counts.groupBy(col("prev")).agg(sum(col("n")).as("tn"))
+    val trans = counts.join(totals, "prev")
+      .select(col("prev"), col("next"),
+        Num.r(col("n").cast("double") / col("tn"), 9).as("p"))
+      .localCheckpoint()
+    val channels = trans.select(col("prev").as("rc")).distinct()
+      .filter(col("rc") =!= "(start)" && col("rc") =!= "purchase")
+      .unionByName(spark.range(1).select(lit("(none)").as("rc")))
+    val trx = channels.crossJoin(trans)
+      .filter(col("prev") =!= col("rc") && col("next") =!= col("rc"))
+    val direct = channels
+      .crossJoin(trans.select(col("prev").as("state")).distinct())
+      .filter(col("state") =!= col("rc"))
+      .join(trx.filter(col("next") === "purchase")
+        .select(col("rc"), col("prev").as("state"), col("p").as("d0")),
+        Seq("rc", "state"), "left")
+      .select(col("rc"), col("state"), coalesce(col("d0"), lit(0.0)).as("d"))
+    var reach = direct.select(col("rc"), col("state"), col("d").as("reach"))
+      .localCheckpoint()
+    for (_ <- 2 to MarkovSteps) {
+      val contrib = trx.filter(col("next") =!= "purchase")
+        .join(reach.select(col("rc"), col("state").as("next"), col("reach")),
+          Seq("rc", "next"))
+        .groupBy(col("rc"), col("prev").as("state"))
+        .agg(Num.r(sum(col("p") * col("reach")), 9).as("c"))
+      reach = direct.join(contrib, Seq("rc", "state"), "left")
+        .select(col("rc"), col("state"),
+          Num.r(col("d") + coalesce(col("c"), lit(0.0)), 9).as("reach"))
+        .localCheckpoint()
+    }
+    val startReach = reach.filter(col("state") === "(start)")
+      .select(col("rc"), col("reach"))
+    val base = broadcast(startReach.filter(col("rc") === "(none)")
+      .select(col("reach").as("base")))
+    val eff = startReach.filter(col("rc") =!= "(none)")
+      .crossJoin(base)
+      .select(col("rc").as("channel"), col("reach").as("reach_removed"),
+        col("base").as("reach_full"),
+        when(col("base") > 0,
+          Num.r(lit(1.0) - col("reach") / col("base"), 6)).as("removal_effect"))
+    val clamped = when(col("removal_effect") > 0, col("removal_effect"))
+      .otherwise(0.0)
+    val wAll = Window.partitionBy(lit(0))
+    eff.withColumn("tot", Num.r(sum(clamped).over(wAll), 9))
+      .select(col("channel"), col("reach_removed"), col("reach_full"),
+        col("removal_effect"),
+        when(col("tot") > 0, Num.r(clamped / col("tot"), 6))
+          .as("attribution_share"))
+  }
+
+  val markovAttributionSql: String = {
+    val steps = (2 to MarkovSteps).map { k =>
+      s"""c$k AS (
+         |  SELECT trx.rc, trx.prev AS state, ${Num.rSql("sum(trx.p * r" + (k - 1) + ".reach)", 9)} AS c
+         |  FROM trx JOIN r${k - 1} ON trx.rc = r${k - 1}.rc AND trx.next = r${k - 1}.state
+         |  WHERE trx.next <> 'purchase' GROUP BY 1, 2),
+         |r$k AS (
+         |  SELECT dct.rc, dct.state, ${Num.rSql(s"dct.d + coalesce(c$k.c, 0.0)", 9)} AS reach
+         |  FROM dct LEFT JOIN c$k ON dct.rc = c$k.rc AND dct.state = c$k.state)""".stripMargin
+    }.mkString(",\n")
+    val clampedSql = "CASE WHEN removal_effect > 0 THEN removal_effect ELSE 0.0 END"
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |c0 AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+       |       FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |fst AS (SELECT '(start)' AS prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT event_type, row_number() OVER (PARTITION BY user_id
+       |                ORDER BY ts, event_id) AS rn FROM events)
+       |        WHERE rn = 1 GROUP BY 1, 2),
+       |cnt AS (SELECT * FROM c0 UNION ALL SELECT * FROM fst),
+       |tt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
+       |tr AS (SELECT cnt.prev, cnt.next,
+       |              ${Num.rSql("CAST(cnt.n AS DOUBLE) / tt.tn", 9)} AS p
+       |       FROM cnt JOIN tt USING (prev)),
+       |ch AS (SELECT DISTINCT prev AS rc FROM tr
+       |       WHERE prev NOT IN ('(start)', 'purchase')
+       |       UNION ALL SELECT '(none)'),
+       |trx AS (SELECT ch.rc, tr.prev, tr.next, tr.p FROM ch CROSS JOIN tr
+       |        WHERE tr.prev <> ch.rc AND tr.next <> ch.rc),
+       |sts AS (SELECT ch.rc, p.prev AS state
+       |        FROM ch CROSS JOIN (SELECT DISTINCT prev FROM tr) p
+       |        WHERE p.prev <> ch.rc),
+       |dct AS (SELECT sts.rc, sts.state, coalesce(t.p, 0.0) AS d
+       |        FROM sts LEFT JOIN
+       |          (SELECT rc, prev, p FROM trx WHERE next = 'purchase') t
+       |          ON sts.rc = t.rc AND sts.state = t.prev),
+       |r1 AS (SELECT rc, state, d AS reach FROM dct),
+       |$steps,
+       |sr AS (SELECT rc, reach FROM r$MarkovSteps WHERE state = '(start)'),
+       |base AS (SELECT reach AS base FROM sr WHERE rc = '(none)'),
+       |eff AS (SELECT rc AS channel, sr.reach AS reach_removed,
+       |               base.base AS reach_full,
+       |               CASE WHEN base.base > 0
+       |                    THEN ${Num.rSql("1.0 - sr.reach / base.base", 6)}
+       |               END AS removal_effect
+       |        FROM sr CROSS JOIN base WHERE rc <> '(none)'),
+       |tot AS (SELECT ${Num.rSql(s"sum($clampedSql)", 9)} AS tot FROM eff)
+       |SELECT channel, reach_removed, reach_full, removal_effect,
+       |       CASE WHEN tot > 0
+       |            THEN ${Num.rSql(s"($clampedSql) / tot", 6)}
+       |       END AS attribution_share
+       |FROM eff CROSS JOIN tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution_last" -> lastTouch,
     "q_attribution_linear" -> linearTouch,
+    "q_attribution_markov" -> markovAttribution,
     "q_recency_engagement" -> recencyEngagement,
     "q_revenue_trend" -> revenueTrend)
 
   val oracles: Map[String, String] = Map(
     "q_attribution_last" -> lastTouchSql,
     "q_attribution_linear" -> linearTouchSql,
+    "q_attribution_markov" -> markovAttributionSql,
     "q_recency_engagement" -> recencyEngagementSql,
     "q_revenue_trend" -> revenueTrendSql)
 }

@@ -94,6 +94,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("markov attribution matches a local 8-step absorption recomputation") {
+    def snap(x: Double, s: Int) = {
+      val p = math.pow(10, s); math.floor(x * p + 0.5) / p
+    }
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // transition + first-touch counts under the (ts, event_id) order
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      counts(("(start)", ordered.head)) =
+        counts.getOrElse(("(start)", ordered.head), 0L) + 1
+      ordered.sliding(2).filter(_.length == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val totals = counts.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val p = counts.map { case ((a, b), n) => (a, b) -> snap(n.toDouble / totals(a), 9) }
+    val states = totals.keys.toSeq
+    val channels = states.filter(s => s != "(start)" && s != "purchase")
+    def reach8(rc: String): Double = {
+      val st = states.filter(_ != rc)
+      val d = st.map(s =>
+        s -> p.getOrElse((s, "purchase"), 0.0)).toMap
+      var reach = d
+      for (_ <- 2 to analytics.Attribution.MarkovSteps) {
+        val prev = reach
+        reach = st.map { i =>
+          val c = snap(st.filter(j => j != "purchase" && prev.contains(j))
+            .map(j => p.getOrElse((i, j), 0.0) * prev(j)).sum, 9)
+          i -> snap(d(i) + c, 9)
+        }.toMap
+      }
+      reach("(start)")
+    }
+    val base = reach8("(none)")
+    val eff = channels.map { c =>
+      val r = reach8(c)
+      c -> (r, if (base > 0) Some(snap(1.0 - r / base, 6)) else None)
+    }.toMap
+    val tot = snap(eff.values.map(_._2.map(x => math.max(x, 0.0)).getOrElse(0.0)).sum, 9)
+    val got = analytics.Attribution.markovAttribution(spark, sf).collect()
+    assert(got.length == channels.size)
+    got.foreach { r =>
+      val ch = r.getString(0)
+      val (rr, re) = eff(ch)
+      assert(r.getAs[Double]("reach_removed") == rr, s"$ch reach")
+      assert(r.getAs[Double]("reach_full") == base, s"$ch base")
+      assert(Option(r.getAs[java.lang.Double]("removal_effect"))
+        .map(_.doubleValue) == re, s"$ch effect")
+      // removing a state only deletes paths: reach can never increase
+      assert(rr <= base + 1e-9, s"$ch monotone")
+      val wantShare =
+        if (tot > 0) Some(snap(re.map(x => math.max(x, 0.0)).getOrElse(0.0) / tot, 6))
+        else None
+      assert(Option(r.getAs[java.lang.Double]("attribution_share"))
+        .map(_.doubleValue) == wantShare, s"$ch share")
+    }
+  }
+
   test("CDC apply: snapshot diff applied to the T1 state reproduces the T2 state") {
     val sf = "/root/testdata/sf0.001"
     def stateAt(cut: String) = Tables.orders(spark, sf)
