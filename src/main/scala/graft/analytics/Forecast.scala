@@ -152,11 +152,107 @@ object Forecast {
        |FROM pairs CROSS JOIN den
        |GROUP BY lag, den""".stripMargin
 
+  /** Holt–Winters constants — identical literals in both engines. */
+  val HwAlpha = 0.3
+  val HwBeta = 0.1
+  val HwGamma = 0.2
+
+  /** Additive Holt–Winters (triple exponential smoothing) with weekly
+    * period 7 over the GAP-FILLED daily revenue grid — the seasonal
+    * completion of [[holtForecast]] (whose q_acf sibling is the detector
+    * that says period 7 is there). Per day: level, trend, the day's
+    * updated seasonal slot, and the one-step forecast l + b + s_next.
+    * Deterministic init (l₁ = y₁, b₁ = 0, s = 0⃗) so no lookahead pass
+    * exists; slots align to the dense calendar (slot = (i−1) mod 7 + 1),
+    * which is why the series must be gap-filled first.
+    *
+    * Same scale stance and O(grid²) fold bound as [[holtForecast]] (the
+    * recurrence is nonlinear state over the calendar-bounded grid; the
+    * corpus was already collapsed by the daily aggregate and the fill is
+    * one sequence span). Level/trend/seasonal all re-snap at 1e-9 per
+    * step, so both engines iterate bit-identical doubles; the oracle is
+    * the same recursive CTE shape carrying the 7-slot seasonal list
+    * (indexed-lambda update, 1-based like the Spark side's j + 1).
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0.0)).as("y"))
+    val prev = "element_at(acc, size(acc))"
+    val kEx = s"(($prev.i) % 7) + 1"
+    val sPrev = s"element_at($prev.s, $kEx)"
+    val lNew = s"floor(($HwAlpha * (x.y - $sPrev) + ${1.0 - HwAlpha} * " +
+      s"($prev.l + $prev.b)) * 1000000000D + 0.5D) / 1000000000D"
+    val bNew = s"floor(($HwBeta * (($lNew) - $prev.l) + ${1.0 - HwBeta} * " +
+      s"$prev.b) * 1000000000D + 0.5D) / 1000000000D"
+    val sNew = s"floor(($HwGamma * (x.y - ($lNew)) + ${1.0 - HwGamma} * " +
+      s"$sPrev) * 1000000000D + 0.5D) / 1000000000D"
+    val folded = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("a"))
+      .select(explode(expr(
+        s"""aggregate(a,
+           |  cast(array() as array<struct<i:int,day:date,y:double,l:double,b:double,s:array<double>>>),
+           |  (acc, x) -> acc || array(CASE WHEN size(acc) = 0
+           |    THEN named_struct('i', 1, 'day', x.day, 'y', x.y, 'l', x.y, 'b', 0D,
+           |           's', array(0D, 0D, 0D, 0D, 0D, 0D, 0D))
+           |    ELSE named_struct('i', $prev.i + 1, 'day', x.day, 'y', x.y,
+           |      'l', $lNew,
+           |      'b', $bNew,
+           |      's', transform($prev.s, (v, j) ->
+           |        CASE WHEN j + 1 = $kEx THEN $sNew ELSE v END)) END),
+           |  acc -> acc)""".stripMargin)).as("r"))
+    folded.select(col("r.day").as("day"), col("r.y").as("y"),
+      col("r.l").as("level"), col("r.b").as("trend"),
+      element_at(col("r.s"), ((col("r.i") - lit(1)) % lit(7)) + lit(1))
+        .as("seasonal"),
+      Num.r(col("r.l") + col("r.b") +
+        element_at(col("r.s"), (col("r.i") % lit(7)) + lit(1)), 2)
+        .as("forecast_next"))
+  }
+
+  val holtWintersSql: String = {
+    val sPrev = "h.s[((h.i) % 7) + 1]"
+    val lNew = s"floor(($HwAlpha * (d.y - $sPrev) + ${1.0 - HwAlpha} * " +
+      s"(h.l + h.b)) * 1000000000.0 + 0.5) / 1000000000.0"
+    val bNew = s"floor(($HwBeta * (($lNew) - h.l) + ${1.0 - HwBeta} * " +
+      s"h.b) * 1000000000.0 + 0.5) / 1000000000.0"
+    val sNew = s"floor(($HwGamma * (d.y - ($lNew)) + ${1.0 - HwGamma} * " +
+      s"$sPrev) * 1000000000.0 + 0.5) / 1000000000.0"
+    s"""WITH RECURSIVE daily0 AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS y
+       |  FROM orders GROUP BY 1),
+       |grid AS (
+       |  SELECT g.day, coalesce(daily0.y, 0.0) AS y
+       |  FROM (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+       |        FROM daily0) g LEFT JOIN daily0 ON g.day = daily0.day),
+       |d AS (SELECT *, CAST(row_number() OVER (ORDER BY day) AS INT) AS i FROM grid),
+       |h AS (
+       |  SELECT i, day, y, y AS l, CAST(0.0 AS DOUBLE) AS b,
+       |         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s
+       |  FROM d WHERE i = 1
+       |  UNION ALL
+       |  SELECT d.i, d.day, d.y,
+       |         $lNew,
+       |         $bNew,
+       |         list_transform(h.s, (v, j) ->
+       |           CASE WHEN j = ((h.i) % 7) + 1 THEN $sNew ELSE v END)
+       |  FROM h JOIN d ON d.i = h.i + 1)
+       |SELECT day, y, l AS level, b AS trend,
+       |       s[((i - 1) % 7) + 1] AS seasonal,
+       |       ${Num.rSql("l + b + s[(i % 7) + 1]", 2)} AS forecast_next
+       |FROM h""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_holt_forecast" -> holtForecast,
+    "q_holt_winters" -> holtWinters,
     "q_acf" -> acf)
 
   val oracles: Map[String, String] = Map(
     "q_holt_forecast" -> holtForecastSql,
+    "q_holt_winters" -> holtWintersSql,
     "q_acf" -> acfSql)
 }

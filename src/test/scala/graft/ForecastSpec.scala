@@ -39,6 +39,40 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("holt-winters fold equals the driver-side sequential recurrence") {
+    val rows = Forecast.holtWinters(spark, sf)
+      .orderBy(col("day"))
+      .select("day", "y", "level", "trend", "seasonal", "forecast_next")
+      .collect()
+    assert(rows.length > 14)
+    var l = 0.0
+    var b = 0.0
+    val s = Array.fill(7)(0.0)
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1
+      val y = r.getDouble(1)
+      val k = (i - 1) % 7 // 0-based slot
+      if (i == 1) { l = y; b = 0.0 }
+      else {
+        val lNew = snap9(Forecast.HwAlpha * (y - s(k)) +
+          (1.0 - Forecast.HwAlpha) * (l + b))
+        val bNew = snap9(Forecast.HwBeta * (lNew - l) +
+          (1.0 - Forecast.HwBeta) * b)
+        s(k) = snap9(Forecast.HwGamma * (y - lNew) +
+          (1.0 - Forecast.HwGamma) * s(k))
+        l = lNew; b = bNew
+      }
+      assert(r.getDouble(2) == l, s"level mismatch at step $i")
+      assert(r.getDouble(3) == b, s"trend mismatch at step $i")
+      assert(r.getDouble(4) == s(k), s"seasonal mismatch at step $i")
+      val fc = math.floor((l + b + s(i % 7)) * 1e2 + 0.5) / 1e2
+      assert(r.getDouble(5) == fc, s"forecast mismatch at step $i")
+    }
+    // gap-filled: days are consecutive
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach(p => assert(p(1) == p(0).plusDays(1)))
+  }
+
   test("acf values are in [-1, 1] and lags are exactly 1..7") {
     val rows = Forecast.acf(spark, sf)
       .select("lag", "acf").collect()
