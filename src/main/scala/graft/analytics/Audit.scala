@@ -235,15 +235,66 @@ object Audit {
       |       CAST(count(CASE WHEN levenshtein(l.crm_name, r.c_name) > 1 THEN 1 END) AS BIGINT) AS n_rejected
       |FROM l JOIN r ON l.blk = r.blk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Join-key skew profiler.
+  // ---------------------------------------------------------------------
+
+  /** Key-skew profile of the warehouse's join/shuffle keys — the audit a
+    * planner (or an engineer sizing `spark.sql.shuffle.partitions`,
+    * picking a salting factor, or deciding AQE skew-join thresholds)
+    * reads BEFORE a 100 TB join: rows, distinct keys, the heaviest key's
+    * share of all rows, and the max/mean frequency ratio (1.0 = uniform;
+    * a hot key that would pin one reducer shows as a large ratio).
+    *
+    * Scale shape per profiled key: one hash aggregate to the key-bounded
+    * frequency relation, then one scalar aggregate over it — the same
+    * two shuffles at any volume; the per-key relation never sorts and the
+    * heaviest key resolves by max(), not a window. All counts exact
+    * integers; the two ratios divide exact integers once and snap at
+    * 1e-6.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(rel: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_freq"))
+        .select(lit(rel).as("rel"), col("n_rows"), col("n_keys"), col("max_freq"),
+          Num.r(col("max_freq").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"),
+          Num.r(col("max_freq").cast("double") / col("n_rows"), 6).as("top1_share"))
+    prof("events.user_id", Tables.events(spark, dir), "user_id")
+      .unionByName(prof("orders.o_custkey", Tables.orders(spark, dir), "o_custkey"))
+      .unionByName(prof("lineitem.l_partkey", Tables.lineitem(spark, dir), "l_partkey"))
+      .unionByName(prof("documents.source", Tables.documents(spark, dir), "source"))
+  }
+
+  val skewProfileSql: String = {
+    def prof(rel: String, table: String, key: String): String =
+      s"""SELECT '$rel' AS rel, n_rows, n_keys, max_freq,
+         |       ${Num.rSql("CAST(max_freq AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)", 6)} AS skew_ratio,
+         |       ${Num.rSql("CAST(max_freq AS DOUBLE) / n_rows", 6)} AS top1_share
+         |FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         |             CAST(count(*) AS BIGINT) AS n_keys,
+         |             CAST(max(c) AS BIGINT) AS max_freq
+         |      FROM (SELECT $key, count(*) AS c FROM $table GROUP BY 1))""".stripMargin
+    Seq(
+      prof("events.user_id", "events", "user_id"),
+      prof("orders.o_custkey", "orders", "o_custkey"),
+      prof("lineitem.l_partkey", "lineitem", "l_partkey"),
+      prof("documents.source", "documents", "source")).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_integrity_audit" -> integrityAudit,
     "q_snapshot_diff" -> snapshotDiff,
     "q_benford" -> benford,
-    "q_fuzzy_match" -> fuzzyMatch)
+    "q_fuzzy_match" -> fuzzyMatch,
+    "q_skew_profile" -> skewProfile)
 
   val oracles: Map[String, String] = Map(
     "q_integrity_audit" -> integrityAuditSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_benford" -> benfordSql,
-    "q_fuzzy_match" -> fuzzyMatchSql)
+    "q_fuzzy_match" -> fuzzyMatchSql,
+    "q_skew_profile" -> skewProfileSql)
 }

@@ -30,6 +30,26 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew profile: matches a local frequency recomputation on one key") {
+    val freq = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong)
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = graft.analytics.Audit.skewProfile(spark, sf).collect()
+      .find(_.getString(0) == "events.user_id").get
+    assert(r.getAs[Long]("n_rows") == freq.sum)
+    assert(r.getAs[Long]("n_keys") == freq.size.toLong)
+    assert(r.getAs[Long]("max_freq") == freq.max)
+    assert(r.getAs[Double]("skew_ratio") ==
+      snap6(freq.max.toDouble / (freq.sum.toDouble / freq.size)))
+    assert(r.getAs[Double]("top1_share") == snap6(freq.max.toDouble / freq.sum))
+    // every profiled relation: ratio >= 1 (max >= mean), share in (0, 1]
+    graft.analytics.Audit.skewProfile(spark, sf).collect().foreach { row =>
+      assert(row.getAs[Double]("skew_ratio") >= 1.0 - 1e-6)
+      val s = row.getAs[Double]("top1_share")
+      assert(s > 0 && s <= 1.0)
+    }
+  }
+
   test("cluster balance: shares sum to one, members account the corpus") {
     val rows = ScaleQueries.clusterBalance(spark, sf).collect()
     assert(rows.length == ScaleQueries.KmeansK)
