@@ -718,8 +718,90 @@ object CorpusQueries {
        |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Quality threshold solved for a token budget.
+  // ---------------------------------------------------------------------
+
+  /** Budget share of corpus tokens the quality gate may keep. */
+  val QualityBudgetShare = 0.2
+
+  /** Inverse quantile for the curation dial: the quality-classifier
+    * threshold that keeps AT MOST 20% of corpus tokens, plus the
+    * per-source accounting at that threshold — the question a data
+    * recipe actually asks ("what cutoff hits my budget?", not "what does
+    * cutoff 0.5 keep?"). Greedy from the top: keep whole probability
+    * buckets, highest first, while the running token total stays within
+    * budget; the threshold is the lowest kept bucket.
+    *
+    * Scale shape: the classifier scores in one scan; the (prob, tokens)
+    * histogram is bounded by the 1e-6 probability grid, the cumulative
+    * runs over that bounded relation only, and the scalar threshold
+    * broadcasts back onto ONE per-source conditional aggregate (kept and
+    * total in the same pass — no second grouping). The scored relation
+    * is persisted for its two consumers (branch-reuse rule). A corpus
+    * whose top bucket alone exceeds the budget yields a NULL threshold
+    * and zero kept rows in both engines.
+    */
+  def qualityBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = ScaleQueries.qualityClassify(docs)
+      .select(col("doc_id"), col("prob"), col("n_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .persist()
+    val hist = scored.groupBy(col("prob")).agg(sum(col("n_tokens")).as("t"))
+    val tot = broadcast(hist.agg(sum(col("t")).as("n")))
+    val w = Window.orderBy(col("prob").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = broadcast(hist
+      .withColumn("cum", sum(col("t")).over(w))
+      .crossJoin(tot)
+      .filter(col("cum") <= floor(col("n") * lit(QualityBudgetShare)).cast("long"))
+      .agg(min(col("prob")).as("threshold")))
+    val kept = when(col("prob") >= col("threshold"), lit(1))
+    val out = scored.crossJoin(thr)
+      .groupBy(col("source"))
+      .agg(max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_docs"),
+        count(kept).as("kept_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        coalesce(sum(when(col("prob") >= col("threshold"), col("n_tokens"))),
+          lit(0L)).as("kept_tokens"))
+      .select(col("source"), col("threshold"), col("n_docs"), col("kept_docs"),
+        col("total_tokens"), col("kept_tokens"),
+        when(col("total_tokens") > 0,
+          Num.r(col("kept_tokens").cast("double") / col("total_tokens"), 6))
+          .as("token_keep_rate"))
+      .localCheckpoint()
+    scored.unpersist()
+    out
+  }
+
+  val qualityBudgetSql: String =
+    s"""WITH p AS (${ScaleQueries.qualityClassifierSql}),
+       |sc AS (
+       |  SELECT p.doc_id, p.prob, p.n_tokens, d.source
+       |  FROM p JOIN documents d USING (doc_id)),
+       |hist AS (SELECT prob, CAST(sum(n_tokens) AS BIGINT) AS t FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM hist),
+       |cum AS (SELECT prob, CAST(sum(t) OVER (ORDER BY prob DESC) AS BIGINT) AS cum
+       |        FROM hist),
+       |thr AS (SELECT min(prob) AS threshold
+       |        FROM cum CROSS JOIN tot
+       |        WHERE cum <= CAST(floor(n * $QualityBudgetShare) AS BIGINT))
+       |SELECT source, max(threshold) AS threshold,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN prob >= threshold THEN 1 END) AS BIGINT) AS kept_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(coalesce(sum(CASE WHEN prob >= threshold THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+       |       CASE WHEN sum(n_tokens) > 0
+       |            THEN ${Num.rSql(
+      "CAST(coalesce(sum(CASE WHEN prob >= threshold THEN n_tokens END), 0) AS DOUBLE) / sum(n_tokens)",
+      6)}
+       |       END AS token_keep_rate
+       |FROM sc CROSS JOIN thr
+       |GROUP BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_budget" -> qualityBudget,
     "q_paragraph_dedup" -> paragraphDedup,
     "q_docs_pii" -> docsPii,
     "q_gopher_rules" -> gopherRules,
@@ -735,6 +817,7 @@ object CorpusQueries {
     "q_classifier_calibration" -> classifierCalibration)
 
   val oracles: Map[String, String] = Map(
+    "q_quality_budget" -> qualityBudgetSql,
     "q_paragraph_dedup" -> paragraphDedupSql,
     "q_docs_pii" -> docsPiiSql,
     "q_gopher_rules" -> gopherRulesSql,

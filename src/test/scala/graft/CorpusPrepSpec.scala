@@ -63,6 +63,52 @@ class CorpusPrepSpec extends AnyFunSuite {
       tsum > CorpusQueries.RecipeBudget * 0.999)
   }
 
+  test("quality budget: greedy-from-top threshold, budget respected and tight") {
+    val scored = graft.analytics.ScaleQueries
+      .qualityClassify(Tables.documents(spark, sf))
+      .select("prob", "n_tokens").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val total = scored.map(_._2).sum
+    val budget = math.floor(total * CorpusQueries.QualityBudgetShare).toLong
+    // the query keeps a PREFIX of descending buckets (cum is monotone, so
+    // filter(cum <= budget) stops at the first overflow)
+    val buckets = scored.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      .toSeq.sortBy(-_._1)
+    var cum2 = 0L
+    var thr2 = Option.empty[Double]
+    buckets.takeWhile { case (_, t) =>
+      if (cum2 + t <= budget) { cum2 += t; true } else false
+    }.lastOption.foreach { case (p, _) => thr2 = Some(p) }
+    val rows = CorpusQueries.qualityBudget(spark, sf).collect()
+    val keptTokens = rows.map(_.getAs[Long]("kept_tokens")).sum
+    assert(keptTokens <= budget)
+    rows.foreach { r =>
+      assert(Option(r.getAs[java.lang.Double]("threshold")).map(_.doubleValue) == thr2,
+        "threshold mismatch")
+    }
+    // tight: adding the next bucket below the threshold would exceed budget
+    thr2.foreach { t =>
+      buckets.find(_._1 < t).foreach { case (_, nt) =>
+        assert(keptTokens + nt > budget, "threshold not tight")
+      }
+    }
+    // per-source accounting re-derives from a local filter
+    val bySrc = graft.analytics.ScaleQueries
+      .qualityClassify(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("prob"), col("n_tokens"))
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("prob"),
+        r.getAs[Long]("n_tokens")))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = bySrc.filter(_._1 == src)
+      val kept = thr2.map(t => mine.filter(_._2 >= t)).getOrElse(Array.empty)
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong)
+      assert(r.getAs[Long]("kept_docs") == kept.length.toLong)
+      assert(r.getAs[Long]("kept_tokens") == kept.map(_._3).sum)
+    }
+  }
+
   test("dup stats: docs column accounts the whole corpus exactly once") {
     val total = Tables.documents(spark, sf).count()
     val rows = CorpusQueries.dupStats(spark, sf).collect()
