@@ -1175,7 +1175,64 @@ object Relational {
        |FROM c""".stripMargin
   }
 
+  /** SCD2 pane width (µs): 180 days — panes exist only to bound the
+    * per-task sort, any width is correct (SlidingAggSpec property).
+    */
+  private val Scd2PaneMicros = 180L * 86400L * 1000000L
+
+  /** SCD Type-2 interval collapse: turn each customer's order-priority
+    * change stream into validity intervals (value, valid_from,
+    * valid_to, is_current) — the slowly-changing-dimension build every
+    * warehouse runs to make dimension history joinable as-of. Consecutive
+    * equal values collapse into one interval; an interval closes when the
+    * next CHANGE opens (not the next row).
+    *
+    * Scale shape: two pane-decomposed per-key sequential passes
+    * ([[graft.scale.SlidingAgg.prevValue]] for change detection over the
+    * full stream, [[graft.scale.SlidingAgg.nextTime]] for the interval
+    * close over the much smaller change stream) — no task ever sorts one
+    * key's full history, per the per-key sequential rule. Ordering is
+    * (o_orderdate, o_orderkey) end to end, so the interval set is
+    * identical to the naive lag/lead formulation the oracle runs.
+    */
+  def scd2Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("ts", col("o_orderdate").cast("timestamp"))
+    val withPrev = graft.scale.SlidingAgg.prevValue(
+      o, Seq("o_custkey"), col("ts"), col("o_orderkey"),
+      col("o_orderpriority"), Scd2PaneMicros, "pv")
+    val changes = withPrev
+      .filter(col("pv").isNull || col("pv") =!= col("o_orderpriority"))
+      .select(col("o_custkey"), col("ts"), col("o_orderkey"),
+        col("o_orderpriority"))
+    graft.scale.SlidingAgg.nextTime(
+      changes, Seq("o_custkey"), col("ts"), col("o_orderkey"),
+      Scd2PaneMicros, "vt")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        to_date(col("ts")).as("valid_from"),
+        to_date(timestamp_micros(col("vt"))).as("valid_to"),
+        col("vt").isNull.as("is_current"))
+  }
+
+  val scd2PrioritySql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey, o_orderpriority,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS pv
+      |  FROM orders),
+      |c AS (SELECT o_custkey, d, o_orderkey, o_orderpriority FROM s
+      |      WHERE pv IS NULL OR pv <> o_orderpriority),
+      |iv AS (SELECT *, lead(d) OVER (PARTITION BY o_custkey
+      |         ORDER BY d, o_orderkey) AS vt FROM c)
+      |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      |       d AS valid_from, vt AS valid_to, vt IS NULL AS is_current
+      |FROM iv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_priority" -> scd2Priority,
     "q_supplier_hhi" -> supplierHhi,
     "q_xyz_class" -> xyzClass,
     "q_mk_trend" -> mkTrend,
@@ -1210,6 +1267,7 @@ object Relational {
     "q_order_rollup" -> orderRollup)
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_priority" -> scd2PrioritySql,
     "q_supplier_hhi" -> supplierHhiSql,
     "q_xyz_class" -> xyzClassSql,
     "q_mk_trend" -> mkTrendSql,

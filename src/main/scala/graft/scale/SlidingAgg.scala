@@ -228,6 +228,61 @@ object SlidingAgg {
       .drop("__t", "__b", "__c")
   }
 
+  /** Per-row PREVIOUS VALUE of an arbitrary column within a key —
+    * [[prevTime]] generalized from the time column to any (non-null)
+    * attribute: intra-pane rows get a pane-local lag; each pane's FIRST
+    * row gets the value of the latest row of the key's previous
+    * non-empty pane, carried as a (time, tiebreak, value) argmax over
+    * the tiny per-(key, pane) relation. Null for the key's first row —
+    * exactly the naive per-key lag, with no task sorting one key's full
+    * history. The change-detection building block (SCD2 interval
+    * collapse, dup-run detection).
+    */
+  def prevValue(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
+      value: Column, paneMicros: Long, out: String): DataFrame = {
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__t", tiebreak)
+      .withColumn("__v", value)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    val intra = base.withColumn(out, lag(col("__v"), 1).over(w1))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+      .agg(max(struct(col("__us"), col("__t"), col("__v"))).as("__lst"))
+      .withColumn("__c", lag(col("__lst").getField("__v"), 1).over(w2))
+      .select((keys :+ "__b").map(col) :+ col("__c"): _*)
+    intra.join(carry, keys :+ "__b")
+      .withColumn(out, coalesce(col(out), col("__c")))
+      .drop("__t", "__b", "__c", "__v")
+  }
+
+  /** Per-row NEXT event time (µs) within a key — the lead-side mirror of
+    * [[prevTime]]: intra-pane rows get a pane-local lead; each pane's
+    * LAST row gets the earliest time of the key's next non-empty pane.
+    * Null for the key's last event. The validity-interval close
+    * (valid_to) building block.
+    */
+  def nextTime(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
+      paneMicros: Long, out: String): DataFrame = {
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__t", tiebreak)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    val intra = base.withColumn(out, lead(col("__us"), 1).over(w1))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+      .agg(min(col("__us")).as("__lo"))
+      .withColumn("__c", lead(col("__lo"), 1).over(w2))
+      .select((keys :+ "__b").map(col) :+ col("__c"): _*)
+    intra.join(carry, keys :+ "__b")
+      .withColumn(out, coalesce(col(out), col("__c")))
+      .drop("__t", "__b", "__c")
+  }
+
   /** Gap-threshold SESSION-ID assignment per key (1-based, in
     * (time, tiebreak) order) — [[sessionCounts]] upgraded from counts to
     * ids so downstream analytics can aggregate per session. Break flags

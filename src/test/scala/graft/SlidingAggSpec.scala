@@ -13,6 +13,58 @@ class SlidingAggSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   val WeekMicros = 7L * 86400 * 1000000
 
+  test("paned prevValue equals the naive per-key value lag at several pane widths") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val naive = ev.withColumn("pv", lag(col("event_type"), 1).over(
+      Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("pv"))).toMap
+    Seq(997L, 3600L * 1000000, 30L * 86400 * 1000000).foreach { pane =>
+      val paned = SlidingAgg.prevValue(ev, Seq("user_id"), col("ts"),
+        col("event_id"), col("event_type"), pane, "pv")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("pv"))).toMap
+      assert(paned == naive, s"pane $pane diverges")
+    }
+  }
+
+  test("paned nextTime equals the naive per-key lead at several pane widths") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id")
+    val naive = ev
+      .withColumn("nt", lead(expr("unix_micros(ts)"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("nt")).map(_.longValue)).toMap
+    Seq(997L, 3600L * 1000000, 30L * 86400 * 1000000).foreach { pane =>
+      val paned = SlidingAgg.nextTime(ev, Seq("user_id"), col("ts"),
+        col("event_id"), pane, "nt")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("nt")).map(_.longValue)).toMap
+      assert(paned == naive, s"pane $pane diverges")
+    }
+  }
+
+  test("scd2: intervals tile each key's timeline, one current row per key") {
+    val rows = graft.analytics.Relational.scd2Priority(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, iv) =>
+      val sorted = iv.sortBy(_._3.getTime)
+      // exactly one open interval, and it is the last one
+      assert(iv.count(_._5) == 1, s"key $k current-count")
+      assert(sorted.last._5 && sorted.last._4.isEmpty)
+      // each interval closes exactly where the next opens
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4.contains(b._3), s"key $k gap between intervals")
+        // consecutive intervals carry different values (it was a change)
+        assert(a._2 != b._2, s"key $k uncollapsed interval")
+      }
+    }
+  }
+
   test("paned trailing count/sum equals the naive range window") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val paned = SlidingAgg.trailingCountSum(
