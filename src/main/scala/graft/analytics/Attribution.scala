@@ -268,7 +268,6 @@ object Attribution {
         Seq("rc", "state"), "left")
       .select(col("rc"), col("state"), coalesce(col("d0"), lit(0.0)).as("d"))
     var reach = direct.select(col("rc"), col("state"), col("d").as("reach"))
-      .localCheckpoint()
     for (_ <- 2 to MarkovSteps) {
       val contrib = trx.filter(col("next") =!= "purchase")
         .join(reach.select(col("rc"), col("state").as("next"), col("reach")),
@@ -278,7 +277,6 @@ object Attribution {
       reach = direct.join(contrib, Seq("rc", "state"), "left")
         .select(col("rc"), col("state"),
           Num.r(col("d") + coalesce(col("c"), lit(0.0)), 9).as("reach"))
-        .localCheckpoint()
     }
     val startReach = reach.filter(col("state") === "(start)")
       .select(col("rc"), col("reach"))
