@@ -432,7 +432,12 @@ class PlanSpec extends AnyFunSuite {
       "q_pq_codes", "q_ivfpq_topk", "q_ivfpq_probed", "q_pq_distortion",
       "q_ann_lsh", "q_ann_jl", "q_ann_recall", "q_jl_project",
       "q_retrieval_metrics", "q_hybrid_search", "q_cluster_prototypes",
-      "q_embed_neardup", "q_cosine_topk", "q_coreset_kcenter")
+      "q_embed_neardup", "q_cosine_topk", "q_coreset_kcenter",
+      // round-7 sixth-session wave: HOF folds (7-slot seasonal state),
+      // graph mean-aggregation, the unrolled 8-step absorption plan, and
+      // the rank/histogram decompositions
+      "q_holt_winters", "q_graph_coherence", "q_attribution_markov",
+      "q_pmi_collocations", "q_spearman_quality", "q_triangle_count")
     val registry = SparkEntry.queries
     val present = heavy.filter(registry.contains)
     assert(present.size >= 12, s"sweep list drifted from the registry: $present")
