@@ -173,6 +173,45 @@ object Streams {
         })
   }
 
+  case class ChangeState(us: Long, eventId: Long, value: String)
+  case class ChangeRow(user_id: Long, event_id: Long, value: String)
+
+  /** Streaming change detection — the online half of the SCD2 interval
+    * build (q_scd2_priority / SlidingAgg.prevValue): per-key state holds
+    * only the LAST value, and a row is emitted exactly when its value
+    * differs from the previous one (or opens the key's history). State
+    * is one tiny record per key regardless of history length; in-batch
+    * ordering is restored by (µs, event_id) — the batch form's exact
+    * tiebreak — so replaying the whole history in one batch reproduces
+    * the batch change set row-for-row (StreamingSpec pins it).
+    */
+  def changeStream(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[ChangeRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[ChangeState]) => {
+          val evs = it.toArray.sortBy(r => (r._2, r._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var prev = state.getOption.map(_.value)
+            val out = evs.flatMap { e =>
+              val changed = !prev.contains(e._4)
+              prev = Some(e._4)
+              if (changed) Some(ChangeRow(uid, e._3, e._4)) else None
+            }
+            val last = evs.last
+            state.update(ChangeState(last._2, last._3, last._4))
+            out.iterator
+          }
+        })
+  }
+
   case class TouchState(us: Long, eventId: Long, channel: String)
   case class Attributed(user_id: Long, event_id: Long, channel: String, value: Double)
 

@@ -256,6 +256,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming change detection equals the batch prevValue change set") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_chg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+    implicit val s = spark
+    val out = Streams.runToCompletion(
+      Streams.changeStream(Streams.eventStream(spark, d.toString)).toDF(),
+      OutputMode.Append(), "chg_stream")
+    val got = out.select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = graft.scale.SlidingAgg.prevValue(
+      Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), col("ts"), col("event_id"), col("event_type"),
+      7L * 86400 * 1000000, "pv")
+      .filter(col("pv").isNull || col("pv") =!= col("event_type"))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming approx DAU tracks the exact batch distinct within rsd") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dau")
     java.nio.file.Files.copy(
