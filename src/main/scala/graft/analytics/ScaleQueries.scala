@@ -2892,14 +2892,16 @@ object ScaleQueries {
   // Every GramK/WinSize-derived literal is interpolated from the same
   // constants the Scala side uses, so a constant change can't silently
   // break oracle parity (same discipline as the PQ oracles with M/SubDim/K).
-  val winnowPairsSql: String = {
+  // The fingerprint CTE chain (ending in fp(doc_id, f)) is shared by the
+  // pair and decontamination oracles.
+  private val winnowFpCtesSql: String = {
     val gk = graft.scale.Winnow.GramK
     val ws = graft.scale.Winnow.WinSize
     val gram = (0 until gk).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
       .mkString(" || ' ' || ")
     val win = (0 until ws).map(j => if (j == 0) "gh[j]" else s"gh[j+$j]")
       .mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |g AS (
        |  SELECT doc_id, CASE WHEN len(w) >= $gk
@@ -2913,7 +2915,11 @@ object ScaleQueries {
        |      THEN list_transform(range(1, len(gh) - ${ws - 2}),
        |           j -> least($win))
        |      ELSE gh END) AS f
-       |    FROM g) t),
+       |    FROM g) t)""".stripMargin
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowFpCtesSql,
        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1 AND count(*) <= ${graft.scale.Dedup.MaxGroup}),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
@@ -2922,7 +2928,46 @@ object ScaleQueries {
        |  GROUP BY 1, 2)
        |SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
        |FROM pairs WHERE n_shared >= $WinnowMinShared""".stripMargin
+
+  /** Substring-level decontamination: flag corpus docs whose winnowed
+    * fingerprints hit the eval set's — by the winnowing guarantee, ANY
+    * verbatim run of GramK + WinSize − 1 = 8 words shared with an eval
+    * doc is detected. This is the contamination mode shingle-SET overlap
+    * under-weighs: one long quoted eval passage inside a long document
+    * is a low shingle RATIO but a certain fingerprint hit. Same
+    * broadcast posture as [[decontaminateAgainst]] — the eval
+    * fingerprint side is bounded by the benchmark, the per-doc aggregate
+    * is the only corpus-wide shuffle.
+    */
+  def decontaminateWinnowAgainst(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val fps = graft.scale.Winnow.fingerprints(docs, "text", "doc_id")
+    val ev = broadcast(
+      graft.scale.Winnow.fingerprints(evalDocs, "text", "doc_id")
+        .select(col("fp").as("ev_fp")).distinct())
+    fps.join(ev, col("fp") === col("ev_fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), count(col("ev_fp")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_fps"), col("n_hits"),
+        Num.r(col("n_hits").cast("double") / col("n_fps"), 6).as("ratio"))
   }
+
+  /** Registered testdata wiring: every 25th doc stands in as the eval
+    * table (the q_decontaminate convention).
+    */
+  def decontaminateWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateWinnowAgainst(docs, docs.filter(col("doc_id") % 25 === 0))
+  }
+
+  val decontaminateWinnowSql: String =
+    s"""WITH $winnowFpCtesSql,
+       |ev AS (SELECT DISTINCT f AS ev_f FROM fp WHERE doc_id % 25 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |       CAST(count(ev_f) AS BIGINT) AS n_hits,
+       |       ${Num.rSql("CAST(count(ev_f) AS DOUBLE) / count(*)", 6)} AS ratio
+       |FROM fp LEFT JOIN ev ON fp.f = ev.ev_f
+       |GROUP BY doc_id HAVING count(ev_f) > 0""".stripMargin
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-doc mean
@@ -3654,6 +3699,7 @@ object ScaleQueries {
     "q_span_dedup" -> spanDedup,
     "q_dup_runs" -> dupRuns,
     "q_winnow_pairs" -> winnowPairs,
+    "q_decontaminate_winnow" -> decontaminateWinnow,
     "q_dsir_weights" -> dsirWeights,
     "q_weighted_sample" -> weightedSample,
     "q_canonical_docs" -> canonicalDocs,
@@ -3755,6 +3801,7 @@ object ScaleQueries {
     "q_span_dedup" -> spanDedupSql,
     "q_dup_runs" -> dupRunsSql,
     "q_winnow_pairs" -> winnowPairsSql,
+    "q_decontaminate_winnow" -> decontaminateWinnowSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_canonical_docs" -> canonicalDocsSql,

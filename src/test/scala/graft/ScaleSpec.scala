@@ -135,6 +135,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.toSeq == naive, s"got ${got.toSeq}\nnaive $naive")
   }
 
+  test("winnow decontamination: any shared 8-word run is detected") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "completely different words with no overlap at all here today"),
+      // carries the eval doc's words 2..9 — an 8-word verbatim run, the
+      // winnowing guarantee boundary (GramK + WinSize - 1)
+      (2L, "intro filler beta gamma delta epsilon zeta eta theta iota closing words"))
+      .toDF("doc_id", "text")
+    val got = ScaleQueries.decontaminateWinnowAgainst(docs, evalDocs).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+    assert(got.head.getAs[Long]("n_hits") >= 1)
+    // a doc identical to an eval doc hits on every fingerprint
+    val self = ScaleQueries.decontaminateWinnowAgainst(evalDocs, evalDocs).collect()
+    assert(self.length == 1 && self.head.getAs[Double]("ratio") == 1.0)
+  }
+
   test("pmi: matches a local recomputation at sf0.001, ranks deterministically") {
     val docs = Tables.documents(spark, sf).select("text").collect()
       .map(_.getString(0))
