@@ -709,8 +709,13 @@ object CorpusAudit {
       Num.r(sum((col("rx") * col("rx")).cast("double")), -4).as("sxx"),
       Num.r(sum((col("ry") * col("ry")).cast("double")), -4).as("syy"),
       Num.r(sum((col("rx") * col("ry")).cast("double")), -4).as("sxy"))
-    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    // radicands clamp at 0: on a (near-)constant column the moment grids
+    // can snap n·syy − sy² to a small NEGATIVE value (e.g. all-equal
+    // n_chars: syy snaps down while sy² is exact) — DuckDB's sqrt THROWS
+    // on negatives and Spark's NaN would slip past the ≠0 guard; clamped,
+    // den = 0 and the guard yields the documented NULL in both engines
+    val den = sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))) *
+      sqrt(greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0)))
     // materialize the one-row result eagerly so the scored cache can be
     // released before returning (the pagerank/triangleStatsOf pattern)
     val out = m.select(col("n"),
@@ -727,7 +732,7 @@ object CorpusAudit {
     * before summing and snapped on the same grids.
     */
   val spearmanQualitySql: String = {
-    val den = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    val den = "(sqrt(greatest(n * sxx - sx * sx, 0.0)) * sqrt(greatest(n * syy - sy * sy, 0.0)))"
     s"""WITH p AS (${ScaleQueries.qualityClassifierSql}),
        |j AS (
        |  SELECT p.prob, d.n_chars
@@ -775,8 +780,10 @@ object CorpusAudit {
     * budget total as ANOTHER WINDOW over it (one fact scan — the
     * ValueQuantiles pattern, since Catalyst does not CSE a reused
     * branch). Cross-engine: σ is snapped to the 1e-6 grid before the
-    * total, the total snaps on the 1e2 grid (accumulation noise over
-    * source-count terms ≪ half a step at any corpus magnitude), and the
+    * total, the total snaps on the UNIT grid — coarse enough that
+    * sum-order noise over source-count terms stays under half a step to
+    * t ≈ 1e14 (≈ 3·10¹⁰ docs/source at σ = 3·10³), fine enough that any
+    * corpus with real variance (t ≥ 1) keeps a nonzero total — and the
     * share/allocation divisions then run on identical doubles. The
     * degenerate all-constant corpus (t = 0) is CASE-guarded.
     */
@@ -793,7 +800,7 @@ object CorpusAudit {
           col("n_docs"), lit(0.0))), 6).as("sig6"))
     val wAll = Window.partitionBy(lit(0))
     val term = col("n_docs").cast("double") * col("sig6")
-    s2.withColumn("t", Num.r(sum(term).over(wAll), -2))
+    s2.withColumn("t", Num.r(sum(term).over(wAll), 0))
       .select(col("source"), col("n_docs"), col("sig6").as("sigma_chars"),
         when(col("t") =!= 0.0, Num.r(term / col("t"), 6)).as("alloc_share"),
         when(col("t") =!= 0.0,
@@ -813,7 +820,7 @@ object CorpusAudit {
       "sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / n_docs, 0.0))",
       6)} AS sig6
        |  FROM m),
-       |t AS (SELECT ${Num.rSql("sum(CAST(n_docs AS DOUBLE) * sig6)", -2)} AS t FROM s2)
+       |t AS (SELECT ${Num.rSql("sum(CAST(n_docs AS DOUBLE) * sig6)", 0)} AS t FROM s2)
        |SELECT source, n_docs, sig6 AS sigma_chars,
        |       CASE WHEN t <> 0.0
        |            THEN ${Num.rSql("CAST(n_docs AS DOUBLE) * sig6 / t", 6)} END AS alloc_share,

@@ -816,8 +816,23 @@ object CorpusStats {
     * the ANSI divide-by-zero rule.
     */
   private[graft] def ksOf(pairs: DataFrame, v: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // persisted: the histogram feeds FIVE consumers (grid, per-source
+    // totals, global CDF, grand total, densify join) and Catalyst does
+    // not CSE logical branches — unpersisted, each consumer re-runs the
+    // corpus scan + aggregate; the relation is bounded by
+    // sources × distinct values, so pinning it is cheap
     val hist = pairs.groupBy(col("source"), col(v)).agg(count(lit(1)).as("c"))
+      .persist()
+    val out = ksFromHist(hist, v).localCheckpoint()
+    hist.unpersist()
+    out
+  }
+
+  /** The CDF/gap pipeline over an already-built (source, v, c) histogram
+    * — separated so plan tests can assert the pre-checkpoint shape.
+    */
+  private[graft] def ksFromHist(hist: DataFrame, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grid = hist.select(col(v)).distinct()
     val srcTot = hist.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val wAll = Window.orderBy(col(v))

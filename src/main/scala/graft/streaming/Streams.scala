@@ -173,7 +173,7 @@ object Streams {
         })
   }
 
-  case class ChangeState(us: Long, eventId: Long, value: String)
+  case class ChangeState(value: String)
   case class ChangeRow(user_id: Long, event_id: Long, value: String)
 
   /** Streaming change detection — the online half of the SCD2 interval
@@ -205,8 +205,7 @@ object Streams {
               prev = Some(e._4)
               if (changed) Some(ChangeRow(uid, e._3, e._4)) else None
             }
-            val last = evs.last
-            state.update(ChangeState(last._2, last._3, last._4))
+            state.update(ChangeState(evs.last._4))
             out.iterator
           }
         })

@@ -277,7 +277,7 @@ class CorpusAuditSpec extends AnyFunSuite {
         (sxx.toDouble - sx.toDouble * sx.toDouble / n) / n, 0.0)), 6)
       s -> ((n, sig))
     }
-    val t = snap(bySrc.values.map { case (n, sig) => n.toDouble * sig }.sum, -2)
+    val t = snap(bySrc.values.map { case (n, sig) => n.toDouble * sig }.sum, 0)
     val got = CorpusAudit.neymanAlloc(spark, sf).collect()
     assert(got.length == bySrc.size)
     var shareSum = 0.0
@@ -291,9 +291,9 @@ class CorpusAuditSpec extends AnyFunSuite {
         snap(CorpusAudit.AuditBudget.toDouble * (n.toDouble * sig / t), 0).toLong)
       shareSum += share
     }
-    // shares sum to Σterms/t_snapped: the 1e2-grid snap of t moves the
-    // total by up to 50/t, plus 5e-7 half-up wander per source
-    assert(math.abs(shareSum - 1.0) <= 50.0 / t + 5e-7 * bySrc.size)
+    // shares sum to Σterms/t_snapped: the unit-grid snap of t moves the
+    // total by up to 0.5/t, plus 5e-7 half-up wander per source
+    assert(math.abs(shareSum - 1.0) <= 0.5 / t + 5e-7 * bySrc.size)
   }
 
   test("spearman plan: rank joins broadcast, corpus never globally sorted") {

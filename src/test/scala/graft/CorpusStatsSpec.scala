@@ -271,7 +271,11 @@ class CorpusStatsSpec extends AnyFunSuite {
   }
 
   test("ks drift plan: windows run post-aggregate, no corpus-wide sort") {
-    val p = plan(CorpusStats.ksDrift(spark, sf))
+    // ksOf itself returns a localCheckpoint (cache-release pattern), so
+    // assert on the pre-checkpoint pipeline over the histogram
+    val hist = Tables.documents(spark, sf)
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val p = plan(CorpusStats.ksFromHist(hist, "n_chars"))
     // the document scan feeds a hash aggregate before any Window; the
     // dense grid joins are broadcast
     assert(p.contains("HashAggregate"))
