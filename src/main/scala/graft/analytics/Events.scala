@@ -806,7 +806,65 @@ object Events {
           "(1.0 / n_a + 1.0 / n_b))", 4)} END AS z
        |FROM a""".stripMargin
 
+  /** Per-state dwell-time accounting: for every event type, how long
+    * users SIT in that state before their next event — total dwell,
+    * mean dwell, and each state's share of all engaged time. The
+    * time-in-state report behind funnel latency and abandonment
+    * analyses; a state whose mean dwell balloons between releases is a
+    * UX regression the count-based dials miss. A user's LAST event
+    * opens no interval (no next event bounds it) and is excluded, same
+    * as the oracle's lead().
+    *
+    * Scale shape: dwell = next-event time − event time via the
+    * pane-decomposed [[graft.scale.SlidingAgg.nextTime]] (no per-user
+    * history sort), one hash aggregate to the |event types|-bounded
+    * relation, and the share margin as a window over that bounded
+    * relation only. Durations are exact integer µs until the two
+    * snapped display divisions.
+    */
+  def stateDwell(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val withNext = graft.scale.SlidingAgg.nextTime(
+      ev, Seq("user_id"), col("ts"), col("event_id"),
+      7L * 86400 * 1000000, "nt")
+    val agg = withNext.filter(col("nt").isNotNull)
+      .select(col("event_type"),
+        (col("nt") - unix_micros(col("ts"))).as("dw"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dw")).as("total_dwell_us"))
+    val wAll = Window.partitionBy(lit(0))
+    agg.withColumn("tot", sum(col("total_dwell_us")).over(wAll))
+      .select(col("event_type"), col("n_intervals"), col("total_dwell_us"),
+        Num.r(col("total_dwell_us").cast("double") / col("n_intervals"), 2)
+          .as("avg_dwell_us"),
+        when(col("tot") > 0,
+          Num.r(col("total_dwell_us").cast("double") / col("tot"), 6))
+          .as("dwell_share"))
+  }
+
+  val stateDwellSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS nt
+       |  FROM events),
+       |d AS (SELECT event_type, nt - us AS dw FROM s WHERE nt IS NOT NULL),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+       |             CAST(sum(dw) AS BIGINT) AS total_dwell_us
+       |      FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(total_dwell_us) AS BIGINT) AS tot FROM a)
+       |SELECT event_type, n_intervals, total_dwell_us,
+       |       ${Num.rSql("CAST(total_dwell_us AS DOUBLE) / n_intervals", 2)} AS avg_dwell_us,
+       |       CASE WHEN tot > 0
+       |            THEN ${Num.rSql("CAST(total_dwell_us AS DOUBLE) / tot", 6)}
+       |       END AS dwell_share
+       |FROM a CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_state_dwell" -> stateDwell,
     "q_value_ohlc" -> valueOhlc,
     "q_ab_test" -> abTest,
     "q_daily_anomaly" -> dailyAnomaly,
@@ -830,6 +888,7 @@ object Events {
     "q_union_topics" -> unionTopics)
 
   val oracles: Map[String, String] = Map(
+    "q_state_dwell" -> stateDwellSql,
     "q_value_ohlc" -> valueOhlcSql,
     "q_ab_test" -> abTestSql,
     "q_daily_anomaly" -> dailyAnomalySql,

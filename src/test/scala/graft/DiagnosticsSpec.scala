@@ -30,6 +30,33 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("state dwell: matches the naive per-user lead recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val naive = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      s.sliding(2).filter(_.length == 2).map(p => p(0)._4 -> (p(1)._2 - p(0)._2))
+    }.toSeq.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val grand = naive.values.map(_._2).sum
+    val got = graft.analytics.Events.stateDwell(spark, sf).collect()
+    assert(got.length == naive.size)
+    var shareSum = 0.0
+    got.foreach { r =>
+      val (n, tot) = naive(r.getString(0))
+      assert(r.getAs[Long]("n_intervals") == n)
+      assert(r.getAs[Long]("total_dwell_us") == tot)
+      assert(r.getAs[Double]("avg_dwell_us") ==
+        math.floor(tot.toDouble / n * 1e2 + 0.5) / 1e2)
+      shareSum += r.getAs[Double]("dwell_share")
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-5)
+    assert(grand == got.map(_.getAs[Long]("total_dwell_us")).sum)
+  }
+
   test("skew profile: matches a local frequency recomputation on one key") {
     val freq = Tables.events(spark, sf).select("user_id").collect()
       .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong)
