@@ -831,6 +831,38 @@ object CorpusAudit {
        |FROM s2 CROSS JOIN t""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Language-ID confusion audit.
+  // ---------------------------------------------------------------------
+
+  /** Confusion matrix between the corpus's LABELED language and the
+    * n-gram-heuristic detector (TextAnalysis.language) — the audit that
+    * sizes detector error before a language-filtered curation pass: the
+    * detector only speaks en/es/fr, so the zh/de rows quantify exactly
+    * how much out-of-model text would leak through (or be dropped by) a
+    * detector-gated filter. One scan, one hash aggregate to the
+    * |labels × detector classes|-bounded relation; the per-label share
+    * margin is a window over that bounded relation only.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.language(col("text")).as("detected"))
+      .groupBy(col("lang"), col("detected")).agg(count(lit(1)).as("n"))
+    m.withColumn("lt", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("detected"), col("n"),
+        Num.r(col("n").cast("double") / col("lt"), 6).as("share"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH m AS (
+       |  SELECT lang, ${ScaleQueries.langSql("text")} AS detected,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lt FROM m GROUP BY 1)
+       |SELECT m.lang, m.detected, m.n,
+       |       ${Num.rSql("CAST(m.n AS DOUBLE) / t.lt", 6)} AS share
+       |FROM m JOIN t USING (lang)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> splitLeakageQ,
@@ -842,7 +874,8 @@ object CorpusAudit {
     "q_score_znorm" -> scoreZnorm,
     "q_data_card" -> dataCard,
     "q_spearman_quality" -> spearmanQuality,
-    "q_neyman_alloc" -> neymanAlloc)
+    "q_neyman_alloc" -> neymanAlloc,
+    "q_lang_confusion" -> langConfusion)
 
   val oracles: Map[String, String] = Map(
     "q_split_leakage" -> splitLeakageSql,
@@ -854,5 +887,6 @@ object CorpusAudit {
     "q_score_znorm" -> scoreZnormSql,
     "q_data_card" -> dataCardSql,
     "q_spearman_quality" -> spearmanQualitySql,
-    "q_neyman_alloc" -> neymanAllocSql)
+    "q_neyman_alloc" -> neymanAllocSql,
+    "q_lang_confusion" -> langConfusionSql)
 }

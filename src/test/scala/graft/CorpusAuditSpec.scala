@@ -261,6 +261,21 @@ class CorpusAuditSpec extends AnyFunSuite {
       s"got ${got.getAs[Double]("rho_len_quality")} naive $naive")
   }
 
+  test("lang confusion: cells account the corpus, shares row-normalize") {
+    val rows = CorpusAudit.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Double]("share")))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$lang shares sum to $s")
+    }
+    // detector classes stay within its vocabulary
+    val classes = rows.map(_._2).toSet
+    assert(classes.subsetOf(Set("english", "spanish", "french", "unknown")))
+  }
+
   test("neyman: allocation matches a local recomputation; shares sum to ~1") {
     def snap(x: Double, s: Int) = {
       val p = math.pow(10, s); math.floor(x * p + 0.5) / p
