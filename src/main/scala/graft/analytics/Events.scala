@@ -579,13 +579,22 @@ object Events {
     * identical doubles (the q_lr_train stage-snapping discipline).
     */
   def purchaseReach(spark: SparkSession, dir: String): DataFrame = {
-    val trans = eventTransitions(spark, dir).select(col("prev"), col("next"), col("p"))
+    // The transition matrix is bounded by |event types|² but its subtree
+    // scans the full event stream; r1/r2/r3 and the final 3-way join
+    // reference it up to ~15× logically. localCheckpoint breaks the
+    // lineage so the events scan runs once (the Attribution.scala
+    // markovAttribution pattern); `direct` is ≤ |types| rows and every
+    // downstream step re-derives from these two checkpointed relations.
+    val trans = eventTransitions(spark, dir)
+      .select(col("prev"), col("next"), col("p"))
+      .localCheckpoint()
     val states = trans.select(col("prev").as("state")).distinct()
     val direct = states.join(
       trans.filter(col("next") === "purchase")
         .select(col("prev").as("state"), col("p").as("d")),
       Seq("state"), "left")
       .select(col("state"), coalesce(col("d"), lit(0.0)).as("d"))
+      .localCheckpoint()
     def step(reach: DataFrame): DataFrame = {
       val contrib = trans.filter(col("next") =!= "purchase")
         .join(reach.select(col("state").as("next"), col("reach")), "next")

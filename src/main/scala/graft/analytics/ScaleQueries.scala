@@ -76,12 +76,24 @@ object ScaleQueries {
     * without the excerpts this query would be [[jaccardPairs]] under
     * another name).
     */
+  /** Synthetic fixture ids are parent ids shifted by a fixed offset —
+    * collision-free ONLY while 0 <= doc_id < bound. The premise is
+    * asserted per row: a corpus violating it fails loudly on the Spark
+    * side instead of silently corrupting the pair relation in both
+    * engines identically (oracle parity would hide the corruption).
+    */
+  private def shiftedDocId(off: Long, bound: Long): Column =
+    when(col("doc_id") >= 0 && col("doc_id") < bound, col("doc_id") + off)
+      .otherwise(raise_error(concat(
+        lit("synthetic doc_id premise violated: doc_id="),
+        col("doc_id").cast("string"), lit(s" outside [0, $bound)"))))
+
   private def docsWithPrefixes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val w = split(trim(col("text")), "\\s+")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select(shiftedDocId(2000000L, 2000000L).as("doc_id"),
           array_join(slice(w, lit(1),
             greatest(lit(5), floor(size(w) * 2 / 5).cast("int"))), " ").as("text")))
   }
@@ -563,6 +575,21 @@ object ScaleQueries {
   val PmiMinCount = 5
 
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, out0) = pmiPlan(spark, dir)
+    // ≤ PmiK rows out: localCheckpoint so the persisted gram relation
+    // can be released before returning (the pagerank edges pattern).
+    val out = out0.localCheckpoint()
+    scored.unpersist()
+    out
+  }
+
+  /** The pmi assembly pre-checkpoint, exposed for the PlanSpec scan
+    * gate: returns (persisted scored relation, final plan). The scored
+    * gram-count shuffle has two consumers (the kth-score aggregate and
+    * the candidate filter) — without the persist each would re-run the
+    * full corpus bigram shuffle.
+    */
+  private[graft] def pmiPlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val wArr = split(trim(lower(col("text"))), "\\s+")
@@ -592,6 +619,11 @@ object ScaleQueries {
         Num.r(log((col("cab").cast("double") / col("nb")) /
           ((col("ca").cast("double") / col("n1")) *
             (col("cb").cast("double") / col("n1")))), 6).as("pmi"))
+      // Two consumers (kth aggregate + candidate filter) would each
+      // re-run the full corpus bigram shuffle; scored is bounded by the
+      // min-count-pruned gram vocab, so persist it between them (the
+      // qualityBudget branch-reuse precedent).
+      .persist()
     val kth = broadcast(scored.agg(
       array_min(graft.scale.TopK.topK(col("pmi"), col("ha"), PmiK)
         .getField("score")).as("kth")))
@@ -605,11 +637,12 @@ object ScaleQueries {
       .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"),
         col("cab"), col("pmi"))
       .distinct()
-    rec
+    val out = rec
       .withColumn("rank",
         row_number().over(Window.orderBy(col("pmi").desc, col("bigram").asc)))
       .filter(col("rank") <= PmiK)
       .select(col("rank"), col("bigram"), col("cab").as("n"), col("pmi"))
+    (scored, out)
   }
 
   val pmiCollocationsSql: String =
@@ -2593,6 +2626,12 @@ object ScaleQueries {
     * costs one scan at any volume.
     */
   val RepetitionMaxDupTriRatio = 0.2
+  // trainingMix's single-reference gate coalesce(dtr, sentinel) <= t is
+  // only equivalent to `dtr IS NOT NULL AND dtr <= t` while the sentinel
+  // exceeds the threshold; ratios live in [0,1], the sentinel is 2.0,
+  // so pin the threshold below it at class-init time.
+  require(RepetitionMaxDupTriRatio < 2.0,
+    "trainingMix null-ratio sentinel (2.0) must exceed RepetitionMaxDupTriRatio")
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
     // slices + zip_with, NOT element_at(w, i) in a transform lambda: if
@@ -3150,8 +3189,13 @@ object ScaleQueries {
     // FUSED scan (gates inline, no join) was tried and measured WORSE
     // (17.7-43 s): the pruned doc_id-only branch + equi-join beats
     // carrying text-wide rows through the trigram filter stage.
+    // Sentinel 2.0 sits strictly above any valid ratio (ratios are in
+    // [0,1]), so null -> dropped stays equivalent to the oracle's
+    // `dtr IS NOT NULL AND dtr <= t` for ANY threshold < 2.0 — a 1.0
+    // sentinel would silently flip null rows to kept if the threshold
+    // were ever raised to >= 1.0 (require() at the constant pins this).
     val passRep = repetitionFilter(spark, dir)
-      .filter(coalesce(col("dup_tri_ratio"), lit(1.0)) <= RepetitionMaxDupTriRatio)
+      .filter(coalesce(col("dup_tri_ratio"), lit(2.0)) <= RepetitionMaxDupTriRatio)
       .select("doc_id")
     val contaminated = decontaminate(spark, dir)
       .filter(col("ratio") >= 0.5).select("doc_id")
@@ -3517,11 +3561,12 @@ object ScaleQueries {
   val DeltaDedupFpp = 0.01
   private def deltaBatch(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // three disjoint synthetic ranges: all require doc_id in [0, 1e6)
     val tenth = d.filter(col("doc_id") % 10 === 0)
-    tenth.withColumn("doc_id", col("doc_id") + 1000000L)
-      .unionByName(tenth.withColumn("doc_id", col("doc_id") + 2000000L))
+    tenth.withColumn("doc_id", shiftedDocId(1000000L, 1000000L))
+      .unionByName(tenth.withColumn("doc_id", shiftedDocId(2000000L, 1000000L)))
       .unionByName(d.filter(col("doc_id") % 10 === 7)
-        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("doc_id", shiftedDocId(3000000L, 1000000L))
         .withColumn("text", concat(lit("fresh "), col("text"))))
   }
 

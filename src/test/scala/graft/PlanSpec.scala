@@ -386,6 +386,45 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() < full.count())
   }
 
+  test("purchase reach assembles from checkpointed relations — zero events rescans") {
+    // trans (≤ |types|² rows) and direct (≤ |types| rows) are
+    // localCheckpointed; the r1/r2/r3 step chain and the final 3-way
+    // join reference them up to ~15× logically, so the final plan must
+    // contain NO events.parquet scan (the one scan ran inside the
+    // checkpoint build) — only ExistingRDD reads of the bounded state.
+    val p = plan(analytics.Events.purchaseReach(spark, sf))
+    val eventsScans = p.linesIterator.count(l =>
+      l.contains("Location: InMemoryFileIndex") && l.contains("events"))
+    assert(eventsScans == 0,
+      s"purchase reach re-derives the transition matrix from raw events:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected checkpointed inputs:\n$p")
+  }
+
+  test("pmi collocations evaluate the gram-count shuffle once (persisted)") {
+    // scored (min-count-pruned gram vocab) has two consumers: the
+    // kth-score aggregate and the candidate filter. Unpersisted, each
+    // re-runs the full corpus bigram shuffle; the persist makes both
+    // read the InMemoryRelation, leaving exactly one documents scan in
+    // the final plan (the deliberate string-recovery pass).
+    val (scored, out) = analytics.ScaleQueries.pmiPlan(spark, sf)
+    try {
+      // withCachedData substitutes the persisted subtree: both scored
+      // consumers must resolve to InMemoryRelation, and the only
+      // remaining documents read is the string-recovery scan.
+      val lp = out.queryExecution.withCachedData
+      val inMem = lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(inMem.size >= 2,
+        s"scored gram relation is not read from cache by both consumers:\n$lp")
+      val docScans = lp.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(docScans.size <= 1,
+        s"pmi re-scans documents ${docScans.size} times outside the cache:\n$lp")
+    } finally scored.unpersist()
+  }
+
   test("knn-graph pair stage stays under HotSpot's JIT bytecode refusal") {
     // HotSpot never compiles a method past 8 000 bytecodes
     // (-XX:DontCompileHugeMethods): past the cliff the whole fused stage
