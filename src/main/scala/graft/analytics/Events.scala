@@ -585,6 +585,10 @@ object Events {
     // lineage so the events scan runs once (the Attribution.scala
     // markovAttribution pattern); `direct` is ≤ |types| rows and every
     // downstream step re-derives from these two checkpointed relations.
+    // EAGER: localCheckpoint runs Spark jobs at CONSTRUCTION time (the
+    // Archive.compactDay contract) — building this DataFrame is not a
+    // free plan constructor, and each construction pins checkpoint RDDs
+    // until GC. Callers that only want the plan should not call this.
     val trans = eventTransitions(spark, dir)
       .select(col("prev"), col("next"), col("p"))
       .localCheckpoint()

@@ -1187,21 +1187,44 @@ object Relational {
     * equal values collapse into one interval; an interval closes when the
     * next CHANGE opens (not the next row).
     *
-    * Scale shape: two pane-decomposed per-key sequential passes
-    * ([[graft.scale.SlidingAgg.prevValue]] for change detection over the
-    * full stream, [[graft.scale.SlidingAgg.nextTime]] for the interval
-    * close over the much smaller change stream) — no task ever sorts one
-    * key's full history, per the per-key sequential rule. Ordering is
-    * (o_orderdate, o_orderkey) end to end, so the interval set is
-    * identical to the naive lag/lead formulation the oracle runs.
+    * DATE-GRAIN SEMANTICS (deliberate, r9): the validity grain is the
+    * DATE, so a key that changes value more than once on one date keeps
+    * only the LAST value for that date (by o_orderkey, the arrival
+    * order) — last-write-wins per (key, date), exactly like a nightly
+    * dimension load. Without this collapse, same-date change pairs emit
+    * zero-length intervals with tied valid_from, and "the interval set
+    * tiles the timeline" stops being a total order (the r8 SCD2 spec
+    * flake: custkey 123 at sf0.001 has two priority changes on
+    * 1995-02-16). After the collapse, valid_from is strictly increasing
+    * per key by construction.
+    *
+    * Scale shape: a grouped argmax collapses to one row per (key, date)
+    * — no window — then two pane-decomposed per-key sequential passes
+    * ([[graft.scale.SlidingAgg.prevValue]] for change detection,
+    * [[graft.scale.SlidingAgg.nextTime]] for the interval close over the
+    * much smaller change stream). No task ever sorts one key's full
+    * history, per the per-key sequential rule.
     */
-  def scd2Priority(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+  def scd2Priority(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-        col("o_orderpriority"))
+        col("o_orderpriority")))
+
+  /** Core of [[scd2Priority]] over any (o_custkey, o_orderdate,
+    * o_orderkey, o_orderpriority)-shaped change stream — split out so the
+    * same-date fixture test can exercise the date-grain collapse on a
+    * constructed frame, not a testdata accident.
+    */
+  def scd2Of(orders: DataFrame): DataFrame = {
+    val daily = orders
       .withColumn("ts", col("o_orderdate").cast("timestamp"))
+      .groupBy(col("o_custkey"), col("ts"))
+      .agg(max(struct(col("o_orderkey"), col("o_orderpriority"))).as("m"))
+      .select(col("o_custkey"), col("ts"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_orderpriority").as("o_orderpriority"))
     val withPrev = graft.scale.SlidingAgg.prevValue(
-      o, Seq("o_custkey"), col("ts"), col("o_orderkey"),
+      daily, Seq("o_custkey"), col("ts"), col("o_orderkey"),
       col("o_orderpriority"), Scd2PaneMicros, "pv")
     val changes = withPrev
       .filter(col("pv").isNull || col("pv") =!= col("o_orderpriority"))
@@ -1218,15 +1241,19 @@ object Relational {
   }
 
   val scd2PrioritySql: String =
-    """WITH s AS (
-      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey, o_orderpriority,
+    """WITH dg AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |         arg_max(o_orderpriority, o_orderkey) AS o_orderpriority
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (
+      |  SELECT o_custkey, d, o_orderpriority,
       |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
-      |           ORDER BY o_orderdate, o_orderkey) AS pv
-      |  FROM orders),
-      |c AS (SELECT o_custkey, d, o_orderkey, o_orderpriority FROM s
+      |           ORDER BY d) AS pv
+      |  FROM dg),
+      |c AS (SELECT o_custkey, d, o_orderpriority FROM s
       |      WHERE pv IS NULL OR pv <> o_orderpriority),
       |iv AS (SELECT *, lead(d) OVER (PARTITION BY o_custkey
-      |         ORDER BY d, o_orderkey) AS vt FROM c)
+      |         ORDER BY d) AS vt FROM c)
       |SELECT o_custkey AS custkey, o_orderpriority AS priority,
       |       d AS valid_from, vt AS valid_to, vt IS NULL AS is_current
       |FROM iv""".stripMargin

@@ -578,9 +578,9 @@ object ScaleQueries {
     val (scored, out0) = pmiPlan(spark, dir)
     // ≤ PmiK rows out: localCheckpoint so the persisted gram relation
     // can be released before returning (the pagerank edges pattern).
-    val out = out0.localCheckpoint()
-    scored.unpersist()
-    out
+    // try/finally: if the eager checkpoint throws (OOM, executor loss)
+    // the persisted relation must not leak for the session lifetime.
+    try out0.localCheckpoint() finally scored.unpersist()
   }
 
   /** The pmi assembly pre-checkpoint, exposed for the PlanSpec scan
@@ -2628,10 +2628,12 @@ object ScaleQueries {
   val RepetitionMaxDupTriRatio = 0.2
   // trainingMix's single-reference gate coalesce(dtr, sentinel) <= t is
   // only equivalent to `dtr IS NOT NULL AND dtr <= t` while the sentinel
-  // exceeds the threshold; ratios live in [0,1], the sentinel is 2.0,
-  // so pin the threshold below it at class-init time.
-  require(RepetitionMaxDupTriRatio < 2.0,
-    "trainingMix null-ratio sentinel (2.0) must exceed RepetitionMaxDupTriRatio")
+  // exceeds the threshold; ratios live in [0,1], so 2.0 is strictly
+  // above any valid value. ONE constant for both the require and the
+  // filter — editing either alone must not reopen the null-flip hazard.
+  val NullRatioSentinel = 2.0
+  require(RepetitionMaxDupTriRatio < NullRatioSentinel,
+    "trainingMix null-ratio sentinel must exceed RepetitionMaxDupTriRatio")
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
     // slices + zip_with, NOT element_at(w, i) in a transform lambda: if
@@ -3195,7 +3197,7 @@ object ScaleQueries {
     // sentinel would silently flip null rows to kept if the threshold
     // were ever raised to >= 1.0 (require() at the constant pins this).
     val passRep = repetitionFilter(spark, dir)
-      .filter(coalesce(col("dup_tri_ratio"), lit(2.0)) <= RepetitionMaxDupTriRatio)
+      .filter(coalesce(col("dup_tri_ratio"), lit(NullRatioSentinel)) <= RepetitionMaxDupTriRatio)
       .select("doc_id")
     val contaminated = decontaminate(spark, dir)
       .filter(col("ratio") >= 0.5).select("doc_id")

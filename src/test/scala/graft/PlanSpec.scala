@@ -417,11 +417,19 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(inMem.size >= 2,
         s"scored gram relation is not read from cache by both consumers:\n$lp")
+      // Specifically the documents scans (by path): a V2-migration that
+      // stops producing LogicalRelation must FAIL here, not pass
+      // vacuously with 0 collected relations.
       val docScans = lp.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("documents"))
+            case _ => false
+          }) => l
       }
-      assert(docScans.size <= 1,
-        s"pmi re-scans documents ${docScans.size} times outside the cache:\n$lp")
+      assert(docScans.size == 1,
+        s"pmi should read documents exactly once outside the cache, saw ${docScans.size}:\n$lp")
     } finally scored.unpersist()
   }
 

@@ -48,10 +48,10 @@ class RegistrySpec extends AnyFunSuite {
         "defined; DuckDB's sketch differs legitimately. Exact-verified: " +
         "PropertySpec bounds rank error vs exact quantiles."),
     "q_image_neardup" ->
-      ("operates on the binary media column via the stubbed decode " +
-        "plumbing (no codec in-sandbox); DuckDB has no analog. " +
-        "Exact-verified: MultimodalSpec pins the deterministic fake-" +
-        "decode outputs."))
+      ("decodes the binary media column with real javax.imageio " +
+        "(Multimodal.scala) — DuckDB cannot run an image codec, so no " +
+        "SQL oracle exists. Exact-verified: MultimodalSpec decodes real " +
+        "PNGs and pins near-dup recall of exact-duplicate payload pairs."))
 
   test("every oracle key has a query, and every rows-only query carries a justification") {
     val qs = SparkEntry.queries.keySet

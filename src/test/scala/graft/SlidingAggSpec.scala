@@ -53,6 +53,11 @@ class SlidingAggSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (k, iv) =>
       val sorted = iv.sortBy(_._3.getTime)
+      // date-grain collapse ⇒ valid_from is strictly increasing per key
+      // (ties would make this sort order-dependent — the r8 flake)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._3.getTime < b._3.getTime, s"key $k tied/zero-length interval")
+      }
       // exactly one open interval, and it is the last one
       assert(iv.count(_._5) == 1, s"key $k current-count")
       assert(sorted.last._5 && sorted.last._4.isEmpty)
@@ -63,6 +68,33 @@ class SlidingAggSpec extends AnyFunSuite {
         assert(a._2 != b._2, s"key $k uncollapsed interval")
       }
     }
+  }
+
+  test("scd2: same-date change pairs collapse to the last value (constructed fixture)") {
+    // By construction, not testdata accident: key 1 changes twice on d2
+    // (P2 then P3 by arrival order o_orderkey) — date-grain SCD2 must keep
+    // only P3 for d2 and emit no zero-length interval. Key 2 churns
+    // A→B→A within one date — the last value equals the prior interval's
+    // value, so the date must NOT open a new interval at all.
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "1995-01-01", 10L, "P1"),
+      (1L, "1995-01-05", 11L, "P2"),
+      (1L, "1995-01-05", 12L, "P3"),
+      (1L, "1995-01-09", 13L, "P3"),
+      (2L, "1995-02-01", 20L, "A"),
+      (2L, "1995-02-04", 21L, "B"),
+      (2L, "1995-02-04", 22L, "A"))
+      .toDF("o_custkey", "d", "o_orderkey", "o_orderpriority")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+    val out = graft.analytics.Relational.scd2Of(fx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+      .sortBy(r => (r._1, r._3))
+    assert(out === Array(
+      (1L, "P1", "1995-01-01", Some("1995-01-05"), false),
+      (1L, "P3", "1995-01-05", None, true),
+      (2L, "A", "1995-02-01", None, true)))
   }
 
   test("paned trailing count/sum equals the naive range window") {
