@@ -23,7 +23,7 @@ surface as Decimal objects driver-side and are exactly the bugs this
 check exists to catch (r6: q_dup_stats). CAST the oracle SQL rather
 than widening the allowlist.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -36,13 +36,20 @@ def canon(v):
         return repr(round(v, 9))
     return repr(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata are single files; ScaleUp corpora (sf1/sf10)
+        # are Spark-written DIRECTORIES of part files
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(o in name for o in only):
+            continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
@@ -99,4 +106,7 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated name substrings — check only
+    # matching queries (fresh-process reruns of resource-failed oracles)
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3].split(",") if len(sys.argv) > 3 else None))

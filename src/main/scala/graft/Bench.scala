@@ -53,14 +53,17 @@ object Bench {
     // timing: an analysis exception takes ~0.05 s and would otherwise
     // masquerade as a 10x improvement in round-over-round diffs.
     //
-    // SPARK_GRAFT_BENCH_REPS >= 2 adds warm repetitions per query: the
-    // first (cold) timing stays the primary "queries" column, the min of
-    // the later passes lands in "queries_warm". The first execution of a
-    // query shape pays ~1-3 s of codegen+JIT and page-cache effects that
-    // a single sample cannot separate from plan changes — a warm column
-    // in the artifact itself ends the per-round ritual of exonerating
-    // cold outliers by hand (see BASELINE.md "Host regression").
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // Warm repetitions per query: the first (cold) timing stays the
+    // primary "queries" column, the min of the later passes lands in
+    // "queries_warm". The first execution of a query shape pays ~1-3 s
+    // of codegen+JIT and page-cache effects that a single sample cannot
+    // separate from plan changes — a warm column in the artifact itself
+    // ends the per-round ritual of exonerating cold outliers by hand
+    // (see BASELINE.md "Host regression"). DEFAULT 2 since r9: three
+    // consecutive rounds of cold-only driver artifacts manufactured
+    // phantom regressions (the r7 q_p* and r8 q_s* "slow windows");
+    // cross-round comparisons must use the warm column.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -76,8 +79,18 @@ object Bench {
     // bounded regime. The driver sets no filter and benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    // Seeded order shuffle: a fixed alphabetical order let every
+    // host-noise window land on an alphabetically contiguous block of
+    // queries, which reads exactly like a targeted regression (r7 q_p*,
+    // r8 q_s* — both exonerated only by forensic alphabet analysis).
+    // Shuffling decorrelates run position from query name; the seed is
+    // recorded in the artifact so any run is reproducible, and
+    // SPARK_GRAFT_BENCH_SEED pins it for A/B runs.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
+    val rng = new scala.util.Random(seed)
     val timings: Seq[(String, Seq[Either[String, Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      rng.shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
         .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
         .map { case (name, fn) =>
         val cold = timed(fn)
@@ -92,13 +105,15 @@ object Bench {
         println(s"[bench] $name $shown")
         name -> (cold +: rest)
       }
+    // Artifact order is sorted by name regardless of run order — the
+    // cross-round diff should not churn on the shuffle.
     val results: Seq[(String, Either[String, Double])] =
-      timings.map { case (name, runs) => name -> runs.head }
+      timings.map { case (name, runs) => name -> runs.head }.sortBy(_._1)
     val warmResults: Seq[(String, Either[String, Double])] =
       timings.collect { case (name, runs) if runs.size > 1 =>
         val oks = runs.tail.collect { case Right(v) => v }
         name -> (if (oks.nonEmpty) Right(oks.min) else runs.tail.head)
-      }
+      }.sortBy(_._1)
     def fmt(v: Double): String = f"$v%.3f"
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -121,7 +136,7 @@ object Bench {
         s""","total_warm":${fmt(wTotal)},"queries_warm":${qjson(warmResults)}"""
       }
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errs.size},"queries":${qjson(results)}$warmPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errs.size},"seed":$seed,"reps":$reps,"queries":${qjson(results)}$warmPart,"sf":"$sfDir"}"""
     // Round 4's driver artifact captured only a truncated stdout TAIL of
     // the (single, ~4 KB) bench line and parsed nothing. Defense in
     // depth: (1) the full per-query JSON goes to a FILE, (2) the full

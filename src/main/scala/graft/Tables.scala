@@ -48,6 +48,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Register every table as a temp view (events encoding-normalized) —
+    * the Probe/diagnostic entry point.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   /** Fixed "as of" instant for queries whose reference semantics use
     * wall-clock `now()` (SURVEY.md §7 determinism rules). Chosen just past
     * the max `events.ts` in the testdata (2024-01-30 23:26).

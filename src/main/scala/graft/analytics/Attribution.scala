@@ -80,15 +80,20 @@ object Attribution {
       p, touches(spark, dir), Seq("user_id"),
       col("ts"), col("touch_ts"), AttribWindowDays * 24L * 3600L * 1000000L)
     // one row per (purchase, touch type): the credit-split window below
-    // partitions a <=3-row group, never the raw pair set
+    // partitions a <=3-row group, never the raw pair set. Checkpointed:
+    // it is ≤3 narrow rows per purchase and feeds BOTH the credit split
+    // and the direct-credit anti-join — without the barrier the anti-join
+    // re-ran the whole range join (a second purchases + touches pass
+    // over the event stream). EAGER at construction.
     val perType = pairs.groupBy(col("event_id"), col("value"), col("touch_type"))
       .agg(count(lit(1)).as("n_t"))
+      .localCheckpoint()
     val withTot = perType.withColumn("n_tot",
       sum(col("n_t")).over(Window.partitionBy(col("event_id"))))
     val credited = withTot.select(
       col("touch_type").as("channel"), col("event_id"),
       Num.r((col("value") * col("n_t")) / col("n_tot"), 6).as("credit"))
-    val direct = p.join(pairs.select("event_id").distinct(), Seq("event_id"), "left_anti")
+    val direct = p.join(perType.select("event_id").distinct(), Seq("event_id"), "left_anti")
       .select(lit("direct").as("channel"), col("event_id"), col("value").as("credit"))
     credited.unionByName(direct)
       .groupBy(col("channel"))
@@ -321,18 +326,18 @@ object Attribution {
        |        WHERE rn = 1 GROUP BY 1, 2),
        |cnt AS (SELECT * FROM c0 UNION ALL SELECT * FROM fst),
        |tt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
-       |tr AS (SELECT cnt.prev, cnt.next,
+       |tr AS MATERIALIZED (SELECT cnt.prev, cnt.next,
        |              ${Num.rSql("CAST(cnt.n AS DOUBLE) / tt.tn", 9)} AS p
        |       FROM cnt JOIN tt USING (prev)),
        |ch AS (SELECT DISTINCT prev AS rc FROM tr
        |       WHERE prev NOT IN ('(start)', 'purchase')
        |       UNION ALL SELECT '(none)'),
-       |trx AS (SELECT ch.rc, tr.prev, tr.next, tr.p FROM ch CROSS JOIN tr
+       |trx AS MATERIALIZED (SELECT ch.rc, tr.prev, tr.next, tr.p FROM ch CROSS JOIN tr
        |        WHERE tr.prev <> ch.rc AND tr.next <> ch.rc),
-       |sts AS (SELECT ch.rc, p.prev AS state
+       |sts AS MATERIALIZED (SELECT ch.rc, p.prev AS state
        |        FROM ch CROSS JOIN (SELECT DISTINCT prev FROM tr) p
        |        WHERE p.prev <> ch.rc),
-       |dct AS (SELECT sts.rc, sts.state, coalesce(t.p, 0.0) AS d
+       |dct AS MATERIALIZED (SELECT sts.rc, sts.state, coalesce(t.p, 0.0) AS d
        |        FROM sts LEFT JOIN
        |          (SELECT rc, prev, p FROM trx WHERE next = 'purchase') t
        |          ON sts.rc = t.rc AND sts.state = t.prev),

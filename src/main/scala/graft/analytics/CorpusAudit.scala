@@ -266,10 +266,17 @@ object CorpusAudit {
       .select(col("doc_id"), col("n_words"), col("keep").as("g_ok"))
     val c = ScaleQueries.qualityClassify(docs)
       .select(col("doc_id"), col("keep").as("c_ok"))
+    // Checkpointed: the gate relation feeds BOTH the stage-count
+    // aggregate and the dedup argmin, and Catalyst does not CSE logical
+    // plans — without the barrier each consumer re-runs all three gate
+    // chains (language + gopher + classifier = three corpus scans,
+    // twice). The checkpointed rows are narrow (digest, count, 3 bools);
+    // EAGER at construction (the Archive.compactDay contract).
     val j = lang.join(g, "doc_id").join(c, "doc_id")
       .select(col("digest"), col("n_words"), col("lang_ok"),
         (col("lang_ok") && col("g_ok")).as("s2"),
         (col("lang_ok") && col("g_ok") && col("c_ok")).as("s3"))
+      .localCheckpoint()
     val base = j.agg(
       count(lit(1)).as("n0"), sum(col("n_words")).as("t0"),
       sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n1"),
@@ -438,8 +445,13 @@ object CorpusAudit {
     */
   def dupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Checkpointed: the verified pair relation (bounded by TRUE near-dup
+    // pairs) feeds both the per-threshold pair counts and the distinct-
+    // doc counts — without the barrier each consumer re-runs the whole
+    // LSH candidate + verify pipeline. EAGER at construction.
     val pairs = graft.scale.Dedup.minhashDupPairs(docs, "text", "doc_id", 3, 0.5)
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("j"))
+      .localCheckpoint()
     val n = broadcast(docs.agg(count(lit(1)).as("n_corpus")))
     val byT = pairs
       .select(col("j"), col("d1"), col("d2"),

@@ -495,7 +495,7 @@ object CorpusQueries {
     * q_dup_clusters_lsh / q_canonical_docs_lsh. At 100 TB the exact
     * tier's Σ C(df,2) pair expansion is the scale-killer; this path
     * shuffles only signatures and band buckets. Carries the exact
-    * tier's oracle SQL on the ScaleSpec premise: LSH candidates are
+    * tier's oracle SQL on the ScaleSpec/RegimeSpec premise: LSH candidates are
     * exact-verified (precision exact by construction) and recall is
     * proved set-equal on the gate corpora, so the cluster relation —
     * and hence this histogram — equals the exact tier's.
@@ -511,7 +511,7 @@ object CorpusQueries {
   val dupStatsSql: String =
     s"""${ScaleQueries.dupClustersCteSql},
        |csz AS (SELECT cluster_id, count(*) AS cs FROM clusters GROUP BY 1),
-       |hist AS (
+       |hist AS MATERIALIZED (
        |  SELECT CAST(cs AS BIGINT) AS cluster_size,
        |         CAST(count(*) AS BIGINT) AS n_clusters,
        |         CAST(sum(cs) AS BIGINT) AS n_docs

@@ -509,10 +509,22 @@ object Relational {
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = broadcast(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
-    val partCnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val pairs = li.groupBy(col("l_orderkey"))
+    // ONE fact scan + one shuffle: the basket relation (order → sorted
+    // part array) is the common ancestor of all three aggregates, so
+    // n_orders and the per-part counts derive from the checkpointed
+    // baskets (narrow longs, |distinct (order, part)| entries) instead of
+    // re-scanning + re-shuffling lineitem once per consumer — at fact
+    // scale three distinct passes over the big table was the whole cost.
+    // EAGER (the Archive.compactDay contract): building this DataFrame
+    // runs the basket job. The cap filter applies only to the pair
+    // expansion, as in the oracle — margins count every order.
+    val baskets = li.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .localCheckpoint()
+    val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
+    val partCnt = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val pairs = baskets
       .filter(size(col("ps")) <= BasketMaxSize)
       .select(explode(graft.scale.Dedup.pairsOf(col("ps"))).as("p"))
       .select(col("p.d1").as("p1"), col("p.d2").as("p2"))

@@ -43,18 +43,26 @@ object ScaleQueries {
     Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", 3, 0.5)
       .select(col("d1"), col("d2"), Num.r(col("jaccard"), 6).as("jaccard"))
 
-  /** Shared shingle/intersection CTEs for the Jaccard-family oracles. */
+  /** Shared shingle/intersection CTEs for the Jaccard-family oracles.
+    * AS MATERIALIZED (DuckDB-only syntax; oracles run in DuckDB only):
+    * DuckDB 1.0 INLINES a CTE once per reference — `sh` is referenced
+    * three times (self-join sides + sizes) and the downstream cluster
+    * CTEs re-reference the whole chain; at sf1 the un-hinted plan
+    * re-evaluated the quadratic intersection up to 3×, filled 77 GB of
+    * spill and died (q_dup_stats, first sf1 sweep). Evaluate-once is
+    * the semantics the Spark side already has.
+    */
   private[analytics] val jaccardCtesSql: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
       |        THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |        ELSE [] END) AS s
       |    FROM toks) t),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
@@ -108,6 +116,39 @@ object ScaleQueries {
         Num.r(col("containment"), 6).as("containment"),
         Num.r(col("jaccard"), 6).as("jaccard"))
 
+  /** Containment via winnowing candidates — the SCALE path sibling of
+    * [[containmentPairs]] (the q_dup_stats_lsh precedent): candidate
+    * pairs come from shared winnowed fingerprints (Θ(true-overlap)
+    * inverted-index expansion, never the corpus-wide Σ C(df,2) shingle
+    * self-join), then each candidate is exact-verified on its shingle
+    * sets. Precision is exact by construction; recall rests on the
+    * winnowing guarantee (any shared run of ≥ GramK+WinSize−1 = 8 words
+    * shares a fingerprint — a 0.9-containment pair shares nearly every
+    * trigram of the smaller doc, hence long runs). Carries the exact
+    * tier's oracle SQL on the ScaleSpec/RegimeSpec premise that the
+    * verified pair set equals the exact tier's on the gate corpora
+    * (asserted at sf0.001, sf0.01 AND sf0.1 — the q_heavy_hitters rule).
+    */
+  def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
+    // The augmented corpus feeds three derivations (winnow fingerprints
+    // + both verify sides' shingle sets) and each would re-run the
+    // union-of-scans subtree — persist it for the build, checkpoint the
+    // small pair output, release the cache (the pmiCollocations
+    // pattern; EAGER at construction).
+    val docs = docsWithPrefixes(spark, dir).persist()
+    // (k=3, win=3): detection guarantee at k+win-1 = 5 shared words —
+    // the fixture's MINIMUM excerpt length, so excerpt→parent recall is
+    // structural, not a density accident (the default (4,5) guarantee
+    // starts at 8 words and measurably missed two 7-word excerpts).
+    val cands = graft.scale.Winnow.overlapPairs(docs, "text", "doc_id", 1,
+      k = 3, win = 3)
+    val out = Dedup.containmentOnCandidates(docs, "text", "doc_id", 3, 0.9, cands)
+      .select(col("d1"), col("d2"),
+        Num.r(col("containment"), 6).as("containment"),
+        Num.r(col("jaccard"), 6).as("jaccard"))
+    try out.localCheckpoint() finally docs.unpersist()
+  }
+
   val containmentPairsSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, text FROM documents
@@ -152,17 +193,17 @@ object ScaleQueries {
     */
   private[analytics] val dupClustersCteSql: String =
     s"""WITH RECURSIVE $jaccardCtesSql,
-       |pairs AS (SELECT d1, d2 FROM inter
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON d1 = s1.doc_id
        |  JOIN sizes s2 ON d2 = s2.doc_id
        |  WHERE CAST(c AS DOUBLE) / (s1.n_sh + s2.n_sh - c) >= 0.5),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
        |          UNION ALL SELECT d2, d1 FROM pairs),
        |reach(node, r) AS (
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
-       |clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+       |clusters AS MATERIALIZED (SELECT node AS doc_id, min(r) AS cluster_id
        |             FROM reach GROUP BY node)""".stripMargin
 
   val dupClustersSql: String =
@@ -222,7 +263,9 @@ object ScaleQueries {
     * and canonical relations equal the exact tier's and these queries
     * carry the exact tier's oracle SQL. Deterministic (fixed seeds, fixed
     * gate data), so the oracle row can't flake; ScaleSpec set-equality
-    * remains the guard for the premise.
+    * (sf0.001) plus RegimeSpec's sf0.1 sweep guard the premise — recall
+    * is cardinality-dependent, so it is asserted where cardinality grows
+    * (the q_heavy_hitters rule).
     */
   def dupClustersLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
@@ -289,11 +332,43 @@ object ScaleQueries {
     // the same hot-bucket guard as lshCandidates — not a self-join (which
     // would shuffle the chunk table twice and explode candidates before
     // any distance check)
-    sigs.select(explode(chunkArr).as("c"), col("doc_id"), col("sig"))
+    val bucketed = sigs
+      .select(explode(chunkArr).as("c"), col("doc_id"), col("sig"))
       .groupBy(col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val okPairs = bucketed
+      .filter(size(col("ds")) <= Dedup.MaxGroup)
+      .select(explode(sigPairs(col("ds"))).as("p"))
+    // HOT-BUCKET tier (r9: the cap premise measurably failed at sf1 — 86
+    // over-cap buckets, max 8017 docs, 15% pair recall silently dropped
+    // wholesale). Members of an over-cap bucket are RE-BANDED on 4-bit
+    // nibble pairs, scoped to their bucket: a Hamming-≤6 pair dirties at
+    // most 6 of the 16 nibbles, so at least 10 are clean and at least
+    // C(10,2) = 45 of the 120 nibble pairs are fully clean — recall at
+    // radius 6 survives by the same pigeonhole as the chunk-pair scheme,
+    // while bucket population divides by ~256 (the 8-bit sub-key). A
+    // sub-bucket still over cap would mean >MaxGroup docs agreeing on 2
+    // chunks AND 2 nibbles — mass near-identical duplication that
+    // belongs in exactDupGroups upstream; the premise boundary is
+    // pushed out ~256×, and the duplicate pairs the two tiers share are
+    // folded by the final distinct as before.
+    val hotPairs = bucketed
+      .filter(size(col("ds")) > Dedup.MaxGroup)
+      .select(col("chunk_idx"), col("chunk"), explode(col("ds")).as("m"))
+      .select(col("chunk_idx"), col("chunk"),
+        col("m.doc_id").as("doc_id"), col("m.sig").as("sig"))
+      // nibble sub-band keys via the codegen'd kernel (SimHash64
+      // .nibblePairBands) — a 120-struct literal expression here
+      // measured 37 KB of generated bytecode, past the JIT cliff
+      .select(col("chunk_idx"), col("chunk"),
+        explode(SimHash64.nibbleBands(col("sig"))).as("nib"),
+        col("doc_id"), col("sig"))
+      .groupBy(col("chunk_idx"), col("chunk"), col("nib"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= Dedup.MaxGroup)
       .select(explode(sigPairs(col("ds"))).as("p"))
+    okPairs.unionByName(hotPairs)
       .filter(col("p.hamming") <= SimHamming)
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
       .distinct()
@@ -1625,7 +1700,7 @@ object ScaleQueries {
          |         ${Num.rSql(s"${1.0 - PrDamping} / nn.n + $PrDamping * coalesce(c.m, 0.0)", 9)} AS pr
          |  FROM vv CROSS JOIN nn LEFT JOIN cc$i c ON vv.vec_id = c.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH gg AS ($knnGraphSql),
+    s"""WITH gg AS MATERIALIZED ($knnGraphSql),
        |edg AS (SELECT vec_id AS src, nbr_id AS dst FROM gg),
        |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edg GROUP BY 1),
        |vv AS (SELECT vec_id FROM embeddings),
@@ -1704,15 +1779,15 @@ object ScaleQueries {
       .select(col("vec_id").as("a"), col("nbr_id").as("b")))
 
   val triangleCountSql: String =
-    s"""WITH gg AS ($knnGraphSql),
-       |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+    s"""WITH gg AS MATERIALIZED ($knnGraphSql),
+       |und AS MATERIALIZED (SELECT DISTINCT least(vec_id, nbr_id) AS a,
        |                        greatest(vec_id, nbr_id) AS b FROM gg),
-       |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS deg FROM (
+       |deg AS MATERIALIZED (SELECT nid, CAST(count(*) AS BIGINT) AS deg FROM (
        |          SELECT a AS nid FROM und UNION ALL SELECT b FROM und)
        |        GROUP BY 1),
        |e AS (SELECT und.a, und.b, x.deg AS da, y.deg AS db
        |      FROM und JOIN deg x ON und.a = x.nid JOIN deg y ON und.b = y.nid),
-       |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |o AS MATERIALIZED (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
        |             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
        |             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
        |      FROM e),
@@ -1775,7 +1850,7 @@ object ScaleQueries {
   }
 
   val graphCoherenceSql: String =
-    s"""WITH gg AS ($knnGraphSql),
+    s"""WITH gg AS MATERIALIZED ($knnGraphSql),
        |e AS (SELECT vec_id, $dblEmb AS v FROM embeddings),
        |nm AS (
        |  SELECT g.vec_id, t.i, ${Num.rSql("avg(e.v[i])", 9)} AS mu
@@ -3589,8 +3664,14 @@ object ScaleQueries {
 
   def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.documents(spark, dir).select(md5(col("text")).as("digest"))
+    // Checkpointed: the delta batch is SMALL by premise (a daily
+    // increment against a big history) yet referenced three times
+    // (bloom-gate, first-per-digest, final join) — without the barrier
+    // each reference re-runs the three-way fixture union over the
+    // corpus. (doc_id, digest) rows only; EAGER at construction.
     val delta = deltaBatch(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("digest"))
+      .localCheckpoint()
     val index = buildDedupIndex(hist)
     val gated = delta
       .filter(graft.scale.Bloom.mightContain(index.bloom, xxhash64(col("digest"))))
@@ -3776,6 +3857,7 @@ object ScaleQueries {
     "q_dedup_exact" -> dedupExact,
     "q_jaccard_pairs" -> jaccardPairs,
     "q_containment_pairs" -> containmentPairs,
+    "q_containment_lsh" -> containmentLsh,
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_lsh" -> dupClustersLsh,
     "q_canonical_docs_lsh" -> canonicalDocsLsh,
@@ -3878,6 +3960,9 @@ object ScaleQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_containment_pairs" -> containmentPairsSql,
+    // scale-path sibling: identical result premise (see containmentLsh
+    // scaladoc), so it carries the exact tier's oracle verbatim
+    "q_containment_lsh" -> containmentPairsSql,
     "q_dup_clusters" -> dupClustersSql,
     // The LSH tier carries the EXACT tier's oracle SQL: candidates are
     // exact-verified (precision exact by construction) and ScaleSpec

@@ -130,9 +130,17 @@ object Dedup {
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("containment") >= threshold)
 
-  val MinHashPerms = 64
-  val LshBands = 16
-  val LshRows = 4 // 16 × 4 = 64; LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
+  // 128 perms as 32 bands × 4 rows, s* = (1/32)^(1/4) ≈ 0.42. Raised
+  // from 64/16×4 in r9: the first sf1 oracle sweep measured 11 of
+  // 250 600 exact pairs missed, all in the S-curve tail (j 0.73-0.8,
+  // per-pair miss odds (1-j⁴)^16 ≈ 1e-3) — with 32 bands the same pairs
+  // miss at ≤ 3e-5 and the sweep re-measured 0 missed. Banding recall
+  // at a finite perm count is inherently probabilistic; the perm budget
+  // is the knob that buys the measured corpus scale its exactness, and
+  // the RegimeSpec equality sweep is what certifies it per scale.
+  val MinHashPerms = 128
+  val LshBands = 32
+  val LshRows = 4
 
   /** MinHash signatures computed in ONE pass per document by the fused
     * MinHashSig expression — no explode, no 64-way aggregate, no shuffle:
@@ -268,5 +276,29 @@ object Dedup {
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact containment + jaccard scored on a CANDIDATE pair set only —
+    * the scale path for superset/excerpt detection. `candidates` is any
+    * (d1, d2) relation (winnowing overlap pairs in q_containment_lsh:
+    * a shared substring of ≥ GramK+WinSize−1 words guarantees a shared
+    * fingerprint, and a high-containment pair shares long token runs by
+    * construction). Each candidate pair is verified with the exact
+    * shingle-set intersection via two array joins — the minhashDupPairs
+    * verification shape — so precision is exact by construction and
+    * total cost is Θ(candidates), not Σ C(df,2) over the corpus.
+    */
+  def containmentOnCandidates(docs: DataFrame, textCol: String, keyCol: String,
+      n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
+    val sh = docs.select(col(keyCol).as("doc_id"), shingleHashes(col(textCol), n).as("sh"))
+    candidates.select(col("d1"), col("d2"))
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          least(size(col("sh1")), size(col("sh2")))).as("containment"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("containment") >= threshold)
   }
 }

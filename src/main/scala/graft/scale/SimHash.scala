@@ -84,4 +84,51 @@ object SimHash64 {
   /** Column-level entry point. */
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  /** The 120 nibble-pair sub-band keys of a signature, as
+    * `nib_idx * 256 + (nib_i << 4 | nib_j)` ints — the hot-bucket
+    * re-banding tier of q_simhash_pairs. A codegen'd kernel loop, NOT a
+    * 120-struct literal array expression: the expression form generated
+    * 37 KB of bytecode (measured, RegistrySweepSpec r9) — past HotSpot's
+    * 8 000-bytecode compile refusal the whole fused stage runs
+    * interpreted. Generated code here is O(1) in the band count (the
+    * NearestCentroid precedent).
+    */
+  def nibblePairBands(sig: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Int](120)
+    var k = 0
+    var i = 0
+    while (i < 16) {
+      var j = i + 1
+      while (j < 16) {
+        out(k) = k * 256 +
+          ((((sig >>> (i * 4)) & 15L) << 4) | ((sig >>> (j * 4)) & 15L)).toInt
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column-level entry point for [[nibblePairBands]]. */
+  def nibbleBands(c: Column): Column =
+    GraftColumnBridge.column(NibblePairBands(GraftColumnBridge.expression(c)))
+}
+
+/** See [[SimHash64.nibblePairBands]]. */
+case class NibblePairBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"NibblePairBands requires BIGINT input, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.nibblePairBands(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.scale.SimHash64.nibblePairBands($c)")
+  override protected def withNewChildInternal(newChild: Expression): NibblePairBands =
+    copy(child = newChild)
 }

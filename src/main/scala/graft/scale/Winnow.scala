@@ -37,27 +37,31 @@ object Winnow {
     conv(substring(md5(g), 1, 13), 16, 10).cast("long")
 
   /** Per-document distinct winnowed fingerprints as (doc_id, fp) rows.
-    * Docs shorter than GramK words emit nothing; docs with fewer than
-    * WinSize grams keep all their gram hashes (the degenerate single
-    * window).
+    * Docs shorter than `k` words emit nothing; docs with fewer than
+    * `win` grams keep all their gram hashes (the degenerate single
+    * window). The detection guarantee is any shared run of at least
+    * k+win-1 words — callers needing a shorter guarantee (the
+    * containment candidate pass: minimum excerpts are 5 words) lower
+    * (k, win) and pay the 2/(win+1) density increase.
     */
-  def fingerprints(docs: DataFrame, textCol: String, keyCol: String): DataFrame = {
+  def fingerprints(docs: DataFrame, textCol: String, keyCol: String,
+      k: Int = GramK, win: Int = WinSize): DataFrame = {
     val w = col("w")
     // k-gram strings via zip_with over slices: arguments evaluate once
     // per row (CLAUDE.md: indexing a same-query array inside a HOF
     // lambda re-evaluates its builder per element)
     val grams = {
-      val parts = (1 to GramK).map(j => slice(w, lit(j), size(w) - (GramK - 1)))
-      when(size(w) >= GramK,
+      val parts = (1 to k).map(j => slice(w, lit(j), size(w) - (k - 1)))
+      when(size(w) >= k,
         parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
         .otherwise(array().cast("array<string>"))
     }
     val gh = col("gh")
     // sliding window-min over the gram-hash array, again as a zip_with
-    // reduction over WinSize shifted slices
+    // reduction over `win` shifted slices
     val mins = {
-      val parts = (1 to WinSize).map(j => slice(gh, lit(j), size(gh) - (WinSize - 1)))
-      when(size(gh) >= WinSize,
+      val parts = (1 to win).map(j => slice(gh, lit(j), size(gh) - (win - 1)))
+      when(size(gh) >= win,
         parts.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y))))
         .otherwise(gh)
     }
@@ -74,8 +78,9 @@ object Winnow {
     * O(df²) expansion belongs upstream in exact dedup, not here.
     */
   def overlapPairs(docs: DataFrame, textCol: String, keyCol: String,
-      minShared: Int, maxDf: Int = Dedup.MaxGroup): DataFrame = {
-    val pairs = fingerprints(docs, textCol, keyCol)
+      minShared: Int, maxDf: Int = Dedup.MaxGroup,
+      k: Int = GramK, win: Int = WinSize): DataFrame = {
+    val pairs = fingerprints(docs, textCol, keyCol, k, win)
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)

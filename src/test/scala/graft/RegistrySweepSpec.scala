@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.reuse.ReuseExchangeAndSubquery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide EXECUTED-plan sweep (VERDICT r8 Next #6 + #7): every
+  * registered query runs once at sf0.001, then two properties are
+  * asserted over its post-AQE physical plan.
+  *
+  * 1. JIT cliff: every whole-stage-codegen method stays under HotSpot's
+  *    8 000-bytecode compile refusal (-XX:DontCompileHugeMethods). Past
+  *    the cliff the fused stage — including join/agg loops fused
+  *    downstream — runs in the bytecode INTERPRETER, ~50× slower; the
+  *    r7 sf10 stress lost 23 core-hours to exactly this (k-means assign
+  *    composed as array_min over 64 literal-centroid structs). PlanSpec
+  *    keeps the focused family sweep with scale-knob variations; this
+  *    sweep names the NEXT k-composed expression wherever it lands.
+  *
+  * 2. Scan multiplicity: no table is PHYSICALLY read ≥ 3 times by one
+  *    query. Catalyst does not CSE logical plans — a DataFrame val
+  *    referenced twice duplicates its subtree — but what matters is
+  *    what survives ReuseExchange / ReuseSubquery / cache substitution
+  *    in the EXECUTED plan (scans under a ReusedExchangeExec or behind
+  *    an InMemoryTableScanExec cost nothing extra). Counting there is
+  *    the honest version of the multi-consumer audit that caught
+  *    q_purchase_reach (15.8 s of silent events re-derivation) and
+  *    q_pmi_collocations in r8; checkpointed/persisted inputs show zero
+  *    scans, which is the fix this sweep exists to suggest. The
+  *    allowlist is the written sweep result: each entry pins a count
+  *    and says why the re-reads are sound.
+  */
+class RegistrySweepSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.001"
+
+  /** Physical scans per table, counting only scans that actually run:
+    * reuse nodes and cache reads are boundaries, and unrealized AQE
+    * wrappers unwrap to their final executed plan.
+    */
+  private def scans(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case _: ReusedExchangeExec => Nil
+    case _: InMemoryTableScanExec => Nil // cache build cost paid once elsewhere
+    case f: FileSourceScanExec if f.requiredSchema.nonEmpty =>
+      // zero-column scans (corpus counts, n_docs margins) read parquet
+      // FOOTERS only — metadata-cheap at any scale, not a re-read
+      f.relation.location.rootPaths.headOption.toSeq.map { rp =>
+        val s = rp.toString
+        s.substring(s.lastIndexOf('/') + 1).stripSuffix(".parquet")
+      }
+    case _: FileSourceScanExec => Nil
+    case other =>
+      other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+  }
+
+  /** (query, table) -> (pinned count, why the re-reads are sound).
+    *
+    * This map IS the r9 sweep result. Queries fixed during the sweep
+    * rather than pinned: q_basket_pairs (baskets checkpointed — was 3
+    * fact scans + 3 fact shuffles), q_pipeline_funnel (gate relation
+    * checkpointed — was 6), q_delta_dedup (delta batch checkpointed —
+    * was 10), q_dup_threshold_sweep (verified pairs checkpointed — was
+    * 5), q_containment_lsh (augmented corpus persisted — was 6),
+    * q_attribution_linear (per-type credits checkpointed — was 5).
+    * Zero-column footer scans (corpus counts) are excluded upstream.
+    */
+  private val allowedScans: Map[(String, String), (Int, String)] = {
+    val paneDecomp = "AsofJoin/RangeJoin pane decomposition: each pruned side " +
+      "is read for the pane-local pass and once more for the per-(key, pane) " +
+      "carry/recovery relation — the price of never sorting one key's full " +
+      "history in one task; every pass is filter+column-pruned at the scan"
+    val unionOfFilters = "union-of-filters / stage-join shape: each pass reads a " +
+      "DISJOINT filtered slice of the pruned table (no shared work re-derived); " +
+      "a persist of the unpruned base measured WORSE (the trainingMix lesson)"
+    val dictRecovery = "hashed-term design: corpus-sized shuffles key on " +
+      "xxhash64 longs; the extra pruned passes rebuild the bounded hash→string " +
+      "dictionary and the query/eval side — scaladoc'd one-string-shuffle trade"
+    val modelThenScore = "driver-held-model shape: pass 1 fits the bounded " +
+      "model (k-means/LSH/JL codebook, bounded collect), later passes score " +
+      "against the broadcast model; embeddings are the corpus's small side"
+    val gateChain = "independent gate/stat chains joined on doc_id: each chain " +
+      "reads its own column-pruned projection once; chains share no " +
+      "intermediate worth materializing at these widths"
+    Map(
+      ("q_asof_purchase", "events") -> (4, paneDecomp),
+      ("q_attribution_last", "events") -> (4, paneDecomp),
+      // q_attribution_linear: fixed, not pinned — the checkpointed
+      // per-type credit relation absorbs the range-join build, leaving
+      // one purchases pass for the direct-credit anti-join.
+      ("q_range_clicks", "events") -> (3, paneDecomp + "; third pass is the " +
+        "left-outer recovery re-read of the pruned purchase slice"),
+      ("q_cohort_retention", "events") -> (3, unionOfFilters),
+      ("q_session_entry", "events") -> (3, unionOfFilters),
+      ("q_union_topics", "events") -> (3, unionOfFilters),
+      ("q_ordered_funnel", "events") -> (4, unionOfFilters),
+      ("q_rolling_active", "events") -> (3, unionOfFilters),
+      ("q_validation_split", "events") -> (3, unionOfFilters),
+      ("q_bm25_search", "documents") -> (4, dictRecovery),
+      ("q_hybrid_search", "documents") -> (4, dictRecovery),
+      ("q_tfidf_topterms", "documents") -> (3, dictRecovery),
+      ("q_ann_jl", "embeddings") -> (3, modelThenScore),
+      ("q_ann_lsh", "embeddings") -> (4, modelThenScore),
+      ("q_ivf_topk", "embeddings") -> (3, modelThenScore),
+      ("q_embed_drift", "embeddings") -> (3, modelThenScore),
+      ("q_graph_coherence", "embeddings") -> (4, modelThenScore),
+      ("q_minhash_pairs", "documents") -> (3, "signature pass + the two " +
+        "verify-side shingle reads of the flagship LSH shape — measured " +
+        "healthy at sf10 (BASELINE 'LSH dup family decomposed')"),
+      ("q_span_dedup", "documents") -> (3, gateChain),
+      ("q_dup_runs", "documents") -> (3, gateChain),
+      ("q_ngram_diversity", "documents") -> (3, gateChain),
+      ("q_heaps_fit", "documents") -> (3, gateChain),
+      ("q_score_znorm", "documents") -> (3, gateChain),
+      ("q_vocab_drift", "documents") -> (3, gateChain),
+      ("q_dsir_weights", "documents") -> (3, gateChain),
+      ("q_decontaminate_bloom", "documents") -> (3, "corpus shingle pass + " +
+        "eval-set build (external table in production) + per-doc margin — " +
+        "the bloom gate exists precisely so history is scanned, not shuffled"),
+      ("q_training_mix", "documents") -> (4, "deliberately re-runs the " +
+        "registered gate chains it accounts for (scaladoc'd); the fused " +
+        "single-scan arm MEASURED worse at sf10 (43 s vs 20 s)"),
+      ("q_data_card", "documents") -> (11, "audit artifact: composes the " +
+        "registered per-source operators VERBATIM so the card can never " +
+        "disagree with the underlying reports (scaladoc'd cost shape; a " +
+        "production run would fuse the scan-stage constituents)"))
+  }
+
+  // One execution pass feeds both asserts.
+  private lazy val sweep: Seq[(String, Int, Map[String, Int])] = {
+    import org.apache.spark.sql.execution.debug._
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // materialize AQE stages so the final plan + codegen exist
+      val stats = codegenStringSeq(df.queryExecution.executedPlan)
+      val worst = if (stats.isEmpty) 0 else stats.map(_._3.maxMethodCodeSize).max
+      val perTable = scans(df.queryExecution.executedPlan)
+        .groupBy(identity).map { case (t, os) => t -> os.size }
+      (name, worst, perTable)
+    }
+  }
+
+  test("every registered query's generated methods stay JIT-compilable") {
+    // 7000 is the early-warning buffer (codegen size swings a few
+    // hundred bytecodes with data-dependent AQE choices); the two
+    // watchlist entries are long straight-line expression chains that
+    // measured INSIDE the buffer at r9 — they get the hard 8000 cliff
+    // plus a pin so silent growth is named before it crosses.
+    val watch = Map("q_lead_geo_ts" -> 7600, "q_simhash_pairs" -> 7900)
+    val offenders = sweep.collect {
+      case (n, w, _) if w >= watch.getOrElse(n, 7000) => s"$n: $w bytecodes"
+    }
+    assert(offenders.isEmpty,
+      offenders.mkString("queries at/over the JIT cliff buffer:\n", "\n", ""))
+  }
+
+  test("no registered query physically reads a table ≥ 3 times") {
+    val over = sweep.flatMap { case (name, _, perTable) =>
+      perTable.collect { case (t, c)
+        if c > allowedScans.get((name, t)).map(_._1).getOrElse(2) =>
+        s"$name reads $t $c times"
+      }
+    }
+    assert(over.isEmpty,
+      over.mkString("unjustified physical multi-scans (persist/checkpoint or allowlist with a reason):\n", "\n", ""))
+    // allowlist hygiene: entries must still describe the real plan.
+    // Lower bound is soft (cap - 2): AQE reuse decisions can shave a
+    // scan run-to-run; an entry two under its pin is genuinely stale.
+    val index = sweep.flatMap { case (n, _, pt) => pt.map { case (t, c) => (n, t) -> c } }.toMap
+    allowedScans.foreach { case ((n, t), (cap, _)) =>
+      val actual = index.getOrElse((n, t), 0)
+      assert(actual > cap - 2 && actual <= cap,
+        s"stale allowlist entry ($n, $t): pinned $cap, actual $actual")
+    }
+  }
+}

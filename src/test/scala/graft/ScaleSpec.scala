@@ -70,6 +70,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("containment via winnow candidates equals the exact quadratic tier") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))).toSet
+    val exact = key(ScaleQueries.containmentPairs(spark, sf))
+    val lsh = key(ScaleQueries.containmentLsh(spark, sf))
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"winnow path diverges: missed ${(exact -- lsh).take(5)}, extra ${(lsh -- exact).take(5)}")
+  }
+
   test("triangles: K4, path, and K4-minus-an-edge fixtures count exactly") {
     import spark.implicits._
     def stats(edges: (Long, Long)*): (Long, Long, Long, Option[Double]) = {
