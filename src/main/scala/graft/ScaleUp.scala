@@ -29,6 +29,13 @@ object ScaleUp {
       // 128 distinct keys per task (the default); graft's typed buffers
       // are size-capped, so keep the hash path (see Bench.scala).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
+      // Long sweeps accumulate shuffle files across hundreds of jobs and
+      // the ContextCleaner only frees them on driver GC — with a large
+      // pre-touched heap GC may never fire and iterative CC/absorption
+      // loops filled 76 GB of /tmp at the r9 sf10 sweep (q_dup_clusters,
+      // "No space left on device"). A 60 s periodic GC keeps shuffle
+      // cleanup flowing; negligible cost at these heap sizes.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
