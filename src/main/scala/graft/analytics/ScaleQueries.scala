@@ -309,69 +309,152 @@ object ScaleQueries {
   private val SimChunkPairs: Seq[(Int, Int)] = // C(8,2) ordered 8-bit chunk pairs
     for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
 
-  /** Pairs (d1 < d2, hamming) from a sorted array of (doc_id, sig) structs —
-    * the Hamming distance is computed INSIDE the bucket expansion so the
-    * radius filter applies before the distinct shuffle (random 16-bit
-    * collisions die here, only true near-pairs reach the distinct).
+  /** In-bucket pair stream as a sort-merge SELF-JOIN over the bucket key —
+    * NO per-group buffer anywhere. The prior shape (collect_list per
+    * bucket, expand pairs from the array) buffered every bucket's members
+    * in Java-heap aggregation state BEFORE the size filter could drop it;
+    * at the sf10 stress the hot tier's sub-bucket aggregation held up to
+    * 524 288 live groups per task (the raised ObjectHashAggregate
+    * fallback threshold) × a list buffer each and OOM'd the JVM. The
+    * self-join keeps members in spillable UnsafeRow state (SMJ buffers
+    * one key's right side at a time, ≤ MaxGroup rows, spilling past
+    * memory), and the Hamming radius filter still runs BEFORE the
+    * distinct shuffle — random 16-bit collisions die in the join output,
+    * only true near-pairs reach the distinct. `members` must be a
+    * checkpoint/persisted relation so the two join sides read a
+    * materialization, not two re-derivations of the corpus scan.
+    *
+    * `emitHere(x)` is the EMIT-ONCE gate: a pair within Hamming radius is
+    * found in every clean band it shares — up to 28 chunk-pair bands (and
+    * up to 120 nibble bands in the hot tier), so without the gate the
+    * pre-distinct stream carries up to 28 copies of every true pair
+    * (measured at the sf10 stress: 53.9 M true pairs → ~1.5e9 rows of
+    * shuffle spill, out of disk). The clean-band set is a pure function
+    * of the signature XOR, so each side of the join can decide LOCALLY
+    * whether this band is the pair's first clean band and emit only
+    * there — the distinct then folds nothing in the common case and
+    * stays as the invariant's safety net.
     */
-  private def sigPairs(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + 2, size(ds)), y =>
-        struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
-          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))
+  private def sigSelfJoinPairs(members: DataFrame, keys: Seq[String],
+      emitHere: Column => Column): DataFrame = {
+    // Repartition on the bucket key BELOW the two aliasing projections:
+    // the exchange subtree is then IDENTICAL on both join sides, so
+    // ReuseExchange materializes it once — the banded relation is
+    // shuffled one time and read twice, instead of two full shuffles.
+    val m = members.repartition(keys.map(col): _*)
+    val left = m.select(
+      keys.map(col) :+ col("doc_id").as("d1") :+ col("sig").as("s1"): _*)
+    val right = m.select(
+      keys.map(col) :+ col("doc_id").as("d2") :+ col("sig").as("s2"): _*)
+    left.join(right, keys)
+      .filter(col("d1") < col("d2"))
+      .select((keys.map(col) :+ col("d1") :+ col("d2")
+        :+ col("s1").bitwiseXOR(col("s2")).as("x")): _*)
+      .filter(emitHere(col("x")))
+      .select(col("d1"), col("d2"), bit_count(col("x")).as("hamming"))
+      .filter(col("hamming") <= SimHamming)
+  }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpointed once (eager — building this DataFrame runs jobs, like
+    // Archive.compactDay): five passes read it (the Hamming-0 equi-join's
+    // two sides, the distinct-sig relation, the expansion join's two
+    // sides) and the corpus is scanned exactly once regardless.
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(col("text")).as("sig"))
+      .localCheckpoint()
+    // TIER 0 — Hamming-0 pairs (identical signatures): an exact streaming
+    // equi-join on the signature, NO banding and NO cap premise. Mass
+    // duplication — the thing that used to saturate buckets AND sub-
+    // buckets (a duplicate-heavy group never splits under re-banding:
+    // its members agree on every nibble) — is answered exactly here BY
+    // CONSTRUCTION, and the banded tiers below see each signature once,
+    // so their bucket census counts DISTINCT near-neighbors, not copies.
+    // Output volume is exactly these pairs' share of the answer.
+    val eqPairs = sigs.select(col("sig"), col("doc_id").as("d1"))
+      .join(sigs.select(col("sig"), col("doc_id").as("d2")), Seq("sig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), bit_count(lit(0L)).as("hamming"))
+    // TIERS 1–2 band DISTINCT signatures; the signature value doubles as
+    // the pair id (sigSelfJoinPairs pairs on "doc_id", ordered by it —
+    // any total order works, the expansion below normalizes to doc ids).
+    val ds = sigs.select(col("sig")).distinct()
+      .select(col("sig").as("doc_id"), col("sig"))
     val chunkArr = array(SimChunkPairs.zipWithIndex.map { case ((ci, cj), idx) =>
       struct(lit(idx).as("chunk_idx"),
         expr(s"((sig >> ${ci * 8}) & 255) * 256 + ((sig >> ${cj * 8}) & 255)")
           .as("chunk"))
     }: _*)
-    // one shuffle of (chunk, doc_id, sig) + in-bucket pair expansion with
-    // the same hot-bucket guard as lshCandidates — not a self-join (which
-    // would shuffle the chunk table twice and explode candidates before
-    // any distance check)
-    val bucketed = sigs
+    val bands = ds
       .select(explode(chunkArr).as("c"), col("doc_id"), col("sig"))
-      .groupBy(col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val okPairs = bucketed
-      .filter(size(col("ds")) <= Dedup.MaxGroup)
-      .select(explode(sigPairs(col("ds"))).as("p"))
+      .select(col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"),
+        col("doc_id"), col("sig"))
+      .localCheckpoint()
+    // Bucket census: a streaming count whose per-group state is one long,
+    // at ANY corpus size — this is what classifies buckets as ok/hot
+    // without ever materializing a bucket's members in one buffer.
+    val census = bands.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    // Members of non-singleton buckets, with their bucket's census count
+    // attached; checkpointed because ok/hot tiers each read it twice
+    // (the self-join sides) — 4 reads of one materialization.
+    val members = bands.join(census, Seq("chunk_idx", "chunk"))
+      .localCheckpoint()
+    // Emit-once: a pair leaves the ok tier only at its FIRST clean band
+    // b0. If b0's bucket is over the cap, the ok tier is silent for the
+    // pair at every band (later clean bands fail the gate) and the HOT
+    // tier at b0 — which re-bands exactly that bucket — owns it. Either
+    // way exactly one tier emits at exactly one band, and the tiers are
+    // mutually exclusive per (pair, band) because a bucket is either
+    // ≤ cap or > cap.
+    val okPairs = sigSelfJoinPairs(
+      members.filter(col("cnt") <= Dedup.MaxGroup), Seq("chunk_idx", "chunk"),
+      x => col("chunk_idx") === SimHash64.firstCleanChunk(x))
     // HOT-BUCKET tier (r9: the cap premise measurably failed at sf1 — 86
     // over-cap buckets, max 8017 docs, 15% pair recall silently dropped
-    // wholesale). Members of an over-cap bucket are RE-BANDED on 4-bit
-    // nibble pairs, scoped to their bucket: a Hamming-≤6 pair dirties at
-    // most 6 of the 16 nibbles, so at least 10 are clean and at least
-    // C(10,2) = 45 of the 120 nibble pairs are fully clean — recall at
-    // radius 6 survives by the same pigeonhole as the chunk-pair scheme,
-    // while bucket population divides by ~256 (the 8-bit sub-key). A
-    // sub-bucket still over cap would mean >MaxGroup docs agreeing on 2
-    // chunks AND 2 nibbles — mass near-identical duplication that
-    // belongs in exactDupGroups upstream; the premise boundary is
-    // pushed out ~256×, and the duplicate pairs the two tiers share are
-    // folded by the final distinct as before.
-    val hotPairs = bucketed
-      .filter(size(col("ds")) > Dedup.MaxGroup)
-      .select(col("chunk_idx"), col("chunk"), explode(col("ds")).as("m"))
+    // wholesale). Members of an over-cap bucket are RE-BANDED, scoped to
+    // their bucket, on the 66 nibble pairs drawn OUTSIDE the band's two
+    // defining bytes (SimHash64.OutsideNibblePairs — inside nibbles can
+    // never split a bucket whose members agree on those bytes whole;
+    // the all-120-pairs first cut left a 66 014-doc sf10 bucket with a
+    // 66 014-doc largest sub-bucket). Pigeonhole keeps exact recall: a
+    // Hamming-≤6 pair clean at the band has all dirty bits among the 12
+    // outside nibbles, so ≥15 outside pairs are fully clean. A sub-bucket
+    // still over cap would now mean >MaxGroup DISTINCT signatures in a
+    // 24-bit agreement with both endpoints at their first-clean sites —
+    // duplicate copies are already folded by Tier 0, which is what makes
+    // the drop premise tenable (measured: zero drops at every oracle
+    // scale up to sf1). Over-cap members are dropped via an anti-join
+    // against the over-cap key list (bounded by hot_members × 66 /
+    // MaxGroup keys, broadcastable by construction).
+    val hotX = members.filter(col("cnt") > Dedup.MaxGroup)
       .select(col("chunk_idx"), col("chunk"),
-        col("m.doc_id").as("doc_id"), col("m.sig").as("sig"))
-      // nibble sub-band keys via the codegen'd kernel (SimHash64
-      // .nibblePairBands) — a 120-struct literal expression here
-      // measured 37 KB of generated bytecode, past the JIT cliff
-      .select(col("chunk_idx"), col("chunk"),
-        explode(SimHash64.nibbleBands(col("sig"))).as("nib"),
+        explode(SimHash64.outsideBands(col("sig"), col("chunk_idx"))).as("nib"),
         col("doc_id"), col("sig"))
-      .groupBy(col("chunk_idx"), col("chunk"), col("nib"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= Dedup.MaxGroup)
-      .select(explode(sigPairs(col("ds"))).as("p"))
-    okPairs.unionByName(hotPairs)
-      .filter(col("p.hamming") <= SimHamming)
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
-      .distinct()
+    val overCap = hotX.groupBy(col("chunk_idx"), col("chunk"), col("nib"))
+      .agg(count(lit(1)).as("scnt"))
+      .filter(col("scnt") > Dedup.MaxGroup)
+      .select(col("chunk_idx"), col("chunk"), col("nib"))
+    // Hot-tier emit-once: first clean chunk band AND first clean OUTSIDE
+    // nibble band there (nib >>> 8 recovers the band index). Drop premise,
+    // sharpened accordingly: a pair is dropped iff the sub-bucket at its
+    // FIRST clean (band, outside-nibble-band) is over cap.
+    val hotPairs = sigSelfJoinPairs(
+      hotX.join(broadcast(overCap), Seq("chunk_idx", "chunk", "nib"), "left_anti"),
+      Seq("chunk_idx", "chunk", "nib"),
+      x => col("chunk_idx") === SimHash64.firstCleanChunk(x) &&
+        shiftright(col("nib"), 8) === SimHash64.firstCleanOutside(x, col("chunk_idx")))
+    // Expansion: each distinct-sig pair fans back out to every doc pair
+    // across the two signature groups (disjoint groups, so least/greatest
+    // normalization can't collide and each doc pair appears once).
+    val sigPairs = okPairs.unionByName(hotPairs).distinct()
+    sigPairs
+      .join(sigs.select(col("sig").as("d1"), col("doc_id").as("da")), Seq("d1"))
+      .join(sigs.select(col("sig").as("d2"), col("doc_id").as("db")), Seq("d2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+      .unionByName(eqPairs)
   }
 
   /** Cross-engine oracle for q_simhash_pairs — possible because SimHash64
@@ -1459,8 +1542,9 @@ object ScaleQueries {
 
   /** `k` is THE scale knob: cells hold ~n/k vectors and the pair stage is
     * Σ C(cell, 2) ≈ n²/(2k), so k must grow with n to keep cells bounded
-    * (the registered gate query keeps the fixed default; the sf10 stress
-    * measured the fixed-k failure mode — see BASELINE.md "sf10 stress").
+    * (the registered gate query keeps the oracle-pinned default k but
+    * registers salt=8; the sf10 stress measured the fixed-k failure
+    * mode — see BASELINE.md "sf10 stress").
     * `salt` splits the probe side into hash slices with the candidate
     * side replicated per slice: same pair volume, but k×salt tasks
     * instead of k — without it the cluster-keyed shuffle join collapses
@@ -3836,7 +3920,14 @@ object ScaleQueries {
     "q_ann_recall" -> annRecall,
     "q_retrieval_metrics" -> retrievalMetrics,
     "q_cluster_balance" -> clusterBalance,
-    "q_semantic_neardup" -> ((s: SparkSession, d: String) => semanticNearDup(s, d)),
+    // salt=32 is result-identical (slicing only splits tasks) but keeps
+    // the cluster-keyed join from collapsing to k=8 tasks: the r9 sf10
+    // full sweep measured the unsalted registration at 682.8 s with one
+    // CPU-pinned task carrying a whole cell; salt 8/32/64 measured
+    // 264/132/133 s (salt 32 = the pair-volume CPU floor at 32 cores).
+    // k itself stays at the oracle-pinned default; the k-raised scale
+    // arm (17.6 s) lives in ABBench.
+    "q_semantic_neardup" -> ((s: SparkSession, d: String) => semanticNearDup(s, d, salt = 32)),
     "q_span_dedup" -> spanDedup,
     "q_dup_runs" -> dupRuns,
     "q_winnow_pairs" -> winnowPairs,
