@@ -116,32 +116,59 @@ object ScaleQueries {
         Num.r(col("containment"), 6).as("containment"),
         Num.r(col("jaccard"), 6).as("jaccard"))
 
-  /** Containment via winnowing candidates — the SCALE path sibling of
-    * [[containmentPairs]] (the q_dup_stats_lsh precedent): candidate
-    * pairs come from shared winnowed fingerprints (Θ(true-overlap)
-    * inverted-index expansion, never the corpus-wide Σ C(df,2) shingle
-    * self-join), then each candidate is exact-verified on its shingle
-    * sets. Precision is exact by construction; recall rests on the
-    * winnowing guarantee (any shared run of ≥ GramK+WinSize−1 = 8 words
-    * shares a fingerprint — a 0.9-containment pair shares nearly every
-    * trigram of the smaller doc, hence long runs). Carries the exact
-    * tier's oracle SQL on the ScaleSpec/RegimeSpec premise that the
-    * verified pair set equals the exact tier's on the gate corpora
-    * (asserted at sf0.001, sf0.01 AND sf0.1 — the q_heavy_hitters rule).
+  /** Rare-fingerprint df cap for the winnow half of containmentLsh's
+    * candidate union. Fingerprints above it are crowd boilerplate: their
+    * pair expansion is Θ(Σ C(df,2)) over near-dup crowds — measured
+    * 3.04e9 pre-fold rows at the sf10 stress (uncapped-to-1000), which
+    * filled the disk — while the pairs they would contribute are
+    * high-resemblance crowd pairs the minhash half already catches.
+    * Below the cap live the doc-SPECIFIC runs (an excerpt shares its
+    * parent's doc-specific windows at df≈2), 12.8M pre-fold rows at
+    * sf10. The split premise is certified where the oracle can check
+    * (ScaleSpec equality vs the exact tier at three gate scales).
+    */
+  val ContainRareDf = 100
+
+  /** Containment via a candidate UNION — the SCALE path sibling of
+    * [[containmentPairs]] (the q_dup_stats_lsh precedent), then each
+    * candidate is exact-verified on its shingle sets (precision exact by
+    * construction). Two candidate sources, split by the jaccard regime:
+    *
+    *  - MINHASH banding (the q_dup_*_lsh machinery): organic
+    *    resemblance pairs — a near-copy pair has jaccard ≈ 0.95 and
+    *    containment ≥ jaccard, and 128-perm banding recall there is the
+    *    RegimeSpec-certified arithmetic. Crowd boilerplate cannot blow
+    *    this side up: band keys are random projections, so buckets hold
+    *    true near-dup groups, not everyone sharing a template phrase.
+    *  - RARE winnowed fingerprints (df ≤ [[ContainRareDf]]): the
+    *    low-jaccard containment pairs banding misses (an excerpt's
+    *    jaccard is its length ratio, e.g. 0.4 → (1−0.4⁴)³² ≈ 44% miss
+    *    odds) — recall rides the winnowing guarantee (any shared run of
+    *    ≥ k+win−1 words yields a shared fingerprint) applied to the
+    *    pair's doc-SPECIFIC runs, which are rare by definition.
+    *
+    * (k=3, win=3): detection guarantee at k+win-1 = 5 shared words —
+    * the fixture's MINIMUM excerpt length, so excerpt→parent recall is
+    * structural, not a density accident (the default (4,5) guarantee
+    * starts at 8 words and measurably missed two 7-word excerpts).
+    * Carries the exact tier's oracle SQL on the ScaleSpec/RegimeSpec
+    * premise that the verified pair set equals the exact tier's on the
+    * gate corpora (asserted at sf0.001, sf0.01 AND sf0.1 — the
+    * q_heavy_hitters rule).
     */
   def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
-    // The augmented corpus feeds three derivations (winnow fingerprints
-    // + both verify sides' shingle sets) and each would re-run the
-    // union-of-scans subtree — persist it for the build, checkpoint the
-    // small pair output, release the cache (the pmiCollocations
-    // pattern; EAGER at construction).
+    // The augmented corpus feeds four derivations (minhash signatures,
+    // winnow fingerprints, both verify sides' shingle sets) and each
+    // would re-run the union-of-scans subtree — persist it for the
+    // build, checkpoint the small pair output, release the cache (the
+    // pmiCollocations pattern; EAGER at construction).
     val docs = docsWithPrefixes(spark, dir).persist()
-    // (k=3, win=3): detection guarantee at k+win-1 = 5 shared words —
-    // the fixture's MINIMUM excerpt length, so excerpt→parent recall is
-    // structural, not a density accident (the default (4,5) guarantee
-    // starts at 8 words and measurably missed two 7-word excerpts).
-    val cands = graft.scale.Winnow.overlapPairs(docs, "text", "doc_id", 1,
-      k = 3, win = 3)
+    val mh = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, "text", "doc_id", 3))
+    val rare = graft.scale.Winnow.overlapPairs(docs, "text", "doc_id", 1,
+      maxDf = ContainRareDf, k = 3, win = 3)
+      .select(col("d1"), col("d2"))
+    val cands = mh.unionByName(rare).distinct()
     val out = Dedup.containmentOnCandidates(docs, "text", "doc_id", 3, 0.9, cands)
       .select(col("d1"), col("d2"),
         Num.r(col("containment"), 6).as("containment"),
