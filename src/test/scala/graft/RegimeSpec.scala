@@ -95,6 +95,33 @@ class RegimeSpec extends AnyFunSuite {
       s"winnow candidates missed ${(exact -- lsh).take(5)}, extra ${(lsh -- exact).take(5)}")
   }
 
+  test("q_simhash_pairs: banded tiers equal brute-force Hamming at sf0.1") {
+    // The premise behind q_simhash_pairs' exact FNV-replay oracle: the
+    // chunk-pair banding + emit-once + hot-tier re-banding recover EVERY
+    // Hamming-≤6 pair. The only lossy site is an over-cap sub-bucket at
+    // a pair's first-clean (band, outside-nibble-band) — tenable only
+    // because Tier 0 folds duplicate signatures first (the sf1 sweep
+    // caught the pre-Tier-0 design dropping 7.5% of pairs). Brute force
+    // over all C(n,2) signature pairs is affordable at this scale and is
+    // the assertion-grade ground truth.
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.scale.SimHash64.simhash64(col("text")).as("sig"))
+      .localCheckpoint()
+    val a = sigs.select(col("doc_id").as("d1"), col("sig").as("s1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("sig").as("s2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= ScaleQueries.SimHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = ScaleQueries.simhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(banded == brute,
+      s"banded tiers missed ${(brute -- banded).take(5)}, extra ${(banded -- brute).take(5)}")
+  }
+
   test("q_mk_trend: the weekly grid stays calendar-bounded") {
     // the pairwise Mann-Kendall stage is |weeks|² per nation; the premise
     // that makes it scale-safe is that |weeks| tracks the CALENDAR span
