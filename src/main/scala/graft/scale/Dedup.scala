@@ -151,24 +151,88 @@ object Dedup {
         ShingleExprs.minhashSig(col(textCol), n, MinHashPerms).as("sig"))
       .filter(col("sig").isNotNull)
 
-  /** Candidate pairs from LSH banding: equal band-hash in any band.
-    * Same one-shuffle groupBy+pair-expansion shape as jaccardPairs, with
-    * the same hot-group guard: a bucket larger than `maxBucket` signals
-    * mass near-identical duplication (every member pair-verifies against
-    * every other), which belongs to exactDupGroups upstream, not an O(k²)
-    * expansion in one task. Oversized buckets are dropped.
+  /** Candidate pairs from LSH banding: equal band-hash in any band —
+    * each pair emitted ONCE, at its first clean agreeing band.
+    *
+    * The naive banding pipeline (bucket → C(k,2) expansion → distinct)
+    * re-emits every true pair from EVERY band the pair agrees in, and a
+    * near-dup corpus agrees in MOST bands: the r9 sf10 stress measured
+    * 706 M pre-distinct rows for 27.3 M distinct pairs (26× redundancy,
+    * ~11 GB into the distinct exchange) — the same volume class that
+    * filled the disk on the simhash tier. Fix is the simhash emit-once
+    * gate transplanted to MinHash: each membership row carries the doc's
+    * full 32-long band-hash vector, so a pair's first clean agreeing
+    * band is a pure function of the two carried vectors (plus the tiny
+    * over-cap masks) and every enumerated copy decides LOCALLY whether
+    * this band is the one that emits. Only ~n_pairs rows reach the
+    * distinct, which stays as the invariant's safety net.
+    *
+    * Shape: sort-merge SELF-JOIN on (band, bucket) below two aliasing
+    * projections of one repartitioned relation (the simhash
+    * sigSelfJoinPairs pattern) — the shared exchange materializes once
+    * via ReuseExchange, bucket members live in spillable UnsafeRow state
+    * (no per-group array buffer), and the agreement bitmap is the
+    * constant-size codegen'd BandAgreeMask kernel (ShingleExprs) — see
+    * its scaladoc for why neither 32 unrolled terms nor a HOF fold
+    * survives the sf10 pair volume.
+    *
+    * Hot-bucket guard, unchanged semantics: a bucket larger than
+    * `maxBucket` signals mass near-identical duplication (belongs to
+    * exactDupGroups upstream) or a hash-biased crowd; its membership
+    * rows are anti-joined out BEFORE the join so no task enumerates
+    * O(k²), and each affected doc's over-cap bands are masked out of the
+    * gate bitmap so a pair whose first AGREEING band was dropped still
+    * emits at its first CLEAN one — a pair is lost only when it shares
+    * NO clean band, exactly the old drop semantics. The over-cap census
+    * is Θ(n·bands/maxBucket) keys worst-case; AQE broadcasts it while it
+    * fits and falls back to a shuffle join beyond that.
+    *
+    * EAGER: localCheckpoints the signature relation (129 longs/doc) at
+    * construction — the census and the join input re-derive band hashes
+    * from the checkpoint instead of re-running shingling over the corpus
+    * (the Archive.compactDay contract: building this DataFrame runs
+    * jobs).
     */
   def lshCandidates(signatures: DataFrame, maxBucket: Int = MaxGroup): DataFrame = {
-    val bands = explode(transform(sequence(lit(0), lit(LshBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64((0 until LshRows).map(r =>
-          element_at(col("sig"), b * LshRows + r + 1)): _*).as("bucket"))))
-    signatures.select(col("doc_id"), bands.as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(pairsOf(col("ds"))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val sigs = signatures.localCheckpoint()
+    val bhCol = transform(sequence(lit(0), lit(LshBands - 1)),
+      b => xxhash64((0 until LshRows).map(r =>
+        element_at(col("sig"), b * LshRows + r + 1)): _*))
+    val members = sigs.select(col("doc_id"), bhCol.as("bh"))
+      .select(col("doc_id"), col("bh"),
+        posexplode(col("bh")).as(Seq("band", "bucket")))
+    val census = members.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+    val overCap = census.filter(col("df") > maxBucket)
+      .select(col("band"), col("bucket"))
+    // per-doc bitmap of its over-cap bands — only docs that touch an
+    // over-cap bucket appear (empty at every measured scale)
+    val capMasks = members.select(col("doc_id"), col("band"), col("bucket"))
+      .join(overCap, Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), band)")).as("capmask"))
+    val mm = members
+      .join(overCap, Seq("band", "bucket"), "left_anti")
+      .join(capMasks, Seq("doc_id"), "left")
+      .select(col("band"), col("bucket"), col("doc_id"), col("bh"),
+        coalesce(col("capmask"), lit(0L)).as("cm"))
+      .repartition(col("band"), col("bucket"))
+    val left = mm.select(col("band"), col("bucket"),
+      col("doc_id").as("d1"), col("bh").as("bh1"), col("cm").as("cm1"))
+    val right = mm.select(col("band"), col("bucket"),
+      col("doc_id").as("d2"), col("bh").as("bh2"), col("cm").as("cm2"))
+    // agreement bitmap via the constant-size codegen'd kernel — 32
+    // unrolled when-terms measured 22,693 generated bytecodes (past the
+    // 8,000-byte JIT refusal; the fused join stage ran interpreted)
+    val agree = ShingleExprs.bandAgreeMask(col("bh1"), col("bh2"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("elig", agree.bitwiseAND(bitwise_not(col("cm1")))
+        .bitwiseAND(bitwise_not(col("cm2"))))
+      // lowest set bit of the eligible-band bitmap == THIS band ⇒ emit
+      .filter(col("elig").bitwiseAND(negate(col("elig"))) ===
+        expr("shiftleft(CAST(1 AS BIGINT), band)"))
+      .select(col("d1"), col("d2"))
       .distinct()
   }
 

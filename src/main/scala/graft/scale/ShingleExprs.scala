@@ -1,7 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -152,9 +152,58 @@ case class MinHashSig(child: Expression, n: Int, perms: Int) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Bitmap of positionwise agreement between two long arrays: bit i set
+  * iff a(i) == b(i) (i < 64). The LSH emit-once gate needs this per
+  * ENUMERATED bucket pair; composing it as 32 unrolled when-terms put
+  * the fused join stage at 22,693 generated bytecodes — past HotSpot's
+  * 8,000-byte JIT compile refusal, so the whole stage (SMJ inner loop
+  * included) ran in the bytecode interpreter and a 45 s stage became
+  * 10+ CPU-pinned minutes at sf10. This expression generates a tight
+  * constant-size loop instead (the KMeansExprs.NearestCentroid lesson:
+  * generated-code size must not scale with a model constant). A HOF
+  * zip_with fold has constant code size too but evaluates its lambda
+  * interpreted per element — ~7e10 dispatches at the sf10 pair volume.
+  */
+case class BandAgreeMask(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"BandAgreeMask requires array<bigint>, got ${left.dataType}, ${right.dataType}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(math.min(x.numElements(), y.numElements()), 64)
+    var m = 0L
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) m |= 1L << i; i += 1 }
+    m
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min(java.lang.Math.min($a.numElements(), $b.numElements()), 64);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value} |= 1L << $i;
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BandAgreeMask =
+    copy(left = l, right = r)
+}
+
 object ShingleExprs {
   def shingleHashes(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(c), n))
   def minhashSig(c: Column, n: Int, perms: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), n, perms))
+  def bandAgreeMask(a: Column, b: Column): Column =
+    GraftColumnBridge.column(BandAgreeMask(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

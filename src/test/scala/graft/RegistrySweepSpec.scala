@@ -108,9 +108,11 @@ class RegistrySweepSpec extends AnyFunSuite {
       ("q_ivf_topk", "embeddings") -> (3, modelThenScore),
       ("q_embed_drift", "embeddings") -> (3, modelThenScore),
       ("q_graph_coherence", "embeddings") -> (4, modelThenScore),
-      ("q_minhash_pairs", "documents") -> (3, "signature pass + the two " +
-        "verify-side shingle reads of the flagship LSH shape — measured " +
-        "healthy at sf10 (BASELINE 'LSH dup family decomposed')"),
+      ("q_minhash_pairs", "documents") -> (2, "r9 emit-once banding: the " +
+        "signature pass moved behind lshCandidates' eager checkpoint and " +
+        "the two verify-side shingle reads share one exchange via " +
+        "ReuseExchange — 1 scan in the executed plan, pinned ≤ 2 so an " +
+        "AQE reuse regression is named here"),
       ("q_span_dedup", "documents") -> (3, gateChain),
       ("q_dup_runs", "documents") -> (3, gateChain),
       ("q_ngram_diversity", "documents") -> (3, gateChain),
