@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{floor, lit, sum}
 
 /** Cross-engine-stable rounding.
   *
@@ -47,4 +47,28 @@ object Num {
 
   def ssumSql(sumExpr: String, grid: Int, display: Int): String =
     rSql(rSql(sumExpr, grid), display)
+
+  /** EXACT decimal sum of grid-decimal data, returned as DOUBLE — for
+    * sums whose accumulated double error can reach HALF A GRID STEP.
+    *
+    * ssum's premise (fp noise ≪ half-grid) is row-count-bounded: a
+    * double carries ~16 significant digits, so a 2-decimal sum is only
+    * snap-safe while the total stays ≲ 1e11; the r9 sf1 sweep measured
+    * the grand-total revenue cell (3.75e11 over 15 M orders) landing on
+    * .595 with the two engines on opposite sides (q_rollup_revenue /
+    * q_cube_orders, drift exactly one grid step). Casting each addend to
+    * DECIMAL(18, scale) FIRST makes the sum integer-exact in both
+    * engines (the addends live on the grid by construction, and a
+    * sub-ulp double is unambiguous at any decimal scale ≤ 13), the
+    * widened decimal sum cannot overflow before ~1e26, and the final
+    * decimal→double cast is the same IEEE nearest in both. Use for any
+    * aggregate whose group can span the whole fact table (grand totals,
+    * rollup/cube margins); per-key sums at bounded group sizes keep the
+    * cheaper ssum.
+    */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  def dsumSql(e: String, scale: Int): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
 }

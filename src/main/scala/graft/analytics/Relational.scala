@@ -302,13 +302,16 @@ object Relational {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(Num.r(sum(col("o_totalprice")), 2).as("revenue"),
+      // grand-total grain spans every order: exact decimal sum (Num.dsum
+      // scaladoc — double accumulation noise reached the 0.01 grid
+      // boundary at sf1)
+      .agg(Num.dsum(col("o_totalprice"), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
   val rollupRevenueSql: String =
     s"""SELECT r_name, n_name,
-       |  ${Num.rSql("sum(o_totalprice)", 2)} AS revenue, count(*) AS n_orders
+       |  ${Num.dsumSql("o_totalprice", 2)} AS revenue, count(*) AS n_orders
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN nation ON c_nationkey = n_nationkey
@@ -722,8 +725,10 @@ object Relational {
       .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
+      // margins + grand total span every order: exact decimal sum
+      // (Num.dsum scaladoc — the r9 sf1 boundary flip)
       .agg(count(lit(1)).as("n_orders"),
-        Num.ssum(sum(col("o_totalprice")), 2, 2).as("revenue"))
+        Num.dsum(col("o_totalprice"), 2).as("revenue"))
       .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("revenue"))
@@ -732,7 +737,7 @@ object Relational {
     s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        |       coalesce(o_orderpriority, 'ALL') AS priority,
        |       CAST(count(*) AS BIGINT) AS n_orders,
-       |       ${Num.ssumSql("sum(o_totalprice)", 2, 2)} AS revenue
+       |       ${Num.dsumSql("o_totalprice", 2)} AS revenue
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin
 

@@ -157,19 +157,105 @@ object ScaleQueries {
     * q_heavy_hitters rule).
     */
   def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
-    // The augmented corpus feeds four derivations (minhash signatures,
-    // winnow fingerprints, both verify sides' shingle sets) and each
-    // would re-run the union-of-scans subtree — persist it for the
-    // build, checkpoint the small pair output, release the cache (the
-    // pmiCollocations pattern; EAGER at construction).
+    // The augmented corpus feeds several derivations (the quotient
+    // mapping, minhash signatures, winnow fingerprints, both verify
+    // sides' shingle sets) and each would re-run the union-of-scans
+    // subtree — persist it for the build, checkpoint the small pair
+    // output, release the cache (the pmiCollocations pattern; EAGER at
+    // construction).
     val docs = docsWithPrefixes(spark, dir).persist()
+    // DISTINCT-TEXT QUOTIENT (r9, forced by the sf1 sweep): containment
+    // and jaccard are pure functions of the TEXT, so candidates and
+    // verification run once per distinct text and the verified rep pairs
+    // expand through the exact-dup groups afterwards. Without the
+    // quotient the rare-fingerprint premise is replication-FRAGILE: sf1's
+    // ScaleUp replicas multiplied every fingerprint's df 10–20× and
+    // pushed the low-jaccard excerpts' doc-specific windows over the
+    // fixed ContainRareDf cap — 2,240 of 327,234 pairs (all
+    // containment-1.0 excerpt↔parent, jaccard 0.05–0.39, i.e. exactly
+    // the pairs only the winnow side can reach) silently vanished while
+    // every GATE scale stayed green. On the quotient a fingerprint's df
+    // counts DISTINCT texts, so mass duplication cannot move it — the
+    // cap premise depends on genuine boilerplate density only, which the
+    // RegimeSpec/ScaleSpec equalities certify where the oracle can check.
+    // (The q_heavy_hitters rule: the premise now holds by construction
+    // under duplication, not by testdata accident.)
+    val mapping = docs
+      .select(col("doc_id"), min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+        .as("rep"))
+      .localCheckpoint()
+    val repDocs = docs.join(
+      mapping.filter(col("doc_id") === col("rep")).select(col("doc_id")), Seq("doc_id"))
     val mh = Dedup.lshCandidates(
-      Dedup.minhashSignatures(docs, "text", "doc_id", 3))
-    val rare = graft.scale.Winnow.overlapPairs(docs, "text", "doc_id", 1,
-      maxDf = ContainRareDf, k = 3, win = 3)
-      .select(col("d1"), col("d2"))
-    val cands = mh.unionByName(rare).distinct()
-    val out = Dedup.containmentOnCandidates(docs, "text", "doc_id", 3, 0.9, cands)
+      Dedup.minhashSignatures(repDocs, "text", "doc_id", 3))
+    // one fingerprint relation feeds both winnow tiers (EAGER checkpoint)
+    val fps = graft.scale.Winnow.fingerprints(repDocs, "text", "doc_id",
+      k = 3, win = 3).localCheckpoint()
+    val fpDf = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // RARE-FP tier: all pairs within genuinely rare fingerprints
+    // (doc-specific runs; df ≤ ContainRareDf bounds Σ C(df,2))
+    val rare = fps
+      .join(fpDf.filter(col("df") > 1 && col("df") <= ContainRareDf), Seq("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // RAREST-PROBE tier (r9, forced by the sf1 sweep): a doc whose EVERY
+    // fingerprint is common — a 5-word excerpt has exactly one winnow
+    // fingerprint, and the synthetic vocabulary gives that window df=120
+    // at sf1 — is invisible to the rare tier at any fixed cap, yet its
+    // parent provably holds that same fingerprint (the winnowing
+    // substring guarantee). Such a doc PROBES the index with its single
+    // rarest fingerprint: a contained doc's rarest fp is in its
+    // container's set by construction. Probing is restricted to docs the
+    // rare tier provably cannot see — rdf > ContainRareDf, since a doc
+    // whose rarest fp IS rare gets that entire bucket expanded all-pairs
+    // above (a strict superset of its probe) — which cut the sf10 probe
+    // stream from 96.4 M rows (77.9 M candidate pairs, ~all verification
+    // rejects) to the boilerplate-only docs. Ceiling df ≤ MaxGroup
+    // matches the EXACT tier's inverted-index envelope; in principle a
+    // pair could hold a sub-MaxGroup shingle while every winnow MIN is
+    // hotter (fps ⊂ shingles), but the sf1 sweep measured exact set
+    // equality (327,234 = 327,234) and the RegimeSpec equalities pin the
+    // gate scales.
+    val rarest = fps.join(fpDf, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("df"), col("fp"))).as("r"))
+      .select(col("doc_id").as("pd"), col("r.fp").as("fp"), col("r.df").as("rdf"))
+      .filter(col("rdf") > ContainRareDf &&
+        col("rdf") <= graft.scale.Dedup.MaxGroup)
+    val probed = rarest
+      .join(fps.select(col("fp"), col("doc_id").as("od")), Seq("fp"))
+      .filter(col("pd") =!= col("od"))
+      .select(least(col("pd"), col("od")).as("d1"),
+        greatest(col("pd"), col("od")).as("d2"))
+    val cands = mh.unionByName(rare).unionByName(probed).distinct()
+    val vRep = Dedup.containmentOnCandidates(repDocs, "text", "doc_id", 3, 0.9, cands)
+    // cross-group expansion: every member pair of a verified rep pair
+    // shares the reps' texts, hence their exact scores
+    val cross = vRep
+      .join(mapping.select(col("rep").as("d1"), col("doc_id").as("m1")), Seq("d1"))
+      .join(mapping.select(col("rep").as("d2"), col("doc_id").as("m2")), Seq("d2"))
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        col("containment"), col("jaccard"))
+    // within-group pairs: identical texts score exactly 1.0 — provided
+    // the text has at least one shingle (shingle-less docs never pair in
+    // the exact tier). Θ(true pairs) by definition; the self-join
+    // streams a hot group's members in spillable state.
+    val okReps = repDocs
+      .where(size(Dedup.shingleHashes(col("text"), 3)) > 0)
+      .select(col("doc_id").as("rep"))
+    val within = mapping.select(col("rep"), col("doc_id").as("m1"))
+      .join(mapping.select(col("rep"), col("doc_id").as("m2")), Seq("rep"))
+      .filter(col("m1") < col("m2"))
+      .join(okReps, Seq("rep"))
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        lit(1.0).as("containment"), lit(1.0).as("jaccard"))
+    val out = cross.unionByName(within)
       .select(col("d1"), col("d2"),
         Num.r(col("containment"), 6).as("containment"),
         Num.r(col("jaccard"), 6).as("jaccard"))
