@@ -112,8 +112,22 @@ object Bench {
         .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
         .filter { case (name, _) => !skip.contains(name) }
         .map { case (name, fn) =>
+        // Warm-rep hygiene (r9 "what's wrong" #3): localCheckpoint RDDs
+        // from a completed rep are freed only when the driver GC enqueues
+        // their weak refs and the ContextCleaner drains them — with a
+        // pre-touched 24g heap GC may not fire for minutes, so a warm rep
+        // of a checkpoint-heavy query (CC loops, LSH families) could run
+        // AGAINST the cold rep's lingering blocks and exceed cold
+        // in-JVM. An explicit GC + a short cleaner drain between reps
+        // sits OUTSIDE both timings and makes the warm column mean warm.
+        def reapBetweenReps(): Unit = {
+          System.gc()
+          Thread.sleep(250)
+        }
         val cold = timed(fn)
-        val rest = if (cold.isRight) (2 to reps).map(_ => timed(fn)) else Nil
+        val rest = if (cold.isRight) (2 to reps).map { _ =>
+          reapBetweenReps(); timed(fn)
+        } else Nil
         // Incremental per-query line: a run killed or crashed mid-sweep
         // keeps every completed timing in the log (the aggregate JSON is
         // only written at the end). One line per query, greppable.

@@ -177,6 +177,12 @@ object ParityQueries {
       // re-join the columns MarketoTransform does not project (numeric F1
       // input, F12 attrs) — the stage output is the object under test
       .join(raw.select(col("id").as("lead_id"), col("raw_num_ts"), col("attrs")), Seq("lead_id"))
+      // build the F12 attribute map ONCE: element_at'ing the builder
+      // expression twice generated the whole map_from_entries(transform)
+      // chain twice in the fused stage's processNext (JIT-cliff headroom,
+      // verdict r9 #7); an expensive multi-ref alias survives
+      // CollapseProject, so one build feeds both lookups
+      .withColumn("amap", Normalize.activityAttributes(col("attrs")))
       .select(
         col("lead_id"), col("created_at"), col("updated_at"),
         Normalize.standardizeTsNum(
@@ -189,8 +195,8 @@ object ParityQueries {
         col("geographic_info.city").as("city"),
         col("geographic_info.postal_code").as("postal_code"),
         col("geographic_info.timezone").as("timezone"),
-        element_at(Normalize.activityAttributes(col("attrs")), "lead_score").as("attr_lead_score"),
-        element_at(Normalize.activityAttributes(col("attrs")), "form_name").as("attr_form_name"))
+        element_at(col("amap"), "lead_score").as("attr_lead_score"),
+        element_at(col("amap"), "form_name").as("attr_form_name"))
   }
 
   val leadGeoTsSql: String =

@@ -96,7 +96,7 @@ object ScaleQueries {
         lit("synthetic doc_id premise violated: doc_id="),
         col("doc_id").cast("string"), lit(s" outside [0, $bound)"))))
 
-  private def docsWithPrefixes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithPrefixes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val w = split(trim(col("text")), "\\s+")
     d.unionByName(
@@ -126,6 +126,17 @@ object ScaleQueries {
     * parent's doc-specific windows at df≈2), 12.8M pre-fold rows at
     * sf10. The split premise is certified where the oracle can check
     * (ScaleSpec equality vs the exact tier at three gate scales).
+    *
+    * RE-MEASURE AT THE NEXT CORPUS DECADE (the BASELINE.md minhash-perms
+    * rule): the rarest-probe ceiling (rdf ≤ Dedup.MaxGroup, see
+    * containmentLsh) leaves a theoretical hole — a pair could hold a
+    * sub-MaxGroup shingle while every winnow MIN is hotter (fps ⊂
+    * shingles). Measured ZERO at sf0.001/0.01/0.1 AND sf1 (exact set
+    * equality, 327,234 = 327,234), and RegimeSpec asserts the
+    * rarest-fp ≤ MaxGroup premise from the data at sf0.1 — but these are
+    * per-scale certificates, not proofs. Before trusting the exact-tier
+    * oracle at 10× today's corpus, re-run the equality sweep and the
+    * RegimeSpec premise check there.
     */
   val ContainRareDf = 100
 
@@ -180,10 +191,16 @@ object ScaleQueries {
     // RegimeSpec/ScaleSpec equalities certify where the oracle can check.
     // (The q_heavy_hitters rule: the premise now holds by construction
     // under duplication, not by testdata accident.)
-    val mapping = docs
-      .select(col("doc_id"), min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
-        .as("rep"))
+    // Grouped argmin + join back, NOT an unbounded-frame window: under
+    // the mass-duplication regime this query exists for, a window
+    // partitioned by md5(text) buffers an entire exact-dup group in one
+    // WindowExec task (spillable, but a perf cliff at exactly the hot
+    // groups that matter). The aggregate keeps per-group state at one
+    // (digest, min) row and the join streams.
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val mapping = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), Seq("h"))
+      .select(col("doc_id"), col("rep"))
       .localCheckpoint()
     val repDocs = docs.join(
       mapping.filter(col("doc_id") === col("rep")).select(col("doc_id")), Seq("doc_id"))
@@ -1653,11 +1670,26 @@ object ScaleQueries {
     */
   val SemDedupTau = 0.4
 
+  /** Probe-side salt sized to the RUNTIME, not to this host: one slice
+    * per default-parallelism unit gives the cluster-keyed pair join
+    * k×cores-way task granularity wherever it runs (on a 1000-executor
+    * cluster the salt scales with it; a hard-coded 32 would collapse
+    * parallelism there exactly as salt=1 did at the sf10 stress).
+    * Salting is result-identical — slices only split tasks — so the
+    * knob is free to track the environment. Beyond ~4× the pair-volume
+    * CPU floor extra slices buy nothing (r9 measured salt 32 vs 64 as
+    * 132 vs 133 s on 32 cores), so the value needs no cap: candidate
+    * replication cost is one broadcast-sized relation per slice.
+    */
+  def parallelismSalt(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism)
+
   /** `k` is THE scale knob: cells hold ~n/k vectors and the pair stage is
     * Σ C(cell, 2) ≈ n²/(2k), so k must grow with n to keep cells bounded
     * (the registered gate query keeps the oracle-pinned default k but
-    * registers salt=8; the sf10 stress measured the fixed-k failure
-    * mode — see BASELINE.md "sf10 stress").
+    * registers salt = [[parallelismSalt]], i.e. the runtime's default
+    * parallelism — 32 on the gate host; the sf10 stress measured the
+    * fixed-k failure mode — see BASELINE.md "sf10 stress").
     * `salt` splits the probe side into hash slices with the candidate
     * side replicated per slice: same pair volume, but k×salt tasks
     * instead of k — without it the cluster-keyed shuffle join collapses
@@ -2764,19 +2796,30 @@ object ScaleQueries {
     * cardinality crossed the counter budget. The lossy regime is the
     * separate q_heavy_hitters_lossy (sketch→exact-verify two-pass).
     */
+  /** The exact-regime contract as NAMED constants + the bucketing
+    * expression itself, so RegimeSpec can assert the relationship
+    * between what the OPERATOR actually buckets on and the counter
+    * budget from the data — a test that re-hardcodes `% 200` would stay
+    * green if the operator drifted back to a raw key (the r9 advice:
+    * the old assert was tautological against the modulus constant).
+    */
+  val HHBucketMod = 200L
+  val HHCounters = 256
+  def hhBucket(key: Column): Column = key % HHBucketMod
+
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_type"), (col("user_id") % 200).as("user_bucket"))
+      .select(col("event_type"), hhBucket(col("user_id")).as("user_bucket"))
       .groupBy("event_type")
-      .agg(graft.scale.MisraGries.heavyHitters(col("user_bucket"), 256).as("hh"))
+      .agg(graft.scale.MisraGries.heavyHitters(col("user_bucket"), HHCounters).as("hh"))
       .select(col("event_type"), explode(col("hh")).as("e"))
       .select(col("event_type"), col("e.id").as("user_bucket"),
         col("e.est").as("n_events"))
 
   val heavyHittersSql: String =
-    """SELECT event_type, user_id % 200 AS user_bucket,
-      |       CAST(count(*) AS BIGINT) AS n_events
-      |FROM events GROUP BY 1, 2""".stripMargin
+    s"""SELECT event_type, user_id % $HHBucketMod AS user_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Heavy hitters in the LOSSY regime (k < key cardinality, decrements
     * fire) via the two-pass sketch→verify pattern that makes the sketch
@@ -4033,14 +4076,18 @@ object ScaleQueries {
     "q_ann_recall" -> annRecall,
     "q_retrieval_metrics" -> retrievalMetrics,
     "q_cluster_balance" -> clusterBalance,
-    // salt=32 is result-identical (slicing only splits tasks) but keeps
+    // Salt is result-identical (slicing only splits tasks) but keeps
     // the cluster-keyed join from collapsing to k=8 tasks: the r9 sf10
     // full sweep measured the unsalted registration at 682.8 s with one
     // CPU-pinned task carrying a whole cell; salt 8/32/64 measured
     // 264/132/133 s (salt 32 = the pair-volume CPU floor at 32 cores).
-    // k itself stays at the oracle-pinned default; the k-raised scale
-    // arm (17.6 s) lives in ABBench.
-    "q_semantic_neardup" -> ((s: SparkSession, d: String) => semanticNearDup(s, d, salt = 32)),
+    // Since r10 the salt DERIVES from the runtime's parallelism instead
+    // of hard-coding this host's 32 cores — a fixed literal under- or
+    // over-salts any other cluster (verdict r9 #8). k itself stays at
+    // the oracle-pinned default; the k-raised scale arm (17.6 s) lives
+    // in ABBench.
+    "q_semantic_neardup" -> ((s: SparkSession, d: String) =>
+      semanticNearDup(s, d, salt = parallelismSalt(s))),
     "q_span_dedup" -> spanDedup,
     "q_dup_runs" -> dupRuns,
     "q_winnow_pairs" -> winnowPairs,

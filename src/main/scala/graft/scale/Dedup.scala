@@ -260,7 +260,7 @@ object Dedup {
     * partitions. Labels and the frontier are checkpointed per step to
     * keep the plan from growing with iterations.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // symmetrize via explode, NOT a self-union: a union would execute the
     // (possibly very expensive) upstream pair plan twice
     val edges = pairs.select(explode(array(
@@ -277,7 +277,7 @@ object Dedup {
       .localCheckpoint()
     var frontier = labels
     var iter = 0
-    while (frontier != null && iter < 50) {
+    while (frontier != null && iter < maxIters) {
       val msgs = edges
         .join(frontier.select(col("node").as("b"), col("label")), Seq("b"))
         .groupBy(col("a")).agg(min(col("label")).as("nl"))
@@ -294,6 +294,18 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // FAIL LOUDLY at the iteration cap: a non-empty frontier here means
+    // some component's diameter exceeds maxIters and the labels are NOT
+    // converged — returning them would be silently wrong clusters. The
+    // gate oracles catch that at test scales; at production scale nothing
+    // would (the q_heavy_hitters premise class: near-dup graphs are
+    // shallow on THIS corpus, by data, not by construction). A diameter
+    // past the cap is an anomaly worth stopping the pipeline for — raise
+    // maxIters deliberately rather than trusting partial propagation.
+    require(frontier == null,
+      s"dupClusters did not converge within $maxIters iterations — a " +
+        "component's diameter exceeds the cap; labels would be silently " +
+        "unconverged. Raise maxIters for this corpus.")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

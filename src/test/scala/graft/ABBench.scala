@@ -569,6 +569,14 @@ object ABBench {
       time(s"semneardup_fixed_$i") { analytics.ScaleQueries.semanticNearDup(spark, sfDir).count() }
       time(s"semneardup_k64s8_$i") {
         analytics.ScaleQueries.semanticNearDup(spark, sfDir, k = 64, salt = 8).count() }
+      // r10 salt-by-parallelism registration: the literal-32 arm vs the
+      // derived salt (equal on a 32-core host; the A/B exists so any
+      // host where they differ has a recorded comparison)
+      time(s"semneardup_salt32_$i") {
+        analytics.ScaleQueries.semanticNearDup(spark, sfDir, salt = 32).count() }
+      time(s"semneardup_psalt_$i") {
+        analytics.ScaleQueries.semanticNearDup(spark, sfDir,
+          salt = analytics.ScaleQueries.parallelismSalt(spark)).count() }
       time(s"knngraph_cells8_$i") { analytics.ScaleQueries.knnGraph(spark, sfDir).count() }
       time(s"knngraph_cells64_$i") {
         analytics.ScaleQueries.knnGraph(spark, sfDir, cells = 64).count() }

@@ -31,15 +31,49 @@ class RegimeSpec extends AnyFunSuite {
 
   test("q_heavy_hitters: Misra–Gries stays exact — distinct keys per group ≤ counters") {
     // oracle premise: the plain grouped-count SQL is only equal to the
-    // sketch output while every group's distinct key count fits the 256
-    // counters (MisraGries is exact iff no decrement ever fires)
+    // sketch output while every group's distinct key count fits the MG
+    // counters (MisraGries is exact iff no decrement ever fires). Both
+    // the bucketing expression and the counter budget are read FROM THE
+    // OPERATOR — a test re-hardcoding `% 200` certified nothing beyond
+    // its own constant and could never see the operator drift back to a
+    // raw high-cardinality key (the six-round q_heavy_hitters miss).
+    assert(ScaleQueries.HHBucketMod <= ScaleQueries.HHCounters,
+      "the by-construction bound itself: bucket modulus must fit the counters")
     val maxDistinct = Tables.events(spark, sf)
-      .select(col("event_type"), (col("user_id") % 200).as("user_bucket"))
+      .select(col("event_type"),
+        ScaleQueries.hhBucket(col("user_id")).as("user_bucket"))
       .groupBy("event_type")
       .agg(countDistinct(col("user_bucket")).as("d"))
       .agg(max(col("d"))).head.getLong(0)
-    assert(maxDistinct <= 256,
-      s"per-type bucket cardinality $maxDistinct exceeds the 256 MG counters")
+    assert(maxDistinct <= ScaleQueries.HHCounters,
+      s"per-type bucket cardinality $maxDistinct exceeds the " +
+        s"${ScaleQueries.HHCounters} MG counters")
+  }
+
+  test("q_containment_lsh: every doc's RAREST winnow fingerprint stays probe-able (df ≤ MaxGroup)") {
+    // The one documented theoretical hole in the candidate union
+    // (ScaleQueries.containmentLsh rarest-probe tier): a doc whose EVERY
+    // winnow fingerprint has quotient-df > Dedup.MaxGroup is invisible
+    // to all three tiers. Measured zero at every swept scale — this
+    // assert makes the premise DATA-NAMED at sf0.1 so the next testdata
+    // regeneration that voids the containment envelope fails here by
+    // name instead of silently dropping pairs. df counts DISTINCT texts
+    // (the r9 quotient), matching the operator's construction.
+    val docs = ScaleQueries.docsWithPrefixes(spark, sf)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = docs.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")), Seq("doc_id"))
+    val fps = graft.scale.Winnow.fingerprints(reps, "text", "doc_id", k = 3, win = 3)
+    val fpDf = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val worstRarest = fps.join(fpDf, Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("df")).as("rdf"))
+      .agg(max(col("rdf"))).head.getLong(0)
+    assert(worstRarest <= graft.scale.Dedup.MaxGroup,
+      s"a doc's rarest winnow fingerprint has df=$worstRarest > " +
+        s"MaxGroup=${graft.scale.Dedup.MaxGroup} — it is invisible to every " +
+        "containment candidate tier; raise the probe ceiling or re-derive " +
+        "the envelope before trusting q_containment_lsh's exact oracle")
   }
 
   test("q_heavy_hitters_lossy / q_heavy_hitters_cms: sketch-gated outputs equal the exact HAVING query") {

@@ -322,6 +322,25 @@ class ScaleSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("dupClusters fails loudly when a component's diameter exceeds the iteration cap") {
+    // min-label propagation moves a label one hop per iteration, so a
+    // 7-edge path needs 7 steps to converge; at maxIters=3 the frontier
+    // is still non-empty and the guard must REFUSE to return the
+    // unconverged labels (silent wrong clusters are the failure mode the
+    // cap used to allow).
+    import spark.implicits._
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      graft.scale.Dedup.dupClusters(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same chain converges to ONE cluster once the cap covers its
+    // diameter — the guard only fires on genuine non-convergence
+    val ok = graft.scale.Dedup.dupClusters(chain, maxIters = 10)
+    assert(ok.count() == 8)
+    assert(ok.select("cluster_id").distinct().count() == 1)
+  }
+
   test("span dedup's hashed-span ratios equal a string-keyed recomputation") {
     // the registered op never shuffles span strings (xxhash64 keys); this
     // recomputes df over the raw strings and must land on identical ratios
