@@ -1803,6 +1803,29 @@ object ScaleQueries {
        |    ORDER BY cos_sim DESC, nbr_id ASC) AS rank FROM p)
        |WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** Materialize the kNN graph ONCE as a parquet edge artifact and hand
+    * back the reader — the shared-build form the graph family consumes
+    * (VERDICT r9 #2; the IvfPq.codes / DedupIndex precedent). At the
+    * sf10 stress q_pagerank (152.5 s), q_triangle_count (105.8),
+    * q_graph_coherence (97.1) and q_knn_graph (95.0) each re-ran the
+    * same ~95 s cell-join floor — ~25% of the full sweep — because each
+    * registration is a self-contained query. A production fleet builds
+    * the edge relation once per corpus snapshot and every graph query
+    * runs Θ(edges) against the parquet: [[pagerankOn]],
+    * [[triangleStatsOf]] and [[graphCoherenceOn]] take the edge
+    * relation as input, and GraphArtifactSpec pins their result
+    * equality with the composed single-query registrations (which stay
+    * registered for oracle parity). The artifact keeps knnGraph's FULL
+    * schema (cluster, vec_id, rank, nbr_id, cos_sim): consumers
+    * column-prune at the scan, and the relation doubles as the
+    * q_knn_graph result itself.
+    */
+  def knnGraphBuild(spark: SparkSession, dir: String, path: String,
+      cells: Int = KmeansK): DataFrame = {
+    knnGraph(spark, dir, cells).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Incremental ANN maintenance — the q_delta_dedup operating mode
     * applied to the vector tier: a DELTA of new vectors is searched
     * against the persisted corpus without reshuffling it. The trained
@@ -1889,10 +1912,24 @@ object ScaleQueries {
     * from bit-identical ranks in both engines and the final top-20
     * cannot flip on an accumulation ulp.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val edges = knnGraph(spark, dir)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst")).persist()
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(Tables.embeddings(spark, dir),
+      knnGraph(spark, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+
+  /** PageRank over a CALLER-SUPPLIED edge relation `(src, dst)` — the
+    * shared-artifact form (VERDICT r9 #2, the DedupIndex precedent): at
+    * the sf10 stress each graph registration rebuilt the same ~95 s
+    * kNN-graph cell join, 4× per sweep ≈ 25% of the whole run. The
+    * production pattern is [[knnGraphBuild]] once, then every graph
+    * consumer reads the edge parquet; the composed [[pagerank]] stays
+    * registered for oracle parity and delegates here.
+    */
+  private[graft] def pagerankOn(emb: DataFrame, edges0: DataFrame): DataFrame = {
+    // The power loop consumes edges 2×/iteration (message join + the
+    // out-degree side); persist whatever plan produced them so neither a
+    // composed cell-join nor a parquet read re-runs per step.
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    edges.count()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val verts = emb.select(col("vec_id"))
       .crossJoin(broadcast(emb.agg(count(lit(1)).as("nv"))))
@@ -2053,9 +2090,16 @@ object ScaleQueries {
     * in accumulation order across engines), and the final score rounds
     * at 1e-6 BEFORE ranking with the id tiebreak.
     */
-  def graphCoherence(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+  def graphCoherence(spark: SparkSession, dir: String): DataFrame =
+    graphCoherenceOn(Tables.embeddings(spark, dir),
+      knnGraph(spark, dir).select(col("vec_id"), col("nbr_id")))
+
+  /** Coherence over a caller-supplied edge relation `(vec_id, nbr_id)` —
+    * the shared-artifact sibling (see [[pagerankOn]]); single-pass over
+    * the edges, so no persist is needed here.
+    */
+  private[graft] def graphCoherenceOn(emb: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("vec_id"), col("nbr_id"))
     val meanV = edges
       .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
         "nbr_id")
