@@ -36,7 +36,7 @@ def canon(v):
         return repr(round(v, 9))
     return repr(v)
 
-def main(sf_dir, out_dir, only=None):
+def main(sf_dir, out_dir, only=None, skip=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata are single files; ScaleUp corpora (sf1/sf10)
@@ -48,7 +48,14 @@ def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        if only and not any(o in name for o in only):
+        # `only` entries are substrings; a '=' prefix demands an EXACT
+        # match (dev/sweep_sf1.sh re-runs one heavy oracle per process —
+        # a substring would drag q_dup_stats_lsh into q_dup_stats' run)
+        if only and not any(
+                (o[1:] == name if o.startswith("=") else o in name)
+                for o in only):
+            continue
+        if skip and name in skip:
             continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -106,7 +113,12 @@ def main(sf_dir, out_dir, only=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    # optional 3rd arg: comma-separated name substrings — check only
-    # matching queries (fresh-process reruns of resource-failed oracles)
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3].split(",") if len(sys.argv) > 3 else None))
+    # optional 3rd arg: comma-separated name SUBSTRINGS — check only
+    # matching queries (fresh-process reruns of resource-failed oracles).
+    # optional 4th arg: comma-separated EXACT names to skip — the
+    # spill-prone oracle families dev/sweep_sf1.sh re-runs in their own
+    # DuckDB process (exact-name so a skip can never swallow an LSH
+    # sibling via substring match; empty string = no filter).
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
+    skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only, skip))
