@@ -247,9 +247,16 @@ object SlidingAgg {
       .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
     val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
       .orderBy(col("__us"), col("__t"))
+    // Checkpoint the single windowed pass and derive the carry FROM it
+    // (r10, the sessionIds fusion): deriving intra and carry from `base`
+    // re-ran the whole upstream subtree per branch — for q_scd2_priority
+    // that was the orders scan + the (key, date) argmax collapse TWICE.
+    // Partitioning/ordering survive the checkpoint, so the carry groupBy
+    // adds no exchange and the join back adds no sort on the big side.
     val intra = base.withColumn(out, lag(col("__v"), 1).over(w1))
+      .localCheckpoint()
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
-    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+    val carry = intra.groupBy((keys :+ "__b").map(col): _*)
       .agg(max(struct(col("__us"), col("__t"), col("__v"))).as("__lst"))
       .withColumn("__c", lag(col("__lst").getField("__v"), 1).over(w2))
       .select((keys :+ "__b").map(col) :+ col("__c"): _*)
@@ -272,9 +279,13 @@ object SlidingAgg {
       .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
     val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
       .orderBy(col("__us"), col("__t"))
+    // same checkpoint fusion as prevValue: one windowed pass feeds both
+    // the carry aggregate and the join, instead of re-running the
+    // upstream subtree per branch
     val intra = base.withColumn(out, lead(col("__us"), 1).over(w1))
+      .localCheckpoint()
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
-    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+    val carry = intra.groupBy((keys :+ "__b").map(col): _*)
       .agg(min(col("__us")).as("__lo"))
       .withColumn("__c", lead(col("__lo"), 1).over(w2))
       .select((keys :+ "__b").map(col) :+ col("__c"): _*)
@@ -285,25 +296,66 @@ object SlidingAgg {
 
   /** Gap-threshold SESSION-ID assignment per key (1-based, in
     * (time, tiebreak) order) — [[sessionCounts]] upgraded from counts to
-    * ids so downstream analytics can aggregate per session. Break flags
-    * come from [[prevTime]]; the id is their prefix sum via
-    * [[runningSum]] — both pane-decomposed, so no task ever holds a
-    * key's full history. Break flags are 0/1 integer-valued doubles:
-    * their sums are exact in any accumulation order, hence the cast back
-    * to long is lossless and engine-identical.
+    * ids so downstream analytics can aggregate per session, fused into
+    * ONE pane-local window pass. The [[prevTime]]∘[[runningSum]]
+    * composition this replaces paid the big relation FOUR times (two
+    * window sorts + two carry aggregates, each branch re-deriving the
+    * events subtree — Catalyst does not CSE logical branches) and
+    * measured 18.4 s at the sf10 sweep for q_session_entry vs 1.3 s for
+    * the counts-only sibling. Fused: the pane-local break flag
+    * (lag(__us)) and its pane-local prefix sum run over the SAME
+    * (key, pane)(time, tiebreak) window — the framed sum consumes the
+    * lag's output so they stay two WindowExecs, but the second reuses
+    * the first's exchange AND sort order, so the big relation is
+    * shuffled and sorted once. A localCheckpoint then feeds both the
+    * tiny per-(key, pane) carry relation and the final join (explicit
+    * persist per the branch-reuse rule; partitioning/ordering survive
+    * the checkpoint, so the join back adds no exchange and no sort on
+    * the big side). A row's id = carried base of its pane + its
+    * pane-local prefix: the carry window only ever holds one row per
+    * (key, pane), so no task sorts a key's full history. Integer µs and
+    * 0/1 longs end to end — exact in any accumulation order, identical
+    * to the naive per-key lag+prefix formulation (SlidingAggSpec pins
+    * equality at three pane widths).
     */
   def sessionIds(df: DataFrame, keys: Seq[String], time: Column, tiebreak: Column,
       gapMicros: Long, paneMicros: Long): DataFrame = {
-    // "__pv", not "__prev": runningSum uses "__prev" internally for its
-    // carry and a second column of that name would be ambiguous
-    val flagged = prevTime(df, keys, time, tiebreak, paneMicros, "__pv")
-      .withColumn("__brk",
-        when(col("__pv").isNull || col("__us") - col("__pv") > gapMicros, 1.0)
-          .otherwise(0.0))
-      .drop("__us")
-    runningSum(flagged, keys, time, tiebreak, col("__brk"), paneMicros, "__sid")
-      .withColumn("session_id", col("__sid").cast("long"))
-      .drop("__pv", "__brk", "__sid")
+    val base = df
+      .withColumn("__us", unix_micros(time))
+      .withColumn("__t", tiebreak)
+      .withColumn("__b", floor(col("__us") / lit(paneMicros.toDouble)).cast("long"))
+    val w1 = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__us"), col("__t"))
+    // intra-pane break flag: 1 iff the gap from the pane-local
+    // predecessor exceeds the threshold; a pane's FIRST row flags 0 here
+    // (null lag → otherwise-branch) — its break is decided in the carry.
+    val local = base
+      .withColumn("__ibrk",
+        when(col("__us") - lag(col("__us"), 1).over(w1) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__loc", sum(col("__ibrk")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    // one row per (key, pane): first/last time + intra-break total. The
+    // pane's first-row break compares against the previous NON-EMPTY
+    // pane's last time (ts-ordered ⇒ last = max); the pane base is the
+    // cumulative break count of all earlier panes plus its own first-row
+    // break.
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val carry = local.groupBy((keys :+ "__b").map(col): _*)
+      .agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"),
+        sum(col("__ibrk")).as("__nbrk"))
+      .withColumn("__pl", lag(col("__hi"), 1).over(w2))
+      .withColumn("__fb",
+        when(col("__pl").isNull || col("__lo") - col("__pl") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__pbase",
+        coalesce(sum(col("__nbrk") + col("__fb")).over(
+          w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + col("__fb"))
+      .select((keys :+ "__b").map(col) :+ col("__pbase"): _*)
+    local.join(carry, keys :+ "__b")
+      .withColumn("session_id", col("__pbase") + col("__loc"))
+      .drop("__us", "__t", "__b", "__ibrk", "__loc", "__pbase")
   }
 
   /** Running (prefix) sum per key without sorting a key's full history
@@ -324,10 +376,13 @@ object SlidingAgg {
     val wLoc = Window.partitionBy((keys :+ "__b").map(col): _*)
       .orderBy(col("__us"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same checkpoint fusion as prevValue/nextTime: the single windowed
+    // pass feeds both the per-pane totals and the join
     val local = base.withColumn("__loc", sum(col("__v")).over(wLoc))
+      .localCheckpoint()
     val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = base.groupBy((keys :+ "__b").map(col): _*)
+    val carry = local.groupBy((keys :+ "__b").map(col): _*)
       .agg(sum(col("__v")).as("__tot"))
       .withColumn("__prev", sum(col("__tot")).over(wCarry))
       .select((keys :+ "__b").map(col) :+ col("__prev"): _*)

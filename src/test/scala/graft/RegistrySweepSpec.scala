@@ -95,7 +95,9 @@ class RegistrySweepSpec extends AnyFunSuite {
       ("q_range_clicks", "events") -> (3, paneDecomp + "; third pass is the " +
         "left-outer recovery re-read of the pruned purchase slice"),
       ("q_cohort_retention", "events") -> (3, unionOfFilters),
-      ("q_session_entry", "events") -> (3, unionOfFilters),
+      // q_session_entry: fixed r10, not pinned — the fused sessionIds
+      // (one window pass behind a checkpoint) replaced the 3-scan
+      // prevTime∘runningSum composition.
       ("q_union_topics", "events") -> (3, unionOfFilters),
       ("q_ordered_funnel", "events") -> (4, unionOfFilters),
       ("q_rolling_active", "events") -> (3, unionOfFilters),
