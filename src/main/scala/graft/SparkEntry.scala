@@ -22,7 +22,8 @@ object SparkEntry {
       analytics.CorpusStats.queries ++ analytics.CorpusDiversity.queries ++
       analytics.CorpusAudit.queries ++ analytics.Audit.queries ++
       analytics.Attribution.queries ++ analytics.Lifecycle.queries ++
-      analytics.RobustStats.queries ++ analytics.Forecast.queries
+      analytics.RobustStats.queries ++ analytics.Forecast.queries ++
+      analytics.Preference.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
@@ -31,5 +32,6 @@ object SparkEntry {
       analytics.CorpusStats.oracles ++ analytics.CorpusDiversity.oracles ++
       analytics.CorpusAudit.oracles ++ analytics.Audit.oracles ++
       analytics.Attribution.oracles ++ analytics.Lifecycle.oracles ++
-      analytics.RobustStats.oracles ++ analytics.Forecast.oracles
+      analytics.RobustStats.oracles ++ analytics.Forecast.oracles ++
+      analytics.Preference.oracles
 }
