@@ -23,7 +23,7 @@ object SparkEntry {
       analytics.CorpusAudit.queries ++ analytics.Audit.queries ++
       analytics.Attribution.queries ++ analytics.Lifecycle.queries ++
       analytics.RobustStats.queries ++ analytics.Forecast.queries ++
-      analytics.Preference.queries
+      analytics.Preference.queries ++ analytics.Density.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Events.oracles ++
@@ -33,5 +33,5 @@ object SparkEntry {
       analytics.CorpusAudit.oracles ++ analytics.Audit.oracles ++
       analytics.Attribution.oracles ++ analytics.Lifecycle.oracles ++
       analytics.RobustStats.oracles ++ analytics.Forecast.oracles ++
-      analytics.Preference.oracles
+      analytics.Preference.oracles ++ analytics.Density.oracles
 }

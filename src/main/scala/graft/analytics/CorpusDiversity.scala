@@ -445,7 +445,7 @@ object CorpusDiversity {
     * matrix is materialized into the plan and the oracle SQL from this
     * one function; no RNG, no seed drift).
     */
-  private def jlSign(k: Int, j: Int): Double = {
+  private[graft] def jlSign(k: Int, j: Int): Double = {
     val h = ((k.toLong * JlInDim + j) * 2654435761L) % 4294967296L
     if (h < 2147483648L) 1.0 else -1.0
   }

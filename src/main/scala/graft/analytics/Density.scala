@@ -1,0 +1,254 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+import graft.scale.{Dedup, VectorOps}
+
+/** Density-based clustering (DBSCAN, Ester et al. 1996) over the
+  * embedding corpus — the clustering family's density member, next to
+  * the centroid (k-means), covering (k-center) and spectral-ish (PCA)
+  * tiers already in the registry. A curation pipeline reaches for
+  * DBSCAN where k is unknown and noise is a first-class outcome:
+  * carving an embedding space into organic topic islands and an
+  * explicit "no dense neighborhood" outlier set (the q_embed_outliers
+  * signal, but cluster-shaped).
+  *
+  * Plane: the first two coordinates of the deterministic JL sketch
+  * (CorpusDiversity.jlSign — integer-derived ±1 matrix, identical
+  * literals in both engines), snapped at 1e-6. Running density search
+  * on a 2-d projection instead of the raw 64-d space is the standard
+  * grid-DBSCAN scale move: in 2-d an eps-grid cell has exactly 9
+  * neighbor cells, so the neighbor join is a bounded cell-bucket probe
+  * (the LSH-bucket shape), never an all-pairs.
+  *
+  * Scale shape (the 100 TB reading):
+  *   - ONE corpus scan projects (x, y) and the home cell; the projected
+  *     relation is checkpointed and reused by every stage (branch-reuse
+  *     rule — three consumers otherwise re-run the scan).
+  *   - Neighbor candidates come from an equi-join on the eps-grid cell:
+  *     each point probes its 3×3 cell block (a 9× explode of ids+coords,
+  *     not of payloads), so candidate volume is Θ(n · occupancy) with
+  *     occupancy bounded by the data's density at the eps grain —
+  *     the premise is DATA-asserted at sf0.1 (DensitySpec: max cell
+  *     occupancy ≪ the probe budget), the q_heavy_hitters discipline.
+  *     A corpus decade denser than the premise re-certifies or re-grains
+  *     eps; nothing quadratic in n ever forms.
+  *   - Core flags are one hash aggregate over the candidate stream;
+  *     cluster labels are delta-frontier connected components over
+  *     core–core edges (Dedup.dupClusters — edges persisted partitioned
+  *     on the join key, frontier shrinks per step, loud failure at the
+  *     iteration cap).
+  *   - Border points attach map-side: min core-neighbor label, one
+  *     aggregate — no iteration.
+  *
+  * Determinism across engines: x/y are 1e-6-snapped results of the
+  * identical left-to-right dot; the cell id is floor(x · 32.0) (eps is
+  * 2⁻⁵, so the multiply and the floor are EXACT in binary — no grid-edge
+  * ulp can flip a cell); the eps² comparison is the IEEE expression
+  * (dx·dx + dy·dy) ≤ 2⁻¹⁰ over identical doubles in identical order —
+  * subtraction/multiply/add are exactly-rounded in both engines, so the
+  * boundary cannot flip. Classic DBSCAN leaves border-point assignment
+  * order-dependent; this operator pins it to min(core-neighbor label)
+  * and labels a cluster by its min core vec_id, making the output a
+  * pure function of the data. Noise rows carry cluster_id = −1.
+  *
+  * Reference anchor: the reference has no density clustering; this is
+  * part of the LLM-scale curation tier (SURVEY §2 "beyond the
+  * reference" mandate), alongside k-means/k-center/PCA.
+  */
+object Density {
+
+  /** DBSCAN radius — 2⁻⁵, exactly representable, so cell math is exact.
+    * Chosen against the swept JL plane: at this grain the corpus shows
+    * real multi-island structure (19 clusters at 500 vectors, 8 at
+    * 2 000) instead of one merged blob (eps 2⁻⁴ → 1 cluster).
+    */
+  val DbEps = 0.03125
+
+  /** eps² as the literal BOTH engines compare against (2⁻¹⁰). */
+  val DbEps2 = "0.0009765625"
+
+  /** 1 / eps — the exact power-of-two cell scale. */
+  val DbCellScale = 32.0
+
+  /** Core threshold: a point is core when its eps-ball holds ≥ MinPts
+    * points INCLUDING itself (the DBSCAN convention).
+    */
+  val DbMinPts = 5
+
+  private val Dim = CorpusDiversity.JlInDim
+
+  /** (vec_id, x, y, cx, cy): the snapped JL plane plus home cell. */
+  private def plane(spark: SparkSession, dir: String): DataFrame = {
+    val s0 = typedLit((0 until Dim).map(j => CorpusDiversity.jlSign(0, j)))
+    val s1 = typedLit((0 until Dim).map(j => CorpusDiversity.jlSign(1, j)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Num.r(VectorOps.dot(col("embedding"), s0) / lit(4.0), 6).as("x"),
+        Num.r(VectorOps.dot(col("embedding"), s1) / lit(4.0), 6).as("y"))
+      .withColumn("cx", floor(col("x") * lit(DbCellScale)))
+      .withColumn("cy", floor(col("y") * lit(DbCellScale)))
+  }
+
+  private def dist2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+  /** Per-point DBSCAN labels: (vec_id, role ∈ core|border|noise,
+    * cluster_id = min core vec_id of the component, −1 for noise).
+    */
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    // one scan, three consumers (probe join build side, core flags,
+    // border/final assembly) — checkpoint breaks the branch duplication
+    val pts = plane(spark, dir).localCheckpoint()
+    // 3×3 cell probe: explode only (id, x, y) + the 9 cell keys
+    val cells = (for (dx <- -1 to 1; dy <- -1 to 1) yield struct(
+      (col("cx") + lit(dx.toLong)).as("cx"),
+      (col("cy") + lit(dy.toLong)).as("cy"))).toSeq
+    val probe = pts.select(col("vec_id").as("b"), col("x").as("bx"),
+        col("y").as("by"), explode(array(cells: _*)).as("c"))
+      .select(col("b"), col("bx"), col("by"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    // symmetric eps-neighbor stream: (a, b) AND (b, a) both present
+    val nbr = pts.join(probe, Seq("cx", "cy"))
+      .filter(col("vec_id") =!= col("b") &&
+        dist2(col("x"), col("y"), col("bx"), col("by")) <= lit(DbEps2.toDouble))
+      .select(col("vec_id").as("a"), col("b"))
+      .localCheckpoint()
+    val flags = pts.select(col("vec_id"))
+      .join(nbr.groupBy(col("a").as("vec_id")).agg(count(lit(1)).as("nn")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (coalesce(col("nn"), lit(0L)) + lit(1L) >= lit(DbMinPts.toLong))
+          .as("is_core"))
+      .localCheckpoint()
+    val coreIds = flags.filter(col("is_core")).select(col("vec_id"))
+    val edges = nbr
+      .join(coreIds.select(col("vec_id").as("a")), Seq("a"))
+      .join(coreIds.select(col("vec_id").as("b")), Seq("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("d1"), col("b").as("d2"))
+    // min-label CC over core-core edges; isolated cores (every neighbor
+    // border) never reach the edge relation — coalesce to self-label
+    val coreLab = coreIds
+      .join(Dedup.dupClusters(edges).withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint()
+    val borderLab = nbr
+      .join(flags.filter(!col("is_core")).select(col("vec_id").as("a")),
+        Seq("a"))
+      .join(coreLab.select(col("vec_id").as("b"), col("cluster_id")), Seq("b"))
+      .groupBy(col("a").as("vec_id"))
+      .agg(min(col("cluster_id")).as("b_cluster"))
+    flags
+      .join(coreLab.select(col("vec_id"), col("cluster_id").as("c_cluster")),
+        Seq("vec_id"), "left")
+      .join(borderLab, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("is_core"), lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_cluster"), col("b_cluster"), lit(-1L)).as("cluster_id"))
+  }
+
+  /** Cluster-level rollup of the same labeling: one row per cluster
+    * (noise is cluster −1) with member counts by role — the summary a
+    * curation report keeps when the per-point relation is too wide to
+    * publish.
+    */
+  def dbscanStats(spark: SparkSession, dir: String): DataFrame =
+    dbscan(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+        sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+        count(lit(1)).as("n_total"))
+
+  /** Shared oracle prelude ending in per-point `roles(vec_id, role,
+    * cluster_id)` — the recursive-CTE min-label closure seeded with ALL
+    * cores (so isolated cores label themselves), mirroring the Spark
+    * coalesce.
+    */
+  private val dbscanCtesSql: String = {
+    def row(k: Int) = (0 until Dim).map(j =>
+      if (CorpusDiversity.jlSign(k, j) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         ${Num.rSql(s"list_dot_product(v, ${row(0)}) / 4.0", 6)} AS x,
+       |         ${Num.rSql(s"list_dot_product(v, ${row(1)}) / 4.0", 6)} AS y
+       |  FROM e),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id, x, y,
+       |         CAST(floor(x * 32.0) AS BIGINT) AS cx,
+       |         CAST(floor(y * 32.0) AS BIGINT) AS cy
+       |  FROM p),
+       |d AS (SELECT dx, dy FROM range(-1, 2) t(dx) CROSS JOIN range(-1, 2) u(dy)),
+       |nbr AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM c a JOIN (
+       |    SELECT c.vec_id, c.x, c.y, c.cx + d.dx AS cx, c.cy + d.dy AS cy
+       |    FROM c CROSS JOIN d) b
+       |  ON a.cx = b.cx AND a.cy = b.cy
+       |  WHERE a.vec_id <> b.vec_id
+       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |        <= CAST($DbEps2 AS DOUBLE)),
+       |flags AS MATERIALIZED (
+       |  SELECT c.vec_id, coalesce(n.nn, 0) + 1 >= $DbMinPts AS is_core
+       |  FROM c LEFT JOIN (SELECT a, count(*) AS nn FROM nbr GROUP BY 1) n
+       |  ON c.vec_id = n.a),
+       |ce AS MATERIALIZED (
+       |  SELECT nbr.a, nbr.b FROM nbr
+       |  JOIN flags fa ON nbr.a = fa.vec_id AND fa.is_core
+       |  JOIN flags fb ON nbr.b = fb.vec_id AND fb.is_core),
+       |reach(node, r) AS (
+       |  SELECT vec_id, vec_id FROM flags WHERE is_core
+       |  UNION
+       |  SELECT ce.a, reach.r FROM ce JOIN reach ON ce.b = reach.node),
+       |lab AS MATERIALIZED (
+       |  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |bl AS MATERIALIZED (
+       |  SELECT nbr.a AS vec_id, min(l.cluster_id) AS b_cluster
+       |  FROM nbr
+       |  JOIN flags fa ON nbr.a = fa.vec_id AND NOT fa.is_core
+       |  JOIN lab l ON nbr.b = l.vec_id
+       |  GROUP BY 1),
+       |roles AS (
+       |  SELECT f.vec_id,
+       |         CASE WHEN f.is_core THEN 'core'
+       |              WHEN bl.vec_id IS NOT NULL THEN 'border'
+       |              ELSE 'noise' END AS role,
+       |         CAST(coalesce(l.cluster_id, bl.b_cluster, -1) AS BIGINT)
+       |           AS cluster_id
+       |  FROM flags f
+       |  LEFT JOIN lab l ON f.vec_id = l.vec_id
+       |  LEFT JOIN bl ON f.vec_id = bl.vec_id)""".stripMargin
+  }
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE $dbscanCtesSql
+       |SELECT vec_id, role, cluster_id FROM roles""".stripMargin
+
+  val dbscanStatsSql: String =
+    s"""WITH RECURSIVE $dbscanCtesSql
+       |SELECT cluster_id,
+       |       CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_core,
+       |       CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_border,
+       |       CAST(count(*) AS BIGINT) AS n_total
+       |FROM roles GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan" -> dbscan,
+    "q_dbscan_stats" -> dbscanStats)
+
+  val oracles: Map[String, String] = Map(
+    "q_dbscan" -> dbscanSql,
+    "q_dbscan_stats" -> dbscanStatsSql)
+}

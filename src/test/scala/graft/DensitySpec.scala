@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Density
+
+/** DBSCAN structural invariants plus the grid-occupancy data premise.
+  *
+  * The neighbor stage is a 3×3 cell-bucket probe: candidate volume is
+  * Θ(n · occupancy), so the operator's scale envelope rests on the
+  * eps-grid staying sparse relative to the probe budget — the same
+  * premise class as the LSH MaxGroup caps (RegimeSpec). Asserted at
+  * sf0.1, the largest local scale, where density actually grows.
+  */
+class DensitySpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  val sf = "/root/testdata/sf0.1"
+
+  /** Probe budget: a cell holding more points than this makes the
+    * candidate join quadratic-in-cell — re-grain eps or pre-sample
+    * before trusting the grid shape at a denser corpus.
+    */
+  val MaxCellOccupancy = 64L
+
+  test("grid premise: max eps-cell occupancy stays under the probe budget at sf0.1") {
+    val occ = Tables.embeddings(spark, sf)
+      .select(
+        floor(Num.r(graft.scale.VectorOps.dot(col("embedding"),
+          typedLit((0 until 64).map(j =>
+            graft.analytics.CorpusDiversity.jlSign(0, j)))) / lit(4.0), 6)
+          * lit(Density.DbCellScale)).as("cx"),
+        floor(Num.r(graft.scale.VectorOps.dot(col("embedding"),
+          typedLit((0 until 64).map(j =>
+            graft.analytics.CorpusDiversity.jlSign(1, j)))) / lit(4.0), 6)
+          * lit(Density.DbCellScale)).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(occ <= MaxCellOccupancy,
+      s"an eps-grid cell holds $occ points (> $MaxCellOccupancy): the " +
+        "cell-probe join is leaving its sparse regime — re-grain DbEps " +
+        "or cap cell membership before the corpus grows further")
+  }
+
+  test("labels partition the corpus: roles are consistent with cluster ids") {
+    val out = Density.dbscan(spark, "/root/testdata/sf0.001").cache()
+    val n = out.count()
+    assert(n == 500L)
+    // noise ⇔ cluster −1; core/border carry a real (core-id) label
+    assert(out.filter(col("role") === "noise" && col("cluster_id") =!= -1L)
+      .isEmpty)
+    assert(out.filter(col("role") =!= "noise" && col("cluster_id") === -1L)
+      .isEmpty)
+    // every non-noise label IS a core point's vec_id (min-label = member)
+    val labels = out.filter(col("role") =!= "noise")
+      .select(col("cluster_id").as("vec_id")).distinct()
+    val cores = out.filter(col("role") === "core").select(col("vec_id"))
+    assert(labels.join(cores, Seq("vec_id"), "left_anti").isEmpty,
+      "a cluster label does not name a core member")
+    // a cluster's label is its minimum core vec_id
+    val badMin = out.filter(col("role") === "core")
+      .groupBy(col("cluster_id")).agg(min(col("vec_id")).as("mn"))
+      .filter(col("mn") =!= col("cluster_id"))
+    assert(badMin.isEmpty, "cluster label != min core vec_id")
+    out.unpersist()
+  }
+
+  test("stats rollup reconciles with the per-point relation") {
+    val pts = Density.dbscan(spark, "/root/testdata/sf0.001")
+    val stats = Density.dbscanStats(spark, "/root/testdata/sf0.001")
+    val total = stats.agg(sum(col("n_total"))).head().getLong(0)
+    assert(total == 500L)
+    val mismatch = stats
+      .filter(col("n_core") + col("n_border") =!= col("n_total") &&
+        col("cluster_id") =!= -1L)
+    assert(mismatch.isEmpty,
+      "a non-noise cluster row counts members outside core+border")
+    // border points never outnumber what the density premise implies:
+    // every border has ≥1 core neighbor, so clusters have ≥1 core
+    val coreless = stats.filter(col("cluster_id") =!= -1L && col("n_core") === 0L)
+    assert(coreless.isEmpty, "a cluster with zero core members")
+    assert(pts.filter(col("role") === "core").count() > 0L)
+  }
+}

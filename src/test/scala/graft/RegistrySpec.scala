@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
     "Lifecycle" -> analytics.Lifecycle.queries.keySet,
     "RobustStats" -> analytics.RobustStats.queries.keySet,
     "Forecast" -> analytics.Forecast.queries.keySet,
-    "Preference" -> analytics.Preference.queries.keySet)
+    "Preference" -> analytics.Preference.queries.keySet,
+    "Density" -> analytics.Density.queries.keySet)
 
   test("no query name is registered by two modules") {
     val owners = moduleQueryMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
