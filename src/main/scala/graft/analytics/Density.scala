@@ -78,6 +78,16 @@ object Density {
     */
   val DbMinPts = 5
 
+  /** CC iteration budget for the eps-blob components. Min-label
+    * propagation needs one round per HOP of a component's diameter, and
+    * an eps-blob's hop diameter is geometric — bounded by the plane's
+    * extent over eps (≈ √2 · 1.8 / 2⁻⁵ ≈ 82 on the JL plane whose
+    * coordinates live in ±0.9), NOT by corpus size; measured 47 rounds
+    * at sf0.1. 4× that bound keeps the loud non-convergence guard
+    * meaningful while clearing every geometry this plane can produce.
+    */
+  val DbCcMaxIters = 320
+
   private val Dim = CorpusDiversity.JlInDim
 
   /** (vec_id, x, y, cx, cy): the snapped JL plane plus home cell. */
@@ -129,10 +139,16 @@ object Density {
       .join(coreIds.select(col("vec_id").as("b")), Seq("b"))
       .filter(col("a") < col("b"))
       .select(col("a").as("d1"), col("b").as("d2"))
-    // min-label CC over core-core edges; isolated cores (every neighbor
-    // border) never reach the edge relation — coalesce to self-label
+    // min-label CC over core-core edges. An eps-blob's hop diameter is
+    // GEOMETRIC — plane extent / eps ≈ 110 on this plane, independent of
+    // corpus size (measured 47 rounds at sf0.1, already brushing the
+    // default 50 cap) — so the cap is sized to the geometry with margin;
+    // rounds cost Θ(frontier) each under delta-frontier messaging.
+    // Isolated cores (every neighbor border) never reach the edge
+    // relation — coalesce to self-label.
     val coreLab = coreIds
-      .join(Dedup.dupClusters(edges).withColumnRenamed("doc_id", "vec_id"),
+      .join(Dedup.dupClusters(edges, maxIters = DbCcMaxIters)
+          .withColumnRenamed("doc_id", "vec_id"),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
@@ -244,11 +260,99 @@ object Density {
        |       CAST(count(*) AS BIGINT) AS n_total
        |FROM roles GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Local Outlier Factor over the kNN-graph artifact.
+  // ---------------------------------------------------------------------
+
+  /** Degenerate-density guard: a point whose every reachability distance
+    * is 0 (exact-duplicate vectors) has infinite local density — pin its
+    * lrd to this literal so the ANSI divide stays total and both engines
+    * publish the identical value.
+    */
+  val LofDenseCap = 1.0e9
+
+  /** Local Outlier Factor (Breunig et al. 2000) over a kNN edge relation
+    * `(vec_id, nbr_id, cos_sim)` — the density-OUTLIER member of this
+    * family: where DBSCAN labels a point "noise" by a global eps, LOF
+    * scores HOW outlying it is relative to its own neighborhood's
+    * density, which survives clusters of different densities. The
+    * natural consumer of the shared kNN-graph artifact
+    * (ScaleQueries.knnGraphBuild — build once per corpus snapshot, every
+    * graph query Θ(edges)): k-distances, reachability, local
+    * reachability density and the final ratio are three edge-relation
+    * joins plus node-bounded aggregates — nothing rescans the corpus,
+    * nothing is quadratic.
+    *
+    * Distance is cosine distance d = 1 − cos_sim over the artifact's
+    * 1e-6-snapped similarities, so both engines subtract identical
+    * doubles. Per-node sums span ≤ KnnGraphK addends; they are snapped
+    * at 1e-6 before any division (Num grid rule — fp noise across 3
+    * addends is ~1e-13, far under half a grid step even at the
+    * LofDenseCap magnitude), so every downstream ratio is bit-identical.
+    * LOF ≈ 1 → inlier, ≫ 1 → outlier.
+    */
+  def lofOn(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("vec_id"), col("nbr_id"),
+      (lit(1.0) - col("cos_sim")).as("d"))
+      .localCheckpoint() // three consumers of a join-derived relation
+    val kd = ed.groupBy(col("vec_id")).agg(max(col("d")).as("kdist"))
+    val lrd = ed
+      .join(kd.select(col("vec_id").as("nbr_id"), col("kdist")), Seq("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(Num.r(sum(greatest(col("kdist"), col("d"))), 6).as("rs"),
+        count(lit(1)).as("n"))
+      .select(col("vec_id"),
+        when(col("rs") > 0.0, Num.r(col("n") / col("rs"), 6))
+          .otherwise(lit(LofDenseCap)).as("lrd"))
+      .localCheckpoint() // joined on both endpoints below
+    ed.join(lrd.select(col("vec_id").as("nbr_id"), col("lrd").as("nbr_lrd")),
+        Seq("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(Num.r(sum(col("nbr_lrd")), 6).as("ls"), count(lit(1)).as("n"))
+      .join(lrd, Seq("vec_id"))
+      .select(col("vec_id"), col("lrd"),
+        Num.r(col("ls") / col("n") / col("lrd"), 6).as("lof"))
+  }
+
+  /** Registered composed form (oracle parity): rebuilds the kNN graph
+    * inline the way q_pagerank does; the production path feeds
+    * [[lofOn]] the knnGraphBuild parquet (GraphArtifactSpec pins
+    * equality of both forms for the graph family, DensitySpec for this
+    * one).
+    */
+  def lofScores(spark: SparkSession, dir: String): DataFrame =
+    lofOn(ScaleQueries.knnGraph(spark, dir))
+
+  val lofScoresSql: String = {
+    val rs = Num.rSql("sum(greatest(kd.kdist, ed.d))", 6)
+    s"""WITH gg AS MATERIALIZED (${ScaleQueries.knnGraphSql}),
+       |ed AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id, 1.0 - cos_sim AS d FROM gg),
+       |kd AS (SELECT vec_id, max(d) AS kdist FROM ed GROUP BY 1),
+       |lrd AS MATERIALIZED (
+       |  SELECT ed.vec_id,
+       |         CASE WHEN ($rs) > 0.0
+       |              THEN ${Num.rSql(s"count(*) / ($rs)", 6)}
+       |              ELSE $LofDenseCap END AS lrd
+       |  FROM ed JOIN kd ON ed.nbr_id = kd.vec_id
+       |  GROUP BY 1),
+       |agg AS (
+       |  SELECT ed.vec_id, ${Num.rSql("sum(nl.lrd)", 6)} AS ls,
+       |         count(*) AS n
+       |  FROM ed JOIN lrd nl ON ed.nbr_id = nl.vec_id
+       |  GROUP BY 1)
+       |SELECT agg.vec_id, lrd.lrd,
+       |       ${Num.rSql("agg.ls / agg.n / lrd.lrd", 6)} AS lof
+       |FROM agg JOIN lrd ON agg.vec_id = lrd.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dbscan" -> dbscan,
-    "q_dbscan_stats" -> dbscanStats)
+    "q_dbscan_stats" -> dbscanStats,
+    "q_lof_scores" -> lofScores)
 
   val oracles: Map[String, String] = Map(
     "q_dbscan" -> dbscanSql,
-    "q_dbscan_stats" -> dbscanStatsSql)
+    "q_dbscan_stats" -> dbscanStatsSql,
+    "q_lof_scores" -> lofScoresSql)
 }

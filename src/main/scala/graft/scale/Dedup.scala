@@ -259,6 +259,24 @@ object Dedup {
     * threshold and the step becomes a map-side pass over cached
     * partitions. Labels and the frontier are checkpointed per step to
     * keep the plan from growing with iterations.
+    *
+    * DO NOT add pointer-jumping (l(v) ← l(l(v)) self-joins) to this
+    * loop. Tried and reverted at r10: `localCheckpoint` CARRIES the
+    * origin plan's estimated sizeInBytes onto the LogicalRDD, and
+    * Catalyst's join estimate MULTIPLIES the two sides' estimates as
+    * unbounded BigInts — the flat loop grows the carried estimate ~17
+    * bits per round (harmless), but a self-join of the checkpointed
+    * iterative state SQUARES it per round, and by round ~18 the driver
+    * spends tens of seconds per checkpoint inside BigInteger ToomCook
+    * multiplication in SizeInBytesOnlyStatsPlanVisitor (measured: the
+    * density CC 8.5 s flat vs 73-101 s jumped on IDENTICAL labels, with
+    * the shortcut cutting rounds only 47→22 — message propagation, not
+    * pointer depth, is the bottleneck under delta-frontier messaging).
+    * Long-diameter GEOMETRIC components (DBSCAN eps-blobs: hop count ≈
+    * physical extent / eps, independent of corpus size) should instead
+    * pass an explicit `maxIters` sized to their geometry — rounds cost
+    * Θ(frontier) each, so a hundred shallow rounds beat any clever
+    * squared-stats join.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // symmetrize via explode, NOT a self-union: a union would execute the

@@ -80,4 +80,29 @@ class DensitySpec extends AnyFunSuite {
     assert(coreless.isEmpty, "a cluster with zero core members")
     assert(pts.filter(col("role") === "core").count() > 0L)
   }
+
+  test("LOF consumes the shared kNN-graph artifact: artifact form ≡ composed form") {
+    // the graph-family pattern (GraphArtifactSpec): the registered
+    // composed query rebuilds the graph inline for oracle parity; the
+    // production path reads knnGraphBuild's parquet — results must match
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("lof_edges").toString
+    val edges = graft.analytics.ScaleQueries
+      .knnGraphBuild(spark, dir, s"$path/edges")
+    val viaArtifact = Density.lofOn(edges)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val composed = Density.lofScores(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(viaArtifact == composed)
+  }
+
+  test("LOF invariants: densities and scores strictly positive, inliers near 1") {
+    val out = Density.lofScores(spark, "/root/testdata/sf0.001").cache()
+    assert(out.filter(col("lrd") <= 0.0 || col("lof") <= 0.0).isEmpty)
+    // a kNN graph's mass is inliers: the median LOF must sit near 1
+    // (the Breunig invariant) — a broken reach/lrd join skews it wildly
+    val med = out.stat.approxQuantile("lof", Array(0.5), 0.0).head
+    assert(med > 0.5 && med < 2.0, s"median LOF $med implausible")
+    out.unpersist()
+  }
 }
