@@ -29,10 +29,13 @@ OUT="${2:-/tmp/verify_sf1}"
 
 # DuckDB-heavy oracles: the exact-dup closure chains and the graph/
 # markov CTE stacks (AS MATERIALIZED since r9, but their evaluate-once
-# relations still spill GBs at sf1 row counts).
+# relations still spill GBs at sf1 row counts). q_dbscan/q_dbscan_stats
+# joined r10: their recursive min-label closure emits m^2 (node, label)
+# pairs per component, and ScaleUp's exact-copy embeddings merge the
+# eps-blobs into one ~0.9n-core component at sf1.
 HEAVY="q_dup_stats q_dup_clusters q_canonical_docs q_jaccard_pairs \
 q_containment_pairs q_containment_lsh q_source_overlap q_triangle_count \
-q_attribution_markov q_pagerank"
+q_attribution_markov q_pagerank q_dbscan q_dbscan_stats"
 
 if [ ! -e "$SF1/documents.parquet" ]; then
   echo "== sweep_sf1: synthesizing $SF1 (ScaleUp 10x of sf0.1) =="

@@ -800,7 +800,120 @@ object CorpusQueries {
        |FROM sc CROSS JOIN thr
        |GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Split-conformal coverage of the quality classifier.
+  // ---------------------------------------------------------------------
+
+  /** Conformal α grid as exact rationals (label, nu, de) with α = nu/de
+    * — integer rank arithmetic, no fp product near an integer boundary
+    * (the ValueQuantiles rule).
+    */
+  val ConformalAlphas = Seq(("0.05", 1L, 20L), ("0.10", 1L, 10L), ("0.20", 1L, 5L))
+
+  /** Conformal-score grid: nonconformity snapped at 1e-4 BEFORE
+    * thresholding, so the calibration histogram is bounded by
+    * construction (≤ 10 001 distinct values) and the global cumulative
+    * window runs over a bounded relation — never over per-document rows
+    * (the conformal guarantee is invariant to any fixed score transform,
+    * snapping included, as long as calibration and test use the SAME
+    * snapped score).
+    */
+  val ConformalGrid = 4
+
+  /** Split-conformal calibration of the quality classifier (Vovk et al.;
+    * Angelopoulos & Bates 2023 survey): a DETERMINISTIC 20 % calibration
+    * split supplies the order statistic k = ⌈(1−α)(n+1)⌉ of the
+    * nonconformity score a = 1 − prob, and the held-out 80 % reports the
+    * empirical coverage P(a ≤ t̂) — the distribution-free check a
+    * curation pipeline runs before trusting a classifier threshold at a
+    * new corpus snapshot (coverage ≈ 1−α ⇒ the threshold transfers;
+    * coverage collapse ⇒ score drift, recalibrate). One row per α with
+    * the threshold, rank, and coverage.
+    *
+    * Scale shape: scoring is the zero-shuffle scan-stage classifier
+    * (qualityClassify); the split is a stable md5 bucket of doc_id (pure
+    * map-side); the scored relation is checkpointed once for its two
+    * consumers (calibration histogram, coverage pass). The only
+    * non-scan work is the bounded-histogram window (≤ 10⁴ rows by the
+    * ConformalGrid construction) and a 3-row broadcast cross join into
+    * the coverage aggregate. Determinism: scores are grid-snapped before
+    * ranking, ranks are integer rationals over (n+1), the vacuous case
+    * (k > n, possible only at n < (1−α)/α) pins the threshold to the
+    * max calibration score and says so in a flag.
+    */
+  def conformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = ScaleQueries.qualityClassify(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        Num.r(lit(1.0) - col("prob"), ConformalGrid).as("a"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5 === 0L).as("calib"))
+      .localCheckpoint()
+    val hist = scored.filter(col("calib"))
+      .groupBy(col("a")).agg(count(lit(1)).as("n"))
+    val th = hist
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("a")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_calib", sum(col("n")).over(
+        Window.partitionBy()))
+      .select(col("a"), col("n"), col("cum"), col("n_calib"),
+        explode(array(ConformalAlphas.map { case (l, nu, de) =>
+          struct(lit(l).as("alpha"), lit(nu).as("nu"), lit(de).as("de"))
+        }: _*)).as("q"))
+      .withColumn("k",
+        expr("((q.de - q.nu) * (n_calib + 1) + q.de - 1) div q.de"))
+      .withColumn("k2", least(col("k"), col("n_calib")))
+      .filter(col("k2") > col("cum") - col("n") && col("k2") <= col("cum"))
+      .select(col("q.alpha").as("alpha"), col("n_calib"), col("k"),
+        (col("k") > col("n_calib")).as("vacuous"), col("a").as("threshold"))
+    scored.filter(!col("calib"))
+      .crossJoin(broadcast(th))
+      .groupBy(col("alpha"), col("n_calib"), col("k"), col("vacuous"),
+        col("threshold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("a") <= col("threshold"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("alpha"), col("n_calib"), col("k"), col("vacuous"),
+        col("threshold"), col("n_test"), col("n_covered"),
+        Num.r(col("n_covered").cast("double") / col("n_test"), 6).as("coverage"))
+  }
+
+  val conformalCoverageSql: String = {
+    val kExpr = "((q.de - q.nu) * (w.n_calib + 1) + q.de - 1) // q.de"
+    val vals = ConformalAlphas
+      .map { case (l, nu, de) => s"('$l', $nu, $de)" }.mkString(", ")
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT doc_id, ${Num.rSql("1.0 - prob", ConformalGrid)} AS a,
+       |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 5 = 0 AS calib
+       |  FROM (${ScaleQueries.qualityClassifierSql}) qc),
+       |hist AS (SELECT a, count(*) AS n FROM sc WHERE calib GROUP BY 1),
+       |w AS (
+       |  SELECT a, n,
+       |         sum(n) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS cum,
+       |         sum(n) OVER () AS n_calib
+       |  FROM hist),
+       |q AS (SELECT * FROM (VALUES $vals) AS q(alpha, nu, de)),
+       |th AS (
+       |  SELECT q.alpha, CAST(w.n_calib AS BIGINT) AS n_calib,
+       |         CAST($kExpr AS BIGINT) AS k,
+       |         $kExpr > w.n_calib AS vacuous,
+       |         w.a AS threshold
+       |  FROM w CROSS JOIN q
+       |  WHERE least($kExpr, w.n_calib) > w.cum - w.n
+       |    AND least($kExpr, w.n_calib) <= w.cum)
+       |SELECT th.alpha, th.n_calib, th.k, th.vacuous, th.threshold,
+       |       CAST(count(*) AS BIGINT) AS n_test,
+       |       CAST(sum(CASE WHEN sc.a <= th.threshold THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_covered,
+       |       ${Num.rSql(
+            "CAST(sum(CASE WHEN sc.a <= th.threshold THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / count(*)", 6)} AS coverage
+       |FROM sc CROSS JOIN th WHERE NOT sc.calib
+       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal_coverage" -> conformalCoverage,
     "q_quality_budget" -> qualityBudget,
     "q_paragraph_dedup" -> paragraphDedup,
     "q_docs_pii" -> docsPii,
@@ -817,6 +930,7 @@ object CorpusQueries {
     "q_classifier_calibration" -> classifierCalibration)
 
   val oracles: Map[String, String] = Map(
+    "q_conformal_coverage" -> conformalCoverageSql,
     "q_quality_budget" -> qualityBudgetSql,
     "q_paragraph_dedup" -> paragraphDedupSql,
     "q_docs_pii" -> docsPiiSql,

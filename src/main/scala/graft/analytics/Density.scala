@@ -182,10 +182,32 @@ object Density {
         sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
         count(lit(1)).as("n_total"))
 
+  /** Unrolled label-propagation rounds in the ORACLE. The first oracle
+    * used a recursive-CTE transitive closure (the q_dup_clusters
+    * pattern) — correct, but it materializes m² (node, reachable-label)
+    * pairs per component, and unlike near-dup clusters (shallow, small)
+    * a DBSCAN eps-blob is ONE giant component: at sf1 the closure was
+    * ~360 M pairs × ~50 rounds of DuckDB work. The unrolled form keeps
+    * state at one label per node: each round takes the min of the
+    * neighbor labels AND the label's own label (pointer assist). A
+    * pointer-assisted round strictly dominates a plain neighbor-min
+    * round, and plain neighbor-min converges in exactly the hop
+    * diameter — measured 47 on this plane, and ScaleUp never adds new
+    * coordinates (copies duplicate existing points), so the diameter is
+    * scale-invariant across the swept corpora. 48 rounds therefore
+    * covers every swept scale by the domination argument (empirically
+    * the assist converges well earlier; 16 was measurably short at
+    * sf0.1 — ids are too scattered for pure pointer-doubling claims).
+    * An unconverged run cannot pass silently: the equality gate against
+    * the Spark labels IS the convergence assert, and it names itself
+    * (caught live at 16 rounds: 12 clusters vs 9).
+    */
+  val DbOracleRounds = 48
+
   /** Shared oracle prelude ending in per-point `roles(vec_id, role,
-    * cluster_id)` — the recursive-CTE min-label closure seeded with ALL
-    * cores (so isolated cores label themselves), mirroring the Spark
-    * coalesce.
+    * cluster_id)` — labels from [[DbOracleRounds]] unrolled hash-to-min
+    * rounds seeded with ALL cores (so isolated cores label themselves),
+    * mirroring the Spark coalesce.
     */
   private val dbscanCtesSql: String = {
     def row(k: Int) = (0 until Dim).map(j =>
@@ -222,12 +244,21 @@ object Density {
        |  SELECT nbr.a, nbr.b FROM nbr
        |  JOIN flags fa ON nbr.a = fa.vec_id AND fa.is_core
        |  JOIN flags fb ON nbr.b = fb.vec_id AND fb.is_core),
-       |reach(node, r) AS (
-       |  SELECT vec_id, vec_id FROM flags WHERE is_core
-       |  UNION
-       |  SELECT ce.a, reach.r FROM ce JOIN reach ON ce.b = reach.node),
+       |lab0 AS MATERIALIZED (
+       |  SELECT vec_id AS node, vec_id AS l FROM flags WHERE is_core),
+       |${(1 to DbOracleRounds).map { k =>
+          val p = s"lab${k - 1}"
+          s"""lab$k AS MATERIALIZED (
+             |  SELECT me.node,
+             |         least(me.l, coalesce(nm.nl, me.l), coalesce(ll.l, me.l)) AS l
+             |  FROM $p me
+             |  LEFT JOIN (SELECT ce.a AS node, min($p.l) AS nl
+             |             FROM ce JOIN $p ON ce.b = $p.node GROUP BY 1) nm
+             |    ON me.node = nm.node
+             |  LEFT JOIN $p ll ON me.l = ll.node)""".stripMargin
+        }.mkString(",\n")},
        |lab AS MATERIALIZED (
-       |  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |  SELECT node AS vec_id, l AS cluster_id FROM lab$DbOracleRounds),
        |bl AS MATERIALIZED (
        |  SELECT nbr.a AS vec_id, min(l.cluster_id) AS b_cluster
        |  FROM nbr
