@@ -107,38 +107,73 @@ object Density {
 
   /** Per-point DBSCAN labels: (vec_id, role ∈ core|border|noise,
     * cluster_id = min core vec_id of the component, −1 for noise).
+    *
+    * Runs on the EXACT-COORDINATE QUOTIENT (the containment
+    * distinct-text precedent): points with identical snapped (x, y)
+    * collapse to one node carrying multiplicity m and the min vec_id as
+    * rep. Equivalence to raw DBSCAN is exact — same-coordinate copies
+    * are mutual 0-distance neighbors, so a copy's eps-ball count is
+    * m(own coord) + Σ m(neighbor coords) (the multiplicity-weighted
+    * core test), every copy at a coordinate shares one role, and the
+    * min-core-vec_id cluster name survives because each rep IS its
+    * coordinate's min id. The quotient is what keeps the 3×3 cell probe
+    * in its sparse regime under MASS DUPLICATION: candidate volume is
+    * Θ(distinct · distinct-occupancy), not Θ(n · occupancy) — a 100×
+    * duplicated corpus (the ScaleUp shape, and real crawl dumps) would
+    * otherwise square the per-cell join.
     */
   def dbscan(spark: SparkSession, dir: String): DataFrame = {
-    // one scan, three consumers (probe join build side, core flags,
-    // border/final assembly) — checkpoint breaks the branch duplication
-    val pts = plane(spark, dir).localCheckpoint()
-    // 3×3 cell probe: explode only (id, x, y) + the 9 cell keys
+    // projected corpus: one scan; reused by the quotient and the final
+    // per-point expansion — checkpoint breaks the branch duplication
+    val ptsAll = plane(spark, dir).localCheckpoint()
+    // exact-coordinate quotient (distinct geometry + multiplicity)
+    val pts = ptsAll
+      .groupBy(col("x"), col("y"), col("cx"), col("cy"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    // 3×3 cell probe: explode only (rep, x, y, m) + the 9 cell keys
     val cells = (for (dx <- -1 to 1; dy <- -1 to 1) yield struct(
       (col("cx") + lit(dx.toLong)).as("cx"),
       (col("cy") + lit(dy.toLong)).as("cy"))).toSeq
-    val probe = pts.select(col("vec_id").as("b"), col("x").as("bx"),
-        col("y").as("by"), explode(array(cells: _*)).as("c"))
-      .select(col("b"), col("bx"), col("by"),
+    val probe = pts.select(col("rep").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("m").as("bm"), explode(array(cells: _*)).as("c"))
+      .select(col("b"), col("bx"), col("by"), col("bm"),
         col("c.cx").as("cx"), col("c.cy").as("cy"))
-    // symmetric eps-neighbor stream: (a, b) AND (b, a) both present
+    // symmetric eps-neighbor stream over DISTINCT coordinates
     val nbr = pts.join(probe, Seq("cx", "cy"))
-      .filter(col("vec_id") =!= col("b") &&
+      .filter(col("rep") =!= col("b") &&
         dist2(col("x"), col("y"), col("bx"), col("by")) <= lit(DbEps2.toDouble))
-      .select(col("vec_id").as("a"), col("b"))
+      .select(col("rep").as("a"), col("b"), col("bm"))
       .localCheckpoint()
-    val flags = pts.select(col("vec_id"))
-      .join(nbr.groupBy(col("a").as("vec_id")).agg(count(lit(1)).as("nn")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        (coalesce(col("nn"), lit(0L)) + lit(1L) >= lit(DbMinPts.toLong))
+    // multiplicity-weighted core test: own copies + neighbor copies
+    val flags = pts.select(col("rep"), col("m"))
+      .join(nbr.groupBy(col("a").as("rep")).agg(sum(col("bm")).as("nn")),
+        Seq("rep"), "left")
+      .select(col("rep"),
+        (col("m") + coalesce(col("nn"), lit(0L)) >= lit(DbMinPts.toLong))
           .as("is_core"))
       .localCheckpoint()
-    val coreIds = flags.filter(col("is_core")).select(col("vec_id"))
-    val edges = nbr
-      .join(coreIds.select(col("vec_id").as("a")), Seq("a"))
-      .join(coreIds.select(col("vec_id").as("b")), Seq("b"))
-      .filter(col("a") < col("b"))
+    val coreIds = flags.filter(col("is_core")).select(col("rep"))
+    // directed core-core adjacency, then AUGMENT with 2-hop shortcuts
+    // through a shared core midpoint — pure transitivity (a–b, b–c core
+    // ⇒ a,c same cluster), so labels are unchanged while min-label
+    // propagation covers two hops per round: the geometric round count
+    // halves (~47 → ~24 on this plane) and each round is a fixed-cost
+    // Spark job. The shortcut join is Θ(Σ deg²) over the QUOTIENT graph,
+    // whose size is scale-invariant under duplication.
+    val ed = nbr.select(col("a"), col("b"))
+      .join(coreIds.select(col("rep").as("a")), Seq("a"))
+      .join(coreIds.select(col("rep").as("b")), Seq("b"))
+      .localCheckpoint()
+    val edges2 = ed
+      .join(ed.select(col("a").as("mid2"), col("b").as("b2")),
+        col("b") === col("mid2"))
+      .filter(col("a") < col("b2"))
+      .select(col("a").as("d1"), col("b2").as("d2"))
+    val edges = ed.filter(col("a") < col("b"))
       .select(col("a").as("d1"), col("b").as("d2"))
+      .unionByName(edges2)
+      .distinct()
     // min-label CC over core-core edges. An eps-blob's hop diameter is
     // GEOMETRIC — plane extent / eps ≈ 110 on this plane, independent of
     // corpus size (measured 47 rounds at sf0.1, already brushing the
@@ -148,26 +183,31 @@ object Density {
     // relation — coalesce to self-label.
     val coreLab = coreIds
       .join(Dedup.dupClusters(edges, maxIters = DbCcMaxIters)
-          .withColumnRenamed("doc_id", "vec_id"),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+          .withColumnRenamed("doc_id", "rep"),
+        Seq("rep"), "left")
+      .select(col("rep"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .localCheckpoint()
     val borderLab = nbr
-      .join(flags.filter(!col("is_core")).select(col("vec_id").as("a")),
-        Seq("a"))
-      .join(coreLab.select(col("vec_id").as("b"), col("cluster_id")), Seq("b"))
-      .groupBy(col("a").as("vec_id"))
+      .join(flags.filter(!col("is_core")).select(col("rep").as("a")), Seq("a"))
+      .join(coreLab.select(col("rep").as("b"), col("cluster_id")), Seq("b"))
+      .groupBy(col("a").as("rep"))
       .agg(min(col("cluster_id")).as("b_cluster"))
-    flags
-      .join(coreLab.select(col("vec_id"), col("cluster_id").as("c_cluster")),
-        Seq("vec_id"), "left")
-      .join(borderLab, Seq("vec_id"), "left")
-      .select(col("vec_id"),
+    val roleLab = flags
+      .join(coreLab.select(col("rep"), col("cluster_id").as("c_cluster")),
+        Seq("rep"), "left")
+      .join(borderLab, Seq("rep"), "left")
+      .select(col("rep"),
         when(col("is_core"), lit("core"))
           .when(col("b_cluster").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("c_cluster"), col("b_cluster"), lit(-1L)).as("cluster_id"))
+    // expand the quotient labeling back to every vec_id (exact-double
+    // equi-join on the snapped coordinates — deterministic keys)
+    ptsAll.select(col("vec_id"), col("x"), col("y"))
+      .join(pts.select(col("x"), col("y"), col("rep")), Seq("x", "y"))
+      .join(roleLab, Seq("rep"))
+      .select(col("vec_id"), col("role"), col("cluster_id"))
   }
 
   /** Cluster-level rollup of the same labeling: one row per cluster
@@ -222,30 +262,31 @@ object Density {
        |         ${Num.rSql(s"list_dot_product(v, ${row(1)}) / 4.0", 6)} AS y
        |  FROM e),
        |c AS MATERIALIZED (
-       |  SELECT vec_id, x, y,
+       |  SELECT x, y,
        |         CAST(floor(x * 32.0) AS BIGINT) AS cx,
-       |         CAST(floor(y * 32.0) AS BIGINT) AS cy
-       |  FROM p),
+       |         CAST(floor(y * 32.0) AS BIGINT) AS cy,
+       |         min(vec_id) AS rep, count(*) AS m
+       |  FROM p GROUP BY 1, 2, 3, 4),
        |d AS (SELECT dx, dy FROM range(-1, 2) t(dx) CROSS JOIN range(-1, 2) u(dy)),
        |nbr AS MATERIALIZED (
-       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  SELECT a.rep AS a, b.rep AS b, b.m AS bm
        |  FROM c a JOIN (
-       |    SELECT c.vec_id, c.x, c.y, c.cx + d.dx AS cx, c.cy + d.dy AS cy
+       |    SELECT c.rep, c.m, c.x, c.y, c.cx + d.dx AS cx, c.cy + d.dy AS cy
        |    FROM c CROSS JOIN d) b
        |  ON a.cx = b.cx AND a.cy = b.cy
-       |  WHERE a.vec_id <> b.vec_id
+       |  WHERE a.rep <> b.rep
        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |        <= CAST($DbEps2 AS DOUBLE)),
        |flags AS MATERIALIZED (
-       |  SELECT c.vec_id, coalesce(n.nn, 0) + 1 >= $DbMinPts AS is_core
-       |  FROM c LEFT JOIN (SELECT a, count(*) AS nn FROM nbr GROUP BY 1) n
-       |  ON c.vec_id = n.a),
+       |  SELECT c.rep, c.m + coalesce(n.nn, 0) >= $DbMinPts AS is_core
+       |  FROM c LEFT JOIN (SELECT a, sum(bm) AS nn FROM nbr GROUP BY 1) n
+       |  ON c.rep = n.a),
        |ce AS MATERIALIZED (
        |  SELECT nbr.a, nbr.b FROM nbr
-       |  JOIN flags fa ON nbr.a = fa.vec_id AND fa.is_core
-       |  JOIN flags fb ON nbr.b = fb.vec_id AND fb.is_core),
+       |  JOIN flags fa ON nbr.a = fa.rep AND fa.is_core
+       |  JOIN flags fb ON nbr.b = fb.rep AND fb.is_core),
        |lab0 AS MATERIALIZED (
-       |  SELECT vec_id AS node, vec_id AS l FROM flags WHERE is_core),
+       |  SELECT rep AS node, rep AS l FROM flags WHERE is_core),
        |${(1 to DbOracleRounds).map { k =>
           val p = s"lab${k - 1}"
           s"""lab$k AS MATERIALIZED (
@@ -258,23 +299,26 @@ object Density {
              |  LEFT JOIN $p ll ON me.l = ll.node)""".stripMargin
         }.mkString(",\n")},
        |lab AS MATERIALIZED (
-       |  SELECT node AS vec_id, l AS cluster_id FROM lab$DbOracleRounds),
+       |  SELECT node AS rep, l AS cluster_id FROM lab$DbOracleRounds),
        |bl AS MATERIALIZED (
-       |  SELECT nbr.a AS vec_id, min(l.cluster_id) AS b_cluster
+       |  SELECT nbr.a AS rep, min(l.cluster_id) AS b_cluster
        |  FROM nbr
-       |  JOIN flags fa ON nbr.a = fa.vec_id AND NOT fa.is_core
-       |  JOIN lab l ON nbr.b = l.vec_id
+       |  JOIN flags fa ON nbr.a = fa.rep AND NOT fa.is_core
+       |  JOIN lab l ON nbr.b = l.rep
        |  GROUP BY 1),
-       |roles AS (
-       |  SELECT f.vec_id,
+       |roles_q AS (
+       |  SELECT f.rep,
        |         CASE WHEN f.is_core THEN 'core'
-       |              WHEN bl.vec_id IS NOT NULL THEN 'border'
+       |              WHEN bl.rep IS NOT NULL THEN 'border'
        |              ELSE 'noise' END AS role,
        |         CAST(coalesce(l.cluster_id, bl.b_cluster, -1) AS BIGINT)
        |           AS cluster_id
        |  FROM flags f
-       |  LEFT JOIN lab l ON f.vec_id = l.vec_id
-       |  LEFT JOIN bl ON f.vec_id = bl.vec_id)""".stripMargin
+       |  LEFT JOIN lab l ON f.rep = l.rep
+       |  LEFT JOIN bl ON f.rep = bl.rep),
+       |roles AS (
+       |  SELECT p.vec_id, r.role, r.cluster_id
+       |  FROM p JOIN c USING (x, y) JOIN roles_q r ON c.rep = r.rep)""".stripMargin
   }
 
   val dbscanSql: String =
