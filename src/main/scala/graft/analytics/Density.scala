@@ -210,17 +210,39 @@ object Density {
       .select(col("vec_id"), col("role"), col("cluster_id"))
   }
 
-  /** Cluster-level rollup of the same labeling: one row per cluster
-    * (noise is cluster −1) with member counts by role — the summary a
-    * curation report keeps when the per-point relation is too wide to
-    * publish.
+  /** Labels as a SHARED ARTIFACT (the knnGraphBuild precedent,
+    * ScaleQueries.scala:1823): run the full DBSCAN pipeline once per
+    * corpus snapshot, persist the per-point `(vec_id, role, cluster_id)`
+    * relation as parquet, and let every consumer read the artifact at
+    * Θ(labels) instead of re-running the quotient + neighbor join +
+    * geometry-bounded CC rounds (q_dbscan_stats paid the whole ~7.5 s
+    * pipeline again on top of q_dbscan's in the r10 sweep). The
+    * registered queries stay composed for oracle parity; DensitySpec
+    * pins equality of both forms.
     */
-  def dbscanStats(spark: SparkSession, dir: String): DataFrame =
-    dbscan(spark, dir)
-      .groupBy(col("cluster_id"))
+  def dbscanBuild(spark: SparkSession, dir: String, path: String): DataFrame = {
+    dbscan(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Θ(labels) cluster rollup over a label relation — one aggregate,
+    * nothing upstream of the labels is touched.
+    */
+  def dbscanStatsOn(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster_id"))
       .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
         sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
         count(lit(1)).as("n_total"))
+
+  /** Cluster-level rollup of the same labeling: one row per cluster
+    * (noise is cluster −1) with member counts by role — the summary a
+    * curation report keeps when the per-point relation is too wide to
+    * publish. Registered composed form (oracle parity): recomputes the
+    * labels inline; the production path is [[dbscanBuild]] once, then
+    * [[dbscanStatsOn]] the parquet.
+    */
+  def dbscanStats(spark: SparkSession, dir: String): DataFrame =
+    dbscanStatsOn(dbscan(spark, dir))
 
   /** Unrolled label-propagation rounds in the ORACLE. The first oracle
     * used a recursive-CTE transitive closure (the q_dup_clusters
@@ -240,9 +262,14 @@ object Density {
     * sf0.1 — ids are too scattered for pure pointer-doubling claims).
     * An unconverged run cannot pass silently: the equality gate against
     * the Spark labels IS the convergence assert, and it names itself
-    * (caught live at 16 rounds: 12 clusters vs 9).
+    * (caught live at 16 rounds: 12 clusters vs 9). Budgeted at 64: the
+    * measured diameter is 47, and the first budget (48) left a 1-round
+    * margin — a slightly larger eps-blob after a testdata regeneration
+    * would have surfaced as a confusing label mismatch instead of
+    * headroom. Extra MATERIALIZED rounds on converged state are ~free
+    * (one pass over one-label-per-node state each).
     */
-  val DbOracleRounds = 48
+  val DbOracleRounds = 64
 
   /** Shared oracle prelude ending in per-point `roles(vec_id, role,
     * cluster_id)` — labels from [[DbOracleRounds]] unrolled hash-to-min

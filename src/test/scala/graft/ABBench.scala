@@ -656,6 +656,17 @@ object ABBench {
       time(s"sessentry_legacy_$i") { sessionEntryLegacy(spark, sfDir).count() }
       time(s"sessentry_fused_$i") {
         analytics.Events.sessionEntryConversion(spark, sfDir).count() }
+      // r11 DBSCAN labels artifact (VERDICT r10 #2): build the per-point
+      // label parquet ONCE, then the stats rollup is Θ(labels) — compare
+      // dbstats_artifact against the composed arm that re-runs the whole
+      // quotient + neighbor-join + CC pipeline.
+      time(s"dbscan_build_$i") {
+        analytics.Density.dbscanBuild(spark, sfDir, "/tmp/dbscan_labels_ab").count() }
+      time(s"dbstats_artifact_$i") {
+        analytics.Density.dbscanStatsOn(
+          spark.read.parquet("/tmp/dbscan_labels_ab")).count() }
+      time(s"dbstats_composed_$i") {
+        analytics.Density.dbscanStats(spark, sfDir).count() }
     }
     spark.stop()
   }

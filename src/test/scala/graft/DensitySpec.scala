@@ -44,7 +44,10 @@ class DensitySpec extends AnyFunSuite {
   test("labels partition the corpus: roles are consistent with cluster ids") {
     val out = Density.dbscan(spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
-    assert(n == 500L)
+    // scale-agnostic: every embedding row gets exactly one label (the
+    // literal corpus count would couple this invariant to the current
+    // testdata generation)
+    assert(n == Tables.embeddings(spark, "/root/testdata/sf0.001").count())
     // noise ⇔ cluster −1; core/border carry a real (core-id) label
     assert(out.filter(col("role") === "noise" && col("cluster_id") =!= -1L)
       .isEmpty)
@@ -68,7 +71,8 @@ class DensitySpec extends AnyFunSuite {
     val pts = Density.dbscan(spark, "/root/testdata/sf0.001")
     val stats = Density.dbscanStats(spark, "/root/testdata/sf0.001")
     val total = stats.agg(sum(col("n_total"))).head().getLong(0)
-    assert(total == 500L)
+    assert(total ==
+      Tables.embeddings(spark, "/root/testdata/sf0.001").count())
     val mismatch = stats
       .filter(col("n_core") + col("n_border") =!= col("n_total") &&
         col("cluster_id") =!= -1L)
@@ -79,6 +83,21 @@ class DensitySpec extends AnyFunSuite {
     val coreless = stats.filter(col("cluster_id") =!= -1L && col("n_core") === 0L)
     assert(coreless.isEmpty, "a cluster with zero core members")
     assert(pts.filter(col("role") === "core").count() > 0L)
+  }
+
+  test("stats consume the shared labels artifact: artifact form ≡ composed form") {
+    // the knnGraphBuild pattern applied to DBSCAN (VERDICT r10 #2): the
+    // registered q_dbscan_stats recomputes labels inline for oracle
+    // parity; the production path reads dbscanBuild's parquet — the two
+    // rollups must be identical row sets
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("dbscan_labels").toString
+    val labels = Density.dbscanBuild(spark, dir, s"$path/labels")
+    val viaArtifact = Density.dbscanStatsOn(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val composed = Density.dbscanStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaArtifact == composed)
   }
 
   test("LOF consumes the shared kNN-graph artifact: artifact form ≡ composed form") {
