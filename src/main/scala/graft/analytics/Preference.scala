@@ -100,20 +100,29 @@ object Preference {
     * aggregate are the only fact-table shuffles; per-order fan-out is
     * line-count-bounded (≤ C(7,2) pairs), so no key explodes.
     */
-  def btRating(spark: SparkSession, dir: String): DataFrame = {
+  /** Decisive games per unordered supplier pair — the co-occurrence game
+    * graph both the BT estimator and the win-rate CI audit consume:
+    * (i, j, n decisive games, w wins of i), i < j. The per-(order,
+    * supplier) offer collapse and the per-pair aggregate are the only
+    * fact-table shuffles; per-order fan-out is line-count-bounded
+    * (≤ C(7,2) pairs), so no key explodes.
+    */
+  private def supplierGames(spark: SparkSession, dir: String): DataFrame = {
     val offers = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
         col("l_quantity")).as("c"))
     val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"))
     val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"))
-    val gd = a.join(b, Seq("o"))
+    a.join(b, Seq("o"))
       .filter(col("i") < col("j") && col("ci") =!= col("cj"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ci") < col("cj"), 1L).otherwise(0L)).as("w"))
-    btRatingOf(gd).withColumnRenamed("player", "s_suppkey")
   }
+
+  def btRating(spark: SparkSession, dir: String): DataFrame =
+    btRatingOf(supplierGames(spark, dir)).withColumnRenamed("player", "s_suppkey")
 
   val btRatingSql: String = {
     val iters = (1 to BtIters).map { k =>
@@ -150,9 +159,195 @@ object Preference {
        |FROM bt$BtIters b JOIN pl ON b.i = pl.i CROSS JOIN mean""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Annotation QA: inter-rater agreement (Cohen's κ, Krippendorff's α).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic two-rater relation over the SAME items the BT rating
+    * consumes — one row per (order, supplier-pair) with each rater's
+    * verdict ∈ {i, j, tie}. The "raters" are two judgment rules a real
+    * annotation pipeline would field side by side: rater 1 prefers the
+    * supplier with the cheaper best UNIT price (the BT criterion), rater
+    * 2 the one with the cheaper best line CHARGE
+    * (extendedprice·(1−discount), no quantity normalization) — correlated
+    * but not identical, so the agreement statistics are non-degenerate.
+    * Both criteria are min-aggregates of identical IEEE expressions and
+    * the verdicts are raw double comparisons of identical inputs, so the
+    * label relation is bit-identical across engines with no rounding.
+    */
+  private def raterItems(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+          col("l_quantity")).as("ca"),
+        min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cb"))
+    val a = offers.select(col("o"), col("s").as("i"),
+      col("ca").as("cai"), col("cb").as("cbi"))
+    val b = offers.select(col("o"), col("s").as("j"),
+      col("ca").as("caj"), col("cb").as("cbj"))
+    a.join(b, Seq("o"))
+      .filter(col("i") < col("j"))
+      .select(
+        when(col("cai") < col("caj"), "i").when(col("caj") < col("cai"), "j")
+          .otherwise("tie").as("r1"),
+        when(col("cbi") < col("cbj"), "i").when(col("cbj") < col("cbi"), "j")
+          .otherwise("tie").as("r2"))
+  }
+
+  /** Cohen's κ and Krippendorff's α (nominal, two raters, no missing
+    * values) from a label relation `(r1, r2)` — the QA statistics every
+    * preference/RLHF data pipeline publishes next to its ratings (a
+    * rating fit on labels the raters themselves don't agree on is
+    * noise). Pure integer contingency math until the final divisions:
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_o = agree/N,
+    *       p_e = Σ_c row_c·col_c / N²
+    *   α = 1 − 2·disagree·(2N−1) / (4N² − Σ_c n_c²),  n_c = row_c + col_c
+    *
+    * (the α form is the two-rater coincidence-matrix reduction: each
+    * disagreeing unit contributes 2 off-diagonal coincidences, n = 2N
+    * pairable values, D_e = (n² − Σn_c²)/(n(n−1))). Both statistics are
+    * single IEEE divisions of exact integers, snapped at 1e-6 for
+    * display. Degenerate corpora (both raters constant and identical)
+    * pin p_e = 1 and the α denominator to 0 with zero disagreements —
+    * perfect agreement by convention, published as 1.0 through the ANSI
+    * divide guard. One corpus-sized scan, one 1-row aggregate — nothing
+    * shuffles but the contingency counters.
+    */
+  def agreementOf(items: DataFrame): DataFrame = {
+    def n1(l: String) = sum(when(col("r1") === l, 1L).otherwise(0L))
+    def n2(l: String) = sum(when(col("r2") === l, 1L).otherwise(0L))
+    val agg = items.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("n_agree"),
+      n1("i").as("a_i"), n1("j").as("a_j"), n1("tie").as("a_t"),
+      n2("i").as("b_i"), n2("j").as("b_j"), n2("tie").as("b_t"))
+    val n = col("n_items")
+    val po = col("n_agree").cast("double") / n
+    val pe = (col("a_i") * col("b_i") + col("a_j") * col("b_j") +
+      col("a_t") * col("b_t")).cast("double") / (n * n).cast("double")
+    val disagree = n - col("n_agree")
+    val ssq = (col("a_i") + col("b_i")) * (col("a_i") + col("b_i")) +
+      (col("a_j") + col("b_j")) * (col("a_j") + col("b_j")) +
+      (col("a_t") + col("b_t")) * (col("a_t") + col("b_t"))
+    val aden = lit(4L) * n * n - ssq
+    agg.select(n.as("n_items"), col("n_agree"),
+      Num.r(po, 6).as("po"),
+      when(lit(1.0) - pe =!= 0.0,
+        Num.r((po - pe) / (lit(1.0) - pe), 6)).otherwise(1.0).as("kappa"),
+      when(aden =!= 0L,
+        Num.r(lit(1.0) - (lit(2L) * disagree * (lit(2L) * n - lit(1L)))
+          .cast("double") / aden.cast("double"), 6)).otherwise(1.0).as("alpha"))
+  }
+
+  def raterAgreement(spark: SparkSession, dir: String): DataFrame =
+    agreementOf(raterItems(spark, dir))
+
+  val raterAgreementSql: String =
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS ca,
+       |         min(l_extendedprice * (1.0 - l_discount)) AS cb
+       |  FROM lineitem GROUP BY 1, 2),
+       |items AS (
+       |  SELECT CASE WHEN a.ca < b.ca THEN 'i'
+       |              WHEN b.ca < a.ca THEN 'j' ELSE 'tie' END AS r1,
+       |         CASE WHEN a.cb < b.cb THEN 'i'
+       |              WHEN b.cb < a.cb THEN 'j' ELSE 'tie' END AS r2
+       |  FROM offers a JOIN offers b ON a.o = b.o AND a.s < b.s),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |         CAST(sum(CASE WHEN r1 = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS a_i,
+       |         CAST(sum(CASE WHEN r1 = 'j' THEN 1 ELSE 0 END) AS BIGINT) AS a_j,
+       |         CAST(sum(CASE WHEN r1 = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS a_t,
+       |         CAST(sum(CASE WHEN r2 = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS b_i,
+       |         CAST(sum(CASE WHEN r2 = 'j' THEN 1 ELSE 0 END) AS BIGINT) AS b_j,
+       |         CAST(sum(CASE WHEN r2 = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS b_t
+       |  FROM items)
+       |SELECT n AS n_items, agree AS n_agree,
+       |       ${Num.rSql("CAST(agree AS DOUBLE) / n", 6)} AS po,
+       |       CASE WHEN 1.0 - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE)
+       |                        / CAST(n * n AS DOUBLE) <> 0.0
+       |            THEN ${Num.rSql(
+      "(CAST(agree AS DOUBLE) / n - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE) / CAST(n * n AS DOUBLE)) / " +
+        "(1.0 - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE) / CAST(n * n AS DOUBLE))", 6)}
+       |            ELSE 1.0 END AS kappa,
+       |       CASE WHEN 4 * n * n - ((a_i + b_i) * (a_i + b_i) +
+       |                 (a_j + b_j) * (a_j + b_j) + (a_t + b_t) * (a_t + b_t)) <> 0
+       |            THEN ${Num.rSql(
+      "1.0 - CAST(2 * (n - agree) * (2 * n - 1) AS DOUBLE) / " +
+        "CAST(4 * n * n - ((a_i + b_i) * (a_i + b_i) + (a_j + b_j) * (a_j + b_j) + (a_t + b_t) * (a_t + b_t)) AS DOUBLE)", 6)}
+       |            ELSE 1.0 END AS alpha
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Win-rate confidence: Wilson CIs on per-pair win rates.
+  // ---------------------------------------------------------------------
+
+  /** Minimum decisive games for a pair to publish an interval — below
+    * this the Wilson CI spans most of [0,1] and the row is noise.
+    */
+  val WinMinGames = 5L
+
+  /** Wilson 95% interval on each supplier pair's head-to-head win rate —
+    * the q_keep_rate_ci discipline applied to the preference stream: a
+    * BT rating (or an arena board) published without per-pair intervals
+    * invites over-reading sparse matchups. `decisive` marks pairs whose
+    * interval excludes 0.5 (a statistically real head-to-head edge).
+    * Same formula text as CorpusQueries.keepRateCi (z² = 3.8416, the
+    * exact-literal rule); the snapped bounds compare against 0.5, so the
+    * flag cannot flip on an ulp. Input is the pair-bounded game graph —
+    * one bounded aggregate over it, no corpus rescans.
+    */
+  def pairWinrateCi(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = lit(CorpusQueries.WilsonZ2)
+    val gd = supplierGames(spark, dir).filter(col("n") >= lit(WinMinGames))
+    val p = col("w").cast("double") / col("n")
+    val denom = lit(1.0) + z2 / col("n")
+    val center = (p + z2 / (lit(2.0) * col("n"))) / denom
+    val half = sqrt(p * (lit(1.0) - p) / col("n") +
+      z2 / (lit(4.0) * col("n") * col("n"))) * sqrt(z2) / denom
+    gd.select(col("i").as("supp_i"), col("j").as("supp_j"),
+        col("n"), col("w"),
+        Num.r(p, 6).as("win_rate"),
+        Num.r(center - half, 6).as("ci_lo"),
+        Num.r(center + half, 6).as("ci_hi"))
+      .withColumn("decisive", col("ci_lo") > 0.5 || col("ci_hi") < 0.5)
+  }
+
+  val pairWinrateCiSql: String = {
+    val z2 = CorpusQueries.WilsonZ2.toString
+    val p = "CAST(w AS DOUBLE) / n"
+    val center = s"(($p + $z2 / (2.0 * n)) / (1.0 + $z2 / n))"
+    val half = s"(sqrt($p * (1.0 - $p) / n + $z2 / (4.0 * n * n)) * sqrt($z2) / (1.0 + $z2 / n))"
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |gd AS (
+       |  SELECT a.s AS i, b.s AS j, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS BIGINT) AS w
+       |  FROM offers a JOIN offers b ON a.o = b.o AND a.s < b.s AND a.c <> b.c
+       |  GROUP BY 1, 2),
+       |ci AS (
+       |  SELECT i AS supp_i, j AS supp_j, n, w,
+       |         ${Num.rSql(p, 6)} AS win_rate,
+       |         ${Num.rSql(s"$center - $half", 6)} AS ci_lo,
+       |         ${Num.rSql(s"$center + $half", 6)} AS ci_hi
+       |  FROM gd WHERE n >= $WinMinGames)
+       |SELECT supp_i, supp_j, n, w, win_rate, ci_lo, ci_hi,
+       |       (ci_lo > 0.5 OR ci_hi < 0.5) AS decisive
+       |FROM ci""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bt_rating" -> btRating)
+    "q_bt_rating" -> btRating,
+    "q_rater_agreement" -> raterAgreement,
+    "q_pair_winrate_ci" -> pairWinrateCi)
 
   val oracles: Map[String, String] = Map(
-    "q_bt_rating" -> btRatingSql)
+    "q_bt_rating" -> btRatingSql,
+    "q_rater_agreement" -> raterAgreementSql,
+    "q_pair_winrate_ci" -> pairWinrateCiSql)
 }

@@ -35,6 +35,60 @@ class PreferenceSpec extends AnyFunSuite {
     assert(r(1L) > r(2L) && r(2L) > r(3L))
   }
 
+  test("agreement fixture: hand-computed Cohen's kappa and Krippendorff's alpha") {
+    // 4 units: (i,i), (j,j), (i,j), (tie,tie) — N=4, agree=3, po=3/4.
+    // kappa: rater-1 marginals (2,1,1), rater-2 (1,2,1) → pe = (2·1 +
+    // 1·2 + 1·1)/16 = 5/16; kappa = (0.75 − 0.3125)/0.6875 = 7/11 =
+    // 0.63636… → snapped 0.636364.
+    // alpha (two-rater coincidence form): disagree=1, n=2N=8, n_c =
+    // (3,3,2), Σn_c²=22 → alpha = 1 − 2·1·7/(64−22) = 1 − 14/42 = 2/3
+    // → snapped 0.666667.
+    val items = Seq(("i", "i"), ("j", "j"), ("i", "j"), ("tie", "tie"))
+      .toDF("r1", "r2")
+    val r = Preference.agreementOf(items).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.75)
+    assert(r.getDouble(3) == 0.636364, s"kappa ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.666667, s"alpha ${r.getDouble(4)}")
+  }
+
+  test("agreement degenerate case: constant identical raters pin kappa = alpha = 1") {
+    // both raters always say tie: po = 1, pe = 1 (0/0 kappa), alpha
+    // denominator 4N² − Σn_c² = 0 with zero disagreements — the guards
+    // publish perfect agreement instead of an ANSI divide error
+    val items = Seq(("tie", "tie"), ("tie", "tie"), ("tie", "tie"))
+      .toDF("r1", "r2")
+    val r = Preference.agreementOf(items).head()
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("registered agreement wiring: statistics live in their ranges") {
+    val r = Preference.raterAgreement(spark, sf).head()
+    val (n, agree) = (r.getLong(0), r.getLong(1))
+    assert(n > 0L && agree >= 0L && agree <= n)
+    val (po, kappa, alpha) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    assert(alpha >= -1.0 && alpha <= 1.0)
+    // the two criteria are correlated by construction: agreement must
+    // beat chance by a real margin, else the rater relation degenerated
+    assert(kappa > 0.1, s"kappa $kappa: raters no better than chance")
+  }
+
+  test("pair win-rate CIs: Wilson bounds bracket the rate and flag decisiveness") {
+    val out = Preference.pairWinrateCi(spark, sf).cache()
+    assert(out.filter(col("n") < Preference.WinMinGames).isEmpty)
+    assert(out.filter(col("ci_lo") > col("win_rate") ||
+      col("win_rate") > col("ci_hi")).isEmpty)
+    assert(out.filter(col("ci_lo") < 0.0 || col("ci_hi") > 1.0).isEmpty)
+    assert(out.filter(col("decisive") =!=
+      (col("ci_lo") > 0.5 || col("ci_hi") < 0.5)).isEmpty)
+    // w ≤ n and the rate is w/n on the display grid
+    assert(out.filter(col("w") > col("n")).isEmpty)
+    assert(out.count() > 0L)
+    out.unpersist()
+  }
+
   test("registered wiring: per-player bookkeeping matches the pair stream") {
     val out = Preference.btRating(spark, sf)
     val agg = out.agg(sum("wins").as("w"), sum("games").as("g"),

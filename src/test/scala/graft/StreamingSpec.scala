@@ -277,6 +277,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("online Elo carries the rating board across micro-batches: stream ≡ batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // deterministic mini-arena: 6 players, 36 games in time order, a
+    // dominance gradient (lower id beats higher id 2 of 3 meetings) so
+    // ratings actually separate
+    val games = (for {
+      g <- 0 until 36
+      i = g % 6; j = (g / 6) % 6 if i != j
+    } yield {
+      val (lo, hi) = (math.min(i, j).toLong + 1L, math.max(i, j).toLong + 1L)
+      val winner = if (g % 3 == 0) hi else lo
+      val loser = if (winner == lo) hi else lo
+      (g.toLong * 1000L, g.toLong, winner, loser)
+    }).toVector
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val out = Streams.eloStream(
+      ms.toDF().toDF("us", "game_id", "winner", "loser")).toDF()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("elo_stream").start()
+    // three micro-batches in time order — the state carry-over is the
+    // thing under test (a single-batch pin would never exercise it)
+    games.grouped(12).foreach { chunk =>
+      ms.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    // final board = each player's max-games row (games is monotone)
+    val got = spark.table("elo_stream")
+      .groupBy("player")
+      .agg(max(struct(col("games"), col("rating"))).as("m"))
+      .select(col("player"), col("m.games"), col("m.rating"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Streams.eloBatch(
+      games.toDF("us", "game_id", "winner", "loser")).collect()
+      .map(r => (r.player, r.games, r.rating)).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // zero-sum: total rating mass is conserved at players·EloStart
+    val mass = exp.toSeq.map(_._3).sum
+    assert(math.abs(mass - exp.size * Streams.EloStart) < 1e-6)
+    // the dominance gradient must surface: player 1 above player 6
+    val rating = exp.map(t => t._1 -> t._3).toMap
+    assert(rating(1L) > rating(6L))
+  }
+
   test("streaming approx DAU tracks the exact batch distinct within rsd") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dau")
     java.nio.file.Files.copy(
