@@ -42,6 +42,12 @@ if [ ! -e "$SF1/documents.parquet" ]; then
   sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $SF1 10" || exit 1
 fi
 
+echo "== sweep_sf1: density data premises (quotient occupancy, core structure) =="
+# ScaleUp's exact-copy embeddings are the adversarial mass-duplication
+# case the DBSCAN quotient exists for — assert the premises hold at sf1
+# too, not just at the DensitySpec scale (VERDICT r10 #7)
+sbt -batch "runMain graft.PremiseCheck $SF1" || exit 1
+
 echo "== sweep_sf1: graft.Verify $SF1 -> $OUT =="
 sbt -batch "runMain graft.Verify $SF1 $OUT" || exit 1
 

@@ -125,9 +125,23 @@ object Bench {
           Thread.sleep(250)
         }
         val cold = timed(fn)
-        val rest = if (cold.isRight) (2 to reps).map { _ =>
+        val rest0 = if (cold.isRight) (2 to reps).map { _ =>
           reapBetweenReps(); timed(fn)
         } else Nil
+        // Self-exonerating warm column on the heavy tail (cold > 5 s):
+        // a SINGLE warm sample can land inside a host-noise window and
+        // read as warm>cold — two r10 sf10 anomalies (q_triangle_count
+        // 236.9 warm vs 154.2 cold, q_containment_lsh 92.2 vs 76.4)
+        // each needed a manual multi-rep re-run to exonerate. Guarantee
+        // ≥2 warm samples for heavy queries so min-warm absorbs one
+        // noise window; cheap queries keep the configured reps.
+        val extraWarm = cold match {
+          case Right(v) if v > 5.0 => (2 - rest0.count(_.isRight)).max(0)
+          case _ => 0
+        }
+        val rest = rest0 ++ (1 to extraWarm).map { _ =>
+          reapBetweenReps(); timed(fn)
+        }
         // Incremental per-query line: a run killed or crashed mid-sweep
         // keeps every completed timing in the log (the aggregate JSON is
         // only written at the end). One line per query, greppable.

@@ -88,6 +88,15 @@ object Density {
     */
   val DbCcMaxIters = 320
 
+  /** Probe budget: an eps-grid cell holding more DISTINCT coordinates
+    * than this pushes the 3×3 cell join out of its sparse regime —
+    * re-grain DbEps before trusting the grid shape at a denser corpus.
+    * Asserted at sf0.1 by DensitySpec and at sf1 by graft.PremiseCheck
+    * inside dev/sweep_sf1.sh (ScaleUp's exact-copy corpora are the
+    * adversarial mass-duplication case the quotient exists for).
+    */
+  val DbMaxCellOccupancy = 64L
+
   private val Dim = CorpusDiversity.JlInDim
 
   /** (vec_id, x, y, cx, cy): the snapped JL plane plus home cell. */
@@ -122,7 +131,14 @@ object Density {
     * duplicated corpus (the ScaleUp shape, and real crawl dumps) would
     * otherwise square the per-cell join.
     */
-  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+  /** The pre-CC pipeline stages shared by [[dbscan]] and the data-premise
+    * audit: projected corpus, exact-coordinate quotient, eps-neighbor
+    * stream and multiplicity-weighted core flags.
+    */
+  private case class Quotient(ptsAll: DataFrame, pts: DataFrame,
+      nbr: DataFrame, flags: DataFrame)
+
+  private def quotientOf(spark: SparkSession, dir: String): Quotient = {
     // projected corpus: one scan; reused by the quotient and the final
     // per-point expansion — checkpoint breaks the branch duplication
     val ptsAll = plane(spark, dir).localCheckpoint()
@@ -153,6 +169,12 @@ object Density {
         (col("m") + coalesce(col("nn"), lit(0L)) >= lit(DbMinPts.toLong))
           .as("is_core"))
       .localCheckpoint()
+    Quotient(ptsAll, pts, nbr, flags)
+  }
+
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val q = quotientOf(spark, dir)
+    val (ptsAll, pts, nbr, flags) = (q.ptsAll, q.pts, q.nbr, q.flags)
     val coreIds = flags.filter(col("is_core")).select(col("rep"))
     // directed core-core adjacency, then AUGMENT with 2-hop shortcuts
     // through a shared core midpoint — pure transitivity (a–b, b–c core
@@ -243,6 +265,31 @@ object Density {
     */
   def dbscanStats(spark: SparkSession, dir: String): DataFrame =
     dbscanStatsOn(dbscan(spark, dir))
+
+  /** Data-premise audit over the pre-CC stages — one row with the
+    * numbers the operator's scale envelope rests on: corpus size,
+    * quotient size, max DISTINCT-coordinate occupancy of an eps-cell
+    * (the 3×3 probe budget), max coordinate multiplicity (how hard the
+    * duplication adversary is pushing), and the core fraction of the
+    * quotient. Cheap by construction: the CC loop never runs. Consumed
+    * by graft.PremiseCheck in the sf1 sweep and available for any
+    * corpus-drift triage.
+    */
+  def quotientStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = quotientOf(spark, dir)
+    val n = q.ptsAll.agg(count(lit(1)).as("n_points"))
+    val core = q.flags.agg(
+      sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+      count(lit(1)).as("n_distinct"))
+    val occ = q.pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_cell_occupancy"))
+    val mult = q.pts.agg(max(col("m")).as("max_multiplicity"))
+    n.crossJoin(core).crossJoin(occ).crossJoin(mult)
+      .select(col("n_points"), col("n_distinct"), col("max_cell_occupancy"),
+        col("max_multiplicity"), col("n_core"),
+        Num.r(col("n_core").cast("double") / col("n_distinct"), 6)
+          .as("core_frac"))
+  }
 
   /** Unrolled label-propagation rounds in the ORACLE. The first oracle
     * used a recursive-CTE transitive closure (the q_dup_clusters

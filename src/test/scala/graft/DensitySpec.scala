@@ -18,9 +18,10 @@ class DensitySpec extends AnyFunSuite {
 
   /** Probe budget: a cell holding more points than this makes the
     * candidate join quadratic-in-cell — re-grain eps or pre-sample
-    * before trusting the grid shape at a denser corpus.
+    * before trusting the grid shape at a denser corpus. Shared with
+    * graft.PremiseCheck (the sf1 sweep's gate).
     */
-  val MaxCellOccupancy = 64L
+  val MaxCellOccupancy = Density.DbMaxCellOccupancy
 
   test("grid premise: max eps-cell occupancy stays under the probe budget at sf0.1") {
     val occ = Tables.embeddings(spark, sf)
