@@ -341,13 +341,128 @@ object Preference {
        |FROM ci""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Tournament transitivity: cyclic-triad rate of the majority digraph.
+  // ---------------------------------------------------------------------
+
+  /** Active-player cap for the transitivity audit. The triad enumeration
+    * is C(k,3) BY CONSTRUCTION — the audit runs on the top-k players by
+    * decisive games (deterministic suppkey tiebreak), never on the full
+    * player table, because a near-complete tournament on p players holds
+    * C(p,3) triads (1.7e11 at sf1's 10 k suppliers — the q_heavy_hitters
+    * regime class, dodged by bounding the domain, not by testdata luck).
+    * 64 active players = 41 664 triads at any corpus size.
+    */
+  val TransTopK = 64
+
+  /** Intransitivity audit of the preference stream — the third QA leg
+    * next to rater agreement and win-rate CIs: a preference corpus whose
+    * majority outcomes cycle (A beats B beats C beats A) caps how well
+    * ANY total-order model (BT, Elo) can fit it, so pipelines publish
+    * the cyclic-triad rate next to the ratings. Over the top-[[TransTopK]]
+    * most-active players: majority edge u→v when u won strictly more
+    * decisive games (exact 50/50 pairs carry no direction and drop);
+    * among triads whose three pairs ALL have majority edges, a triad is
+    * cyclic iff it has no 2-out-degree node — counted once via the
+    * min-node rotation (u < v, u < w for cycles; u < v < w for the triad
+    * total). Everything after the player cap is k-bounded: the edge set
+    * ≤ C(k,2), the triad joins ≤ C(k,3) rows.
+    */
+  def btTransitivity(spark: SparkSession, dir: String): DataFrame =
+    transitivityOf(supplierGames(spark, dir))
+
+  /** The audit over any pre-aggregated game relation `(i, j, n, w)`,
+    * i < j — split out so PreferenceSpec can pin hand-built cyclic and
+    * transitive tournaments.
+    */
+  def transitivityOf(gd: DataFrame): DataFrame = {
+    // top-k active players: player-bounded relation, deterministic order
+    val act = gd.select(col("i").as("p"), col("n"))
+      .unionByName(gd.select(col("j").as("p"), col("n")))
+      .groupBy(col("p")).agg(sum(col("n")).as("games"))
+      .orderBy(col("games").desc, col("p").asc)
+      .limit(TransTopK)
+      .select(col("p"))
+    // majority digraph on the active set (ties drop: no direction)
+    val ed = gd
+      .join(act.select(col("p").as("i")), Seq("i"))
+      .join(act.select(col("p").as("j")), Seq("j"))
+      .filter(col("w") * 2 =!= col("n"))
+      .select(when(col("w") * 2 > col("n"), col("i")).otherwise(col("j")).as("u"),
+        when(col("w") * 2 > col("n"), col("j")).otherwise(col("i")).as("v"))
+      .localCheckpoint() // six consumers of a join-derived relation
+    // undirected closure for the triad total: both endpoints ordered
+    val un = ed.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+    val triads = un.as("e1")
+      .join(un.as("e2"), col("e1.b") === col("e2.a"))
+      .join(un.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triads"))
+    // directed 3-cycles, one rotation each (min node leads)
+    val cyc = ed.as("c1")
+      .join(ed.as("c2"), col("c1.v") === col("c2.u"))
+      .join(ed.as("c3"),
+        col("c3.u") === col("c2.v") && col("c3.v") === col("c1.u"))
+      .filter(col("c1.u") < col("c1.v") && col("c1.u") < col("c2.v"))
+      .agg(count(lit(1)).as("n_cyclic"))
+    val base = ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(triads).crossJoin(cyc)
+    base.select(col("n_edges"), col("n_triads"), col("n_cyclic"),
+      when(col("n_triads") > 0L,
+        Num.r(col("n_cyclic").cast("double") / col("n_triads"), 6))
+        .otherwise(0.0).as("cyclic_rate"))
+  }
+
+  val btTransitivitySql: String =
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |gd AS (
+       |  SELECT a.s AS i, b.s AS j, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS BIGINT) AS w
+       |  FROM offers a JOIN offers b ON a.o = b.o AND a.s < b.s AND a.c <> b.c
+       |  GROUP BY 1, 2),
+       |act AS (
+       |  SELECT p FROM (
+       |    SELECT p, CAST(sum(n) AS BIGINT) AS games FROM (
+       |      SELECT i AS p, n FROM gd UNION ALL SELECT j AS p, n FROM gd)
+       |    GROUP BY 1)
+       |  ORDER BY games DESC, p ASC LIMIT $TransTopK),
+       |ed AS MATERIALIZED (
+       |  SELECT CASE WHEN w * 2 > n THEN i ELSE j END AS u,
+       |         CASE WHEN w * 2 > n THEN j ELSE i END AS v
+       |  FROM gd
+       |  WHERE w * 2 <> n AND i IN (SELECT p FROM act)
+       |    AND j IN (SELECT p FROM act)),
+       |un AS MATERIALIZED (
+       |  SELECT least(u, v) AS a, greatest(u, v) AS b FROM ed),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triads
+       |  FROM un e1 JOIN un e2 ON e1.b = e2.a
+       |  JOIN un e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |cyc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cyclic
+       |  FROM ed c1 JOIN ed c2 ON c1.v = c2.u
+       |  JOIN ed c3 ON c3.u = c2.v AND c3.v = c1.u
+       |  WHERE c1.u < c1.v AND c1.u < c2.v),
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+       |SELECT n_edges, n_triads, n_cyclic,
+       |       CASE WHEN n_triads > 0
+       |            THEN ${Num.rSql("CAST(n_cyclic AS DOUBLE) / n_triads", 6)}
+       |            ELSE 0.0 END AS cyclic_rate
+       |FROM base CROSS JOIN tri CROSS JOIN cyc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bt_rating" -> btRating,
     "q_rater_agreement" -> raterAgreement,
-    "q_pair_winrate_ci" -> pairWinrateCi)
+    "q_pair_winrate_ci" -> pairWinrateCi,
+    "q_bt_transitivity" -> btTransitivity)
 
   val oracles: Map[String, String] = Map(
     "q_bt_rating" -> btRatingSql,
     "q_rater_agreement" -> raterAgreementSql,
-    "q_pair_winrate_ci" -> pairWinrateCiSql)
+    "q_pair_winrate_ci" -> pairWinrateCiSql,
+    "q_bt_transitivity" -> btTransitivitySql)
 }

@@ -324,6 +324,12 @@ object Dedup {
       s"dupClusters did not converge within $maxIters iterations — a " +
         "component's diameter exceeds the cap; labels would be silently " +
         "unconverged. Raise maxIters for this corpus.")
+    // One greppable line per convergence: the round count IS the measured
+    // hop diameter (+1 detection round), and geometry-bounded claims
+    // (DBSCAN: rounds independent of corpus size) are audited by reading
+    // this line off the sf10 sweep logs rather than argued (VERDICT r10
+    // #1). Negligible noise: one line per CC invocation.
+    println(s"[cc] dupClusters converged rounds=$iter cap=$maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

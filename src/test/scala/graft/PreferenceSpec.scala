@@ -89,6 +89,26 @@ class PreferenceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("transitivity fixture: a rock-paper-scissors triad is cyclic, a chain is not") {
+    // 1 beats 2, 2 beats 3, 3 beats 1 — one triad, one directed 3-cycle
+    val cyc = Seq((1L, 2L, 3L, 3L), (2L, 3L, 3L, 3L), (1L, 3L, 3L, 0L))
+      .toDF("i", "j", "n", "w")
+    val rc = Preference.transitivityOf(cyc).head()
+    assert((rc.getLong(0), rc.getLong(1), rc.getLong(2)) == ((3L, 1L, 1L)))
+    assert(rc.getDouble(3) == 1.0)
+    // 1 beats 2, 2 beats 3, 1 beats 3 — same triad, transitive
+    val chain = Seq((1L, 2L, 3L, 3L), (2L, 3L, 3L, 3L), (1L, 3L, 3L, 3L))
+      .toDF("i", "j", "n", "w")
+    val rt = Preference.transitivityOf(chain).head()
+    assert((rt.getLong(0), rt.getLong(1), rt.getLong(2)) == ((3L, 1L, 0L)))
+    assert(rt.getDouble(3) == 0.0)
+    // an exact 50/50 pair carries no direction: the triad dissolves
+    val tied = Seq((1L, 2L, 4L, 2L), (2L, 3L, 3L, 3L), (1L, 3L, 3L, 3L))
+      .toDF("i", "j", "n", "w")
+    val rd = Preference.transitivityOf(tied).head()
+    assert((rd.getLong(0), rd.getLong(1)) == ((2L, 0L)))
+  }
+
   test("registered wiring: per-player bookkeeping matches the pair stream") {
     val out = Preference.btRating(spark, sf)
     val agg = out.agg(sum("wins").as("w"), sum("games").as("g"),
