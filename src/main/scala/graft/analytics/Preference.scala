@@ -121,6 +121,22 @@ object Preference {
         sum(when(col("ci") < col("cj"), 1L).otherwise(0L)).as("w"))
   }
 
+  /** Game-graph ARTIFACT (the knnGraphBuild/dbscanBuild precedent): the
+    * offers collapse + pair aggregate is the only corpus-sized work in
+    * the whole preference family, and every family member pays it again
+    * when registered standalone (sf10: ~11–13 s of each of q_bt_rating
+    * 17.4 / q_bt_transitivity 18.4 / q_pair_winrate_ci 13.3). A
+    * production pipeline builds the pair-bounded game graph once per
+    * corpus snapshot and feeds [[btRatingOf]] / [[transitivityOf]] /
+    * [[pairWinrateCiOf]] the parquet — each is then Θ(pairs).
+    * Registered queries stay composed for oracle parity; PreferenceSpec
+    * pins artifact ≡ composed for all three consumers.
+    */
+  def gamesBuild(spark: SparkSession, dir: String, path: String): DataFrame = {
+    supplierGames(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   def btRating(spark: SparkSession, dir: String): DataFrame =
     btRatingOf(supplierGames(spark, dir)).withColumnRenamed("player", "s_suppkey")
 
@@ -300,9 +316,15 @@ object Preference {
     * flag cannot flip on an ulp. Input is the pair-bounded game graph —
     * one bounded aggregate over it, no corpus rescans.
     */
-  def pairWinrateCi(spark: SparkSession, dir: String): DataFrame = {
+  def pairWinrateCi(spark: SparkSession, dir: String): DataFrame =
+    pairWinrateCiOf(supplierGames(spark, dir))
+
+  /** The audit over any pre-aggregated game relation — the
+    * [[gamesBuild]]-artifact consumer form.
+    */
+  def pairWinrateCiOf(games: DataFrame): DataFrame = {
     val z2 = lit(CorpusQueries.WilsonZ2)
-    val gd = supplierGames(spark, dir).filter(col("n") >= lit(WinMinGames))
+    val gd = games.filter(col("n") >= lit(WinMinGames))
     val p = col("w").cast("double") / col("n")
     val denom = lit(1.0) + z2 / col("n")
     val center = (p + z2 / (lit(2.0) * col("n"))) / denom

@@ -667,6 +667,23 @@ object ABBench {
           spark.read.parquet("/tmp/dbscan_labels_ab")).count() }
       time(s"dbstats_composed_$i") {
         analytics.Density.dbscanStats(spark, sfDir).count() }
+      // r11 preference game-graph artifact: the offers collapse is the
+      // family's only corpus-sized work — build the pair graph ONCE,
+      // then every consumer (BT, transitivity, win-rate CIs) runs
+      // Θ(pairs) against the parquet. Compare *_artifact vs *_composed.
+      time(s"pref_games_build_$i") {
+        analytics.Preference.gamesBuild(spark, sfDir, "/tmp/pref_games_ab").count() }
+      time(s"pref_bt_artifact_$i") {
+        analytics.Preference.btRatingOf(
+          spark.read.parquet("/tmp/pref_games_ab")).count() }
+      time(s"pref_bt_composed_$i") {
+        analytics.Preference.btRating(spark, sfDir).count() }
+      time(s"pref_trans_artifact_$i") {
+        analytics.Preference.transitivityOf(
+          spark.read.parquet("/tmp/pref_games_ab")).count() }
+      time(s"pref_winci_artifact_$i") {
+        analytics.Preference.pairWinrateCiOf(
+          spark.read.parquet("/tmp/pref_games_ab")).count() }
     }
     spark.stop()
   }

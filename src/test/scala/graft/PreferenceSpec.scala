@@ -109,6 +109,24 @@ class PreferenceSpec extends AnyFunSuite {
     assert((rd.getLong(0), rd.getLong(1)) == ((2L, 0L)))
   }
 
+  test("family consumes the shared game-graph artifact: artifact forms ≡ composed forms") {
+    // the knnGraphBuild pattern applied to the preference family: the
+    // registered queries recompute the offers collapse for oracle
+    // parity; the production path reads gamesBuild's parquet once and
+    // every consumer is Theta(pairs)
+    val path = java.nio.file.Files.createTempDirectory("pref_games").toString
+    val games = Preference.gamesBuild(spark, sf, s"$path/games")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(set(Preference.btRatingOf(games)
+        .withColumnRenamed("player", "s_suppkey")) ==
+      set(Preference.btRating(spark, sf)))
+    assert(set(Preference.transitivityOf(games)) ==
+      set(Preference.btTransitivity(spark, sf)))
+    assert(set(Preference.pairWinrateCiOf(games)) ==
+      set(Preference.pairWinrateCi(spark, sf)))
+  }
+
   test("registered wiring: per-player bookkeeping matches the pair stream") {
     val out = Preference.btRating(spark, sf)
     val agg = out.agg(sum("wins").as("w"), sum("games").as("g"),
