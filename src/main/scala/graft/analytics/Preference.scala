@@ -196,18 +196,21 @@ object Preference {
       .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
           col("l_quantity")).as("ca"),
-        min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cb"))
+        min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cb"),
+        min(col("l_extendedprice")).as("cc"))
     val a = offers.select(col("o"), col("s").as("i"),
-      col("ca").as("cai"), col("cb").as("cbi"))
+      col("ca").as("cai"), col("cb").as("cbi"), col("cc").as("cci"))
     val b = offers.select(col("o"), col("s").as("j"),
-      col("ca").as("caj"), col("cb").as("cbj"))
+      col("ca").as("caj"), col("cb").as("cbj"), col("cc").as("ccj"))
     a.join(b, Seq("o"))
       .filter(col("i") < col("j"))
       .select(
         when(col("cai") < col("caj"), "i").when(col("caj") < col("cai"), "j")
           .otherwise("tie").as("r1"),
         when(col("cbi") < col("cbj"), "i").when(col("cbj") < col("cbi"), "j")
-          .otherwise("tie").as("r2"))
+          .otherwise("tie").as("r2"),
+        when(col("cci") < col("ccj"), "i").when(col("ccj") < col("cci"), "j")
+          .otherwise("tie").as("r3"))
   }
 
   /** Cohen's κ and Krippendorff's α (nominal, two raters, no missing
@@ -295,6 +298,94 @@ object Preference {
       "1.0 - CAST(2 * (n - agree) * (2 * n - 1) AS DOUBLE) / " +
         "CAST(4 * n * n - ((a_i + b_i) * (a_i + b_i) + (a_j + b_j) * (a_j + b_j) + (a_t + b_t) * (a_t + b_t)) AS DOUBLE)", 6)}
        |            ELSE 1.0 END AS alpha
+       |FROM agg""".stripMargin
+
+  /** Fleiss' κ over a three-rater label relation `(r1, r2, r3)` — the
+    * multi-rater generalization (Cohen's κ is two-rater only): with
+    * r = 3 raters and per-item category counts n_sk,
+    *
+    *   P̄  = (Σ_s Σ_k n_sk² − r·N) / (N·r·(r−1))
+    *   P̄e = Σ_k (Σ_s n_sk)² / (N·r)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Integer sums all the way to two IEEE divisions (int→double casts of
+    * identical int64 values round identically in both engines), the same
+    * ANSI guard/1.0 convention as [[agreementOf]] when all raters are
+    * constant and identical. The third judgment rule is the raw
+    * best-line-price minimum — a deliberately cruder criterion, so the
+    * three-rater panel has realistic disagreement structure.
+    */
+  def fleissOf(items: DataFrame): DataFrame = {
+    def cnt(l: String) =
+      when(col("r1") === l, 1L).otherwise(0L) +
+        when(col("r2") === l, 1L).otherwise(0L) +
+        when(col("r3") === l, 1L).otherwise(0L)
+    val counted = items.select(cnt("i").as("ni"), cnt("j").as("nj"),
+      cnt("tie").as("nt"))
+    val agg = counted.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("ni") * col("ni") + col("nj") * col("nj") +
+        col("nt") * col("nt")).as("ssq"),
+      sum(col("ni")).as("si"), sum(col("nj")).as("sj"),
+      sum(col("nt")).as("st"))
+    val n = col("n_items")
+    val pbar = (col("ssq") - lit(3L) * n).cast("double") /
+      (lit(6L) * n).cast("double")
+    val pe = (col("si") * col("si") + col("sj") * col("sj") +
+      col("st") * col("st")).cast("double") / (lit(9L) * n * n).cast("double")
+    agg.select(n.as("n_items"),
+      Num.r(pbar, 6).as("p_bar"), Num.r(pe, 6).as("p_e"),
+      when(lit(1.0) - pe =!= 0.0,
+        Num.r((pbar - pe) / (lit(1.0) - pe), 6)).otherwise(1.0)
+        .as("fleiss_kappa"))
+  }
+
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame =
+    fleissOf(raterItems(spark, dir))
+
+  val fleissKappaSql: String =
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS ca,
+       |         min(l_extendedprice * (1.0 - l_discount)) AS cb,
+       |         min(l_extendedprice) AS cc
+       |  FROM lineitem GROUP BY 1, 2),
+       |items AS (
+       |  SELECT CASE WHEN a.ca < b.ca THEN 'i'
+       |              WHEN b.ca < a.ca THEN 'j' ELSE 'tie' END AS r1,
+       |         CASE WHEN a.cb < b.cb THEN 'i'
+       |              WHEN b.cb < a.cb THEN 'j' ELSE 'tie' END AS r2,
+       |         CASE WHEN a.cc < b.cc THEN 'i'
+       |              WHEN b.cc < a.cc THEN 'j' ELSE 'tie' END AS r3
+       |  FROM offers a JOIN offers b ON a.o = b.o AND a.s < b.s),
+       |counted AS (
+       |  SELECT (CASE WHEN r1 = 'i' THEN 1 ELSE 0 END +
+       |          CASE WHEN r2 = 'i' THEN 1 ELSE 0 END +
+       |          CASE WHEN r3 = 'i' THEN 1 ELSE 0 END) AS ni,
+       |         (CASE WHEN r1 = 'j' THEN 1 ELSE 0 END +
+       |          CASE WHEN r2 = 'j' THEN 1 ELSE 0 END +
+       |          CASE WHEN r3 = 'j' THEN 1 ELSE 0 END) AS nj,
+       |         (CASE WHEN r1 = 'tie' THEN 1 ELSE 0 END +
+       |          CASE WHEN r2 = 'tie' THEN 1 ELSE 0 END +
+       |          CASE WHEN r3 = 'tie' THEN 1 ELSE 0 END) AS nt
+       |  FROM items),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(ni * ni + nj * nj + nt * nt) AS BIGINT) AS ssq,
+       |         CAST(sum(ni) AS BIGINT) AS si, CAST(sum(nj) AS BIGINT) AS sj,
+       |         CAST(sum(nt) AS BIGINT) AS st
+       |  FROM counted)
+       |SELECT n AS n_items,
+       |       ${Num.rSql(
+      "CAST(ssq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)", 6)} AS p_bar,
+       |       ${Num.rSql(
+      "CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE)", 6)} AS p_e,
+       |       CASE WHEN 1.0 - CAST(si * si + sj * sj + st * st AS DOUBLE)
+       |                        / CAST(9 * n * n AS DOUBLE) <> 0.0
+       |            THEN ${Num.rSql(
+      "(CAST(ssq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE) - CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE)) / " +
+        "(1.0 - CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE))", 6)}
+       |            ELSE 1.0 END AS fleiss_kappa
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -479,12 +570,14 @@ object Preference {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bt_rating" -> btRating,
     "q_rater_agreement" -> raterAgreement,
+    "q_fleiss_kappa" -> fleissKappa,
     "q_pair_winrate_ci" -> pairWinrateCi,
     "q_bt_transitivity" -> btTransitivity)
 
   val oracles: Map[String, String] = Map(
     "q_bt_rating" -> btRatingSql,
     "q_rater_agreement" -> raterAgreementSql,
+    "q_fleiss_kappa" -> fleissKappaSql,
     "q_pair_winrate_ci" -> pairWinrateCiSql,
     "q_bt_transitivity" -> btTransitivitySql)
 }

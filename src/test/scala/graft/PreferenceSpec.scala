@@ -89,6 +89,34 @@ class PreferenceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("Fleiss fixture: hand-computed three-rater kappa and the degenerate panel") {
+    // 4 items × 3 raters: (i,i,i), (i,i,j), (tie,tie,j), (i,j,tie).
+    // Per-item Σn_k²: 9, 5, 5, 3 → ssq=22; P̄ = (22 − 12)/24 = 0.41666…
+    // → snapped 0.416667. Marginals S=(6,3,3) → P̄e = 54/144 = 0.375.
+    // κ = (10/24 − 0.375)/0.625 = 0.06666… → snapped 0.066667.
+    val items = Seq(("i", "i", "i"), ("i", "i", "j"), ("tie", "tie", "j"),
+      ("i", "j", "tie")).toDF("r1", "r2", "r3")
+    val r = Preference.fleissOf(items).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.416667, s"p_bar ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.375)
+    assert(r.getDouble(3) == 0.066667, s"kappa ${r.getDouble(3)}")
+    // constant identical panel: P̄e = 1 → guard publishes 1.0
+    val const = Seq(("tie", "tie", "tie"), ("tie", "tie", "tie"))
+      .toDF("r1", "r2", "r3")
+    assert(Preference.fleissOf(const).head().getDouble(3) == 1.0)
+  }
+
+  test("registered Fleiss wiring: statistics live in their ranges") {
+    val r = Preference.fleissKappa(spark, sf).head()
+    assert(r.getLong(0) > 0L)
+    val (pb, pe, k) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(pb >= 0.0 && pb <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(k >= -1.0 && k <= 1.0)
+    // the three rules are correlated by construction
+    assert(k > 0.1, s"fleiss kappa $k: panel no better than chance")
+  }
+
   test("transitivity fixture: a rock-paper-scissors triad is cyclic, a chain is not") {
     // 1 beats 2, 2 beats 3, 3 beats 1 — one triad, one directed 3-cycle
     val cyc = Seq((1L, 2L, 3L, 3L), (2L, 3L, 3L, 3L), (1L, 3L, 3L, 0L))
