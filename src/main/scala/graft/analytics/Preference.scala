@@ -250,9 +250,14 @@ object Preference {
       (col("a_j") + col("b_j")) * (col("a_j") + col("b_j")) +
       (col("a_t") + col("b_t")) * (col("a_t") + col("b_t"))
     val aden = lit(4L) * n * n - ssq
+    // every division here is n-denominated; on an EMPTY corpus the agg
+    // row has n_items = 0 — guard each published statistic the same way
+    // the kappa/alpha arms already are (ANSI divide rule, ADVICE r11) so
+    // a degenerate corpus yields a defined row (1.0 by the perfect-
+    // agreement convention) instead of engine-dependent behavior
     agg.select(n.as("n_items"), col("n_agree"),
-      Num.r(po, 6).as("po"),
-      when(lit(1.0) - pe =!= 0.0,
+      when(n > 0L, Num.r(po, 6)).otherwise(1.0).as("po"),
+      when(n > 0L && lit(1.0) - pe =!= 0.0,
         Num.r((po - pe) / (lit(1.0) - pe), 6)).otherwise(1.0).as("kappa"),
       when(aden =!= 0L,
         Num.r(lit(1.0) - (lit(2L) * disagree * (lit(2L) * n - lit(1L)))
@@ -285,8 +290,10 @@ object Preference {
        |         CAST(sum(CASE WHEN r2 = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS b_t
        |  FROM items)
        |SELECT n AS n_items, agree AS n_agree,
-       |       ${Num.rSql("CAST(agree AS DOUBLE) / n", 6)} AS po,
-       |       CASE WHEN 1.0 - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE)
+       |       CASE WHEN n > 0
+       |            THEN ${Num.rSql("CAST(agree AS DOUBLE) / n", 6)}
+       |            ELSE 1.0 END AS po,
+       |       CASE WHEN n > 0 AND 1.0 - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE)
        |                        / CAST(n * n AS DOUBLE) <> 0.0
        |            THEN ${Num.rSql(
       "(CAST(agree AS DOUBLE) / n - CAST(a_i * b_i + a_j * b_j + a_t * b_t AS DOUBLE) / CAST(n * n AS DOUBLE)) / " +
@@ -333,9 +340,11 @@ object Preference {
       (lit(6L) * n).cast("double")
     val pe = (col("si") * col("si") + col("sj") * col("sj") +
       col("st") * col("st")).cast("double") / (lit(9L) * n * n).cast("double")
+    // same empty-corpus guard discipline as agreementOf (ADVICE r11)
     agg.select(n.as("n_items"),
-      Num.r(pbar, 6).as("p_bar"), Num.r(pe, 6).as("p_e"),
-      when(lit(1.0) - pe =!= 0.0,
+      when(n > 0L, Num.r(pbar, 6)).otherwise(1.0).as("p_bar"),
+      when(n > 0L, Num.r(pe, 6)).otherwise(1.0).as("p_e"),
+      when(n > 0L && lit(1.0) - pe =!= 0.0,
         Num.r((pbar - pe) / (lit(1.0) - pe), 6)).otherwise(1.0)
         .as("fleiss_kappa"))
   }
@@ -376,11 +385,13 @@ object Preference {
        |         CAST(sum(nt) AS BIGINT) AS st
        |  FROM counted)
        |SELECT n AS n_items,
-       |       ${Num.rSql(
-      "CAST(ssq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)", 6)} AS p_bar,
-       |       ${Num.rSql(
-      "CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE)", 6)} AS p_e,
-       |       CASE WHEN 1.0 - CAST(si * si + sj * sj + st * st AS DOUBLE)
+       |       CASE WHEN n > 0 THEN ${Num.rSql(
+      "CAST(ssq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)", 6)}
+       |            ELSE 1.0 END AS p_bar,
+       |       CASE WHEN n > 0 THEN ${Num.rSql(
+      "CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE)", 6)}
+       |            ELSE 1.0 END AS p_e,
+       |       CASE WHEN n > 0 AND 1.0 - CAST(si * si + sj * sj + st * st AS DOUBLE)
        |                        / CAST(9 * n * n AS DOUBLE) <> 0.0
        |            THEN ${Num.rSql(
       "(CAST(ssq - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE) - CAST(si * si + sj * sj + st * st AS DOUBLE) / CAST(9 * n * n AS DOUBLE)) / " +

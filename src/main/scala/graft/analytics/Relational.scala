@@ -318,15 +318,44 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
-  /** Approximate-distinct tier (A3/A7 at 100 TB): HLL++ sketches. No SQL
-    * oracle — sketch implementations differ across engines; accuracy is
-    * asserted against exact counts in RelationalSpec instead.
+  /** Tolerance of the published HLL contract: |approx − exact| must stay
+    * within 3σ of the requested rsd (0.02 → 6%), with an absolute floor
+    * of 5 for tiny groups where a one-off register collision dominates
+    * the relative bound. 3σ is the sketch's own confidence statement —
+    * a miss means the sketch is broken, not unlucky, at any data scale.
+    */
+  val HllRsd = 0.02
+  val HllRelBound = 0.06
+  val HllAbsBound = 5.0
+
+  /** Approximate-distinct tier (A3/A7 at 100 TB): HLL++ sketches. The
+    * raw estimate is engine-seeded (Spark's internal hashing), so it can
+    * never hash-match a DuckDB value — instead the PUBLISHED row carries
+    * the exact count plus `within_rsd`, the sketch's error CONTRACT
+    * evaluated in-engine (|approx − exact| ≤ max(3σ·exact, 5)). DuckDB
+    * computes the same exact count and asserts the contract as a TRUE
+    * literal: the row hash-matches iff Spark's sketch actually honored
+    * its bound — the contract itself became the oracle-checked value
+    * (VERDICT r11 Next #2). The exact countDistinct column is the
+    * verification harness; the production 100 TB path publishes the
+    * sketch alone (the exact tier is the thing being replaced).
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          greatest(lit(HllRelBound) * col("exact_users").cast("double"),
+            lit(HllAbsBound))).as("within_rsd"))
+
+  val approxDistinctSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_rsd
+      |FROM events GROUP BY event_type""".stripMargin
 
   // ---- RFM segmentation ----
 
@@ -1330,6 +1359,7 @@ object Relational {
     "q_revenue_pareto" -> revenueParetoSql,
     "q_basket_pairs" -> basketPairsSql,
     "q_rollup_revenue" -> rollupRevenueSql,
+    "q_approx_distinct" -> approxDistinctSql,
     "q_session_kpis" -> sessionKpisSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q_top_customers" -> topCustomersSql,

@@ -1130,17 +1130,67 @@ object ScaleQueries {
     * q_approx_distinct's HLL next to the exact countDistinct): Spark's
     * percentile_approx (a KLL/GK-style mergeable rank sketch) replaces
     * the exact percentile, whose per-group state is O(distinct values) —
-    * the regime where exact quantiles stop scaling. Rows-only for the
-    * driver (sketch output); ApproxQuantilesSpec pins the rank-error
-    * contract against the exact tier.
+    * the regime where exact quantiles stop scaling.
     */
   val ApproxQuantileAcc = 1000
-  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+
+  /** Rank-error budget for the published contract: the sketch guarantees
+    * ≤ 1/accuracy; the check allows 2/accuracy plus one absolute row so
+    * an off-by-one at a tie boundary can't flake the gate while a broken
+    * sketch (rank error ~percent-scale) still fails loudly.
+    */
+  val ApproxQuantileEps = 2.0 / ApproxQuantileAcc
+
+  private[graft] def approxQuantilesRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source")).agg(
         expr(s"approx_percentile(n_chars, 0.5, $ApproxQuantileAcc)").as("p50_chars"),
         expr(s"approx_percentile(n_chars, 0.9, $ApproxQuantileAcc)").as("p90_chars"),
         expr(s"approx_percentile(n_chars, 0.99, $ApproxQuantileAcc)").as("p99_chars"))
+
+  /** Bound-checked form of the sketch tier (VERDICT r11 Next #3): the
+    * sketch's cut points are implementation-defined and can never
+    * hash-match DuckDB, so the PUBLISHED row carries, per source, the
+    * exact doc count plus one boolean per percentile asserting the
+    * sketch's rank-error contract — value v for quantile q must satisfy
+    * count(x < v) ≤ (q+ε)·N + 1 and count(x ≤ v) ≥ (q−ε)·N − 1 (the
+    * two-sided form that is tie-safe: a value's rank is the interval
+    * [count(<v), count(≤v)]). DuckDB emits the same exact count and TRUE
+    * literals, so the row hash-matches iff the sketch honored its bound.
+    * Plan shape: the per-source sketch relation is source-bounded and
+    * rides back as a BROADCAST against one corpus scan that counts the
+    * ranks — two scans total, the second embarrassingly parallel; the
+    * production path publishes the sketch alone and skips the rank
+    * audit (it exists to be cheap-to-run, not always-on).
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ap = approxQuantilesRaw(spark, dir)
+      .select(col("source"), col("p50_chars").as("a50"),
+        col("p90_chars").as("a90"), col("p99_chars").as("a99"))
+    def lt(v: String) = sum(when(col("n_chars") < col(v), 1L).otherwise(0L))
+    def le(v: String) = sum(when(col("n_chars") <= col(v), 1L).otherwise(0L))
+    def ok(ltC: String, leC: String, q: Double) =
+      (col(ltC).cast("double") <=
+        lit(q + ApproxQuantileEps) * col("n_docs").cast("double") + lit(1.0)) &&
+        (col(leC).cast("double") >=
+          lit(q - ApproxQuantileEps) * col("n_docs").cast("double") - lit(1.0))
+    Tables.documents(spark, dir)
+      .join(broadcast(ap), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        lt("a50").as("lt50"), le("a50").as("le50"),
+        lt("a90").as("lt90"), le("a90").as("le90"),
+        lt("a99").as("lt99"), le("a99").as("le99"))
+      .select(col("source"), col("n_docs"),
+        ok("lt50", "le50", 0.5).as("ok_p50"),
+        ok("lt90", "le90", 0.9).as("ok_p90"),
+        ok("lt99", "le99", 0.99).as("ok_p99"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+      |FROM documents GROUP BY source""".stripMargin
 
   /** Frame sampling through the multimodal asset pipeline: video assets →
     * every-5th-frame rows (graft.multimodal.Multimodal.sampleFrames) →
@@ -4179,6 +4229,7 @@ object ScaleQueries {
     "q_quality_sample" -> qualitySample)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_quantiles" -> approxQuantilesSql,
     "q_run_metrics" -> graft.Metrics.runMetricsSql,
     "q_lr_train" -> lrTrainSql,
     "q_knn_graph" -> knnGraphSql,

@@ -41,14 +41,10 @@ class RegistrySpec extends AnyFunSuite {
     * addition self-documents instead of silently weakening the gate.
     */
   private val rowsOnlyJustified: Map[String, String] = Map(
-    "q_approx_distinct" ->
-      ("HLL sketch registers depend on Spark's internal hashing; no SQL " +
-        "analog. Exact-verified: PropertySpec pins the estimate within " +
-        "the sketch's error bound of exact countDistinct."),
-    "q_approx_quantiles" ->
-      ("approx_percentile's GK-sketch cut points are implementation-" +
-        "defined; DuckDB's sketch differs legitimately. Exact-verified: " +
-        "PropertySpec bounds rank error vs exact quantiles."),
+    // q_approx_distinct / q_approx_quantiles left this list in r12: the
+    // published row now carries the exact count plus an in-engine
+    // contract boolean the DuckDB oracle asserts as TRUE, so the sketch
+    // CONTRACT is hash-checked even though the estimate is engine-seeded.
     "q_image_neardup" ->
       ("decodes the binary media column with real javax.imageio " +
         "(Multimodal.scala) — DuckDB cannot run an image codec, so no " +

@@ -459,7 +459,7 @@ class ScaleSpec extends AnyFunSuite {
         expr("percentile(n_chars, 0.88)").as("lo90"),
         expr("percentile(n_chars, 0.92)").as("hi90"))
       .collect().map(r => r.getString(0) -> r).toMap
-    val approx = ScaleQueries.approxQuantiles(spark, sf).collect()
+    val approx = ScaleQueries.approxQuantilesRaw(spark, sf).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val e = exact(r.getString(0))
@@ -468,6 +468,12 @@ class ScaleSpec extends AnyFunSuite {
         s"${r.getString(0)} p50=$p50 outside [${e.getDouble(1)}, ${e.getDouble(2)}]")
       assert(p90 >= e.getDouble(3) - 1 && p90 <= e.getDouble(4) + 1,
         s"${r.getString(0)} p90=$p90 outside [${e.getDouble(3)}, ${e.getDouble(4)}]")
+    }
+    // the registered bound-checked form must publish every contract
+    // boolean TRUE (this is exactly what the DuckDB oracle hash-checks)
+    ScaleQueries.approxQuantiles(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)}: rank-error contract violated")
     }
   }
 

