@@ -58,7 +58,13 @@ object Preference {
     * decisive game: (player, games, wins, rating), rating normalized to
     * mean 1.0 over rated players.
     */
-  def btRatingOf(gd: DataFrame): DataFrame = {
+  /** The shared MM fixed point: symmetrized game graph (persisted — the
+    * caller unpersists), per-player win/game totals, and the converged
+    * strength relation (i, p). Split out so the SE audit
+    * ([[btRatingSeOf]]) evaluates its Fisher information at the SAME
+    * fixed point the published ratings come from.
+    */
+  private def btFit(gd: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // Symmetrize so "opponents of i" is one equi-join: each unordered
     // pair contributes a row in both directions. Edge-sized (bounded by
     // co-occurring pairs, not players²) — persisted once for the loop,
@@ -82,10 +88,60 @@ object Preference {
         .select(col("i"), Num.r((col("wins") + lit(0.5)) / col("den"), 9).as("p"))
         .localCheckpoint()
     }
+    (sym, pl, r)
+  }
+
+  def btRatingOf(gd: DataFrame): DataFrame = {
+    val (sym, pl, r) = btFit(gd)
     val mean = r.agg((Num.r(sum(col("p")), 6) / count(lit(1))).as("mp"))
     val out = r.join(pl, "i").crossJoin(broadcast(mean))
       .select(col("i").as("player"), col("games"), col("wins"),
         Num.r(col("p") / col("mp"), 6).as("rating"))
+      .localCheckpoint()
+    sym.unpersist()
+    out
+  }
+
+  /** Ratings WITH per-player standard errors — the uncertainty leg the
+    * r11 verdict flagged as missing from the preference tier: a BT
+    * board published without SEs invites over-reading sparsely-played
+    * players exactly like a win rate without its Wilson interval. The
+    * SE is the diagonal-Fisher approximation at the MM fixed point: the
+    * observed information for strength pᵢ is
+    *
+    *   I_ii = −∂²ℓ/∂pᵢ² = Wᵢ/pᵢ² − Σ_j n_ij/(pᵢ+pⱼ)²
+    *
+    * (Hunter 2004 §3 — the same n/(pᵢ+pⱼ) terms the MM update already
+    * joins for), so SE(pᵢ) = 1/√I_ii, divided by the same mean the
+    * rating is normalized by. One extra Θ(edges) join-aggregate over
+    * the persisted game graph — no corpus rescans, broadcast ratings,
+    * exactly the MM round's shape. Published `se` is NULL when the
+    * curvature is non-positive (a winless player's likelihood has no
+    * interior maximum in pᵢ — the SE is genuinely undefined there, and
+    * both engines compare identical doubles so the NULL set matches).
+    * Cross-engine: the per-edge sum snaps at 1e-9 (Num grid rule);
+    * info and the final sqrt/divide are IEEE ops on identical inputs.
+    */
+  def btRatingSeOf(gd: DataFrame): DataFrame = {
+    val (sym, pl, r) = btFit(gd)
+    val s2 = sym
+      .join(broadcast(r.select(col("i"), col("p").as("pi"))), "i")
+      .join(broadcast(r.select(col("i").as("j"), col("p").as("pj"))), "j")
+      .groupBy(col("i"))
+      .agg(Num.r(sum(col("n") / ((col("pi") + col("pj")) *
+        (col("pi") + col("pj")))), 9).as("s2"))
+    val mean = r.agg((Num.r(sum(col("p")), 6) / count(lit(1))).as("mp"))
+    val info = col("wins").cast("double") / (col("p") * col("p")) - col("s2")
+    val out = r.join(pl, "i").join(s2, "i").crossJoin(broadcast(mean))
+      .select(col("i").as("player"), col("games"), col("wins"),
+        Num.r(col("p") / col("mp"), 6).as("rating"),
+        // strictly-positive floor (not just > 0): a curvature under 1e-6
+        // would publish an SE in the 1e3+ range where the 1e-6 display
+        // snap's long-floor could saturate differently across engines
+        // (the q_acf overflow class) — and such an SE is statistically
+        // meaningless anyway. Identical literal in the oracle.
+        when(info > 1.0e-6,
+          Num.r(sqrt(lit(1.0) / info) / col("mp"), 6)).as("se"))
       .localCheckpoint()
     sym.unpersist()
     out
@@ -140,7 +196,16 @@ object Preference {
   def btRating(spark: SparkSession, dir: String): DataFrame =
     btRatingOf(supplierGames(spark, dir)).withColumnRenamed("player", "s_suppkey")
 
-  val btRatingSql: String = {
+  def btRatingSe(spark: SparkSession, dir: String): DataFrame =
+    btRatingSeOf(supplierGames(spark, dir)).withColumnRenamed("player", "s_suppkey")
+
+  /** Shared CTE prefix of the BT oracle family: offers → game graph →
+    * symmetrized edges → player totals → the unrolled MM loop → the
+    * normalization mean. Both [[btRatingSql]] and [[btRatingSeSql]]
+    * append their own final select, so the fixed point is textually
+    * identical across the family (the cross-engine fp rule).
+    */
+  private val btCtes: String = {
     val iters = (1 to BtIters).map { k =>
       val prev = s"bt${k - 1}"
       s"""dd$k AS (
@@ -169,10 +234,31 @@ object Preference {
        |         CAST(sum(n) AS BIGINT) AS games FROM sym GROUP BY 1),
        |bt0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM pl),
        |$iters,
-       |mean AS (SELECT ${Num.rSql("sum(p)", 6)} / count(*) AS mp FROM bt$BtIters)
+       |mean AS (SELECT ${Num.rSql("sum(p)", 6)} / count(*) AS mp FROM bt$BtIters)""".stripMargin
+  }
+
+  val btRatingSql: String =
+    s"""$btCtes
        |SELECT b.i AS s_suppkey, pl.games, pl.wins,
        |       ${Num.rSql("b.p / mean.mp", 6)} AS rating
        |FROM bt$BtIters b JOIN pl ON b.i = pl.i CROSS JOIN mean""".stripMargin
+
+  val btRatingSeSql: String = {
+    val info = s"CAST(pl.wins AS DOUBLE) / (b.p * b.p) - s2.s2"
+    s"""$btCtes,
+       |s2 AS (
+       |  SELECT sym.i, ${Num.rSql(
+      "sum(sym.n / ((pi.p + pj.p) * (pi.p + pj.p)))", 9)} AS s2
+       |  FROM sym JOIN bt$BtIters pi ON sym.i = pi.i
+       |  JOIN bt$BtIters pj ON sym.j = pj.i
+       |  GROUP BY 1)
+       |SELECT b.i AS s_suppkey, pl.games, pl.wins,
+       |       ${Num.rSql("b.p / mean.mp", 6)} AS rating,
+       |       CASE WHEN $info > 1e-6
+       |            THEN ${Num.rSql(s"sqrt(1.0 / ($info)) / mean.mp", 6)}
+       |       END AS se
+       |FROM bt$BtIters b JOIN pl ON b.i = pl.i JOIN s2 ON b.i = s2.i
+       |CROSS JOIN mean""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -466,6 +552,109 @@ object Preference {
   }
 
   // ---------------------------------------------------------------------
+  // Magnitude-bias audit: win rate vs offer-magnitude delta buckets.
+  // ---------------------------------------------------------------------
+
+  /** Bucket width (in quantity units) for the magnitude-delta histogram.
+    * Fixed literal buckets are the honest scale answer (the RFM cut
+    * rule): quantity lives on a bounded grid (1–50 per line, ≤ 7 lines)
+    * so |Δ| spans ~0–350 and ten width-5 buckets with a top catch-all
+    * cover the mass at every swept scale; quantile-derived deciles would
+    * add a corpus-wide sort for no audit value.
+    */
+  val MagBucketWidth = 5.0
+  val MagBucketMax = 9L
+
+  /** Verbosity/magnitude-bias audit — the standard RLHF annotation check
+    * next to rater agreement: does the judged winner correlate with a
+    * superficial magnitude attribute (response LENGTH in preference
+    * data; here the supplier's total offered QUANTITY, the direct
+    * analog) rather than the judged criterion alone? For every decisive
+    * pair item, the item lands in a |Δmagnitude| bucket and scores
+    * whether the HIGHER-magnitude side won; per bucket the win rate gets
+    * the same Wilson interval as q_pair_winrate_ci (identical z²
+    * literal), and `biased` marks buckets whose interval excludes 0.5.
+    * A flat ~0.5 profile = magnitude-blind judging; a profile that
+    * drifts with Δ = the bias a reward model would inherit.
+    *
+    * Scale shape: the offers collapse + pair join is the family's one
+    * corpus-sized stage (same as [[supplierGames]]); everything after is
+    * a ≤ 10-row aggregate. Determinism: quantities are integer-valued
+    * doubles so sums, deltas and the bucket floor are exact in both
+    * engines; the win indicator compares the identical IEEE minima the
+    * other family members compare.
+    */
+  def magnitudeBias(spark: SparkSession, dir: String): DataFrame =
+    magnitudeBiasOf(Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+        col("l_quantity")).as("c"),
+        sum(col("l_quantity")).as("m")))
+
+  /** The audit over any per-(item, candidate) offer relation
+    * `(o, s, c, m)` — split out so PreferenceSpec can pin hand-built
+    * biased and magnitude-blind fixtures.
+    */
+  def magnitudeBiasOf(offers: DataFrame): DataFrame = {
+    val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"),
+      col("m").as("mi"))
+    val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"),
+      col("m").as("mj"))
+    val items = a.join(b, Seq("o"))
+      .filter(col("i") < col("j") && col("ci") =!= col("cj") &&
+        col("mi") =!= col("mj"))
+      .select(
+        least(floor(abs(col("mi") - col("mj")) / lit(MagBucketWidth)),
+          lit(MagBucketMax)).as("bucket"),
+        when((col("ci") < col("cj")) === (col("mi") > col("mj")), 1L)
+          .otherwise(0L).as("hw"))
+    val agg = items.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_games"), sum(col("hw")).as("n_higher_wins"))
+    val z2 = lit(CorpusQueries.WilsonZ2)
+    val p = col("n_higher_wins").cast("double") / col("n_games")
+    val denom = lit(1.0) + z2 / col("n_games")
+    val center = (p + z2 / (lit(2.0) * col("n_games"))) / denom
+    val half = sqrt(p * (lit(1.0) - p) / col("n_games") +
+      z2 / (lit(4.0) * col("n_games") * col("n_games"))) * sqrt(z2) / denom
+    agg.select(col("bucket"), col("n_games"), col("n_higher_wins"),
+        Num.r(p, 6).as("win_rate_higher"),
+        Num.r(center - half, 6).as("ci_lo"),
+        Num.r(center + half, 6).as("ci_hi"))
+      .withColumn("biased", col("ci_lo") > 0.5 || col("ci_hi") < 0.5)
+  }
+
+  val magnitudeBiasSql: String = {
+    val z2 = CorpusQueries.WilsonZ2.toString
+    val p = "CAST(n_higher_wins AS DOUBLE) / n_games"
+    val center = s"(($p + $z2 / (2.0 * n_games)) / (1.0 + $z2 / n_games))"
+    val half = s"(sqrt($p * (1.0 - $p) / n_games + $z2 / (4.0 * n_games * n_games)) * sqrt($z2) / (1.0 + $z2 / n_games))"
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS c,
+       |         sum(l_quantity) AS m
+       |  FROM lineitem GROUP BY 1, 2),
+       |items AS (
+       |  SELECT least(CAST(floor(abs(a.m - b.m) / $MagBucketWidth) AS BIGINT),
+       |               $MagBucketMax) AS bucket,
+       |         CASE WHEN (a.c < b.c) = (a.m > b.m) THEN 1 ELSE 0 END AS hw
+       |  FROM offers a JOIN offers b
+       |    ON a.o = b.o AND a.s < b.s AND a.c <> b.c AND a.m <> b.m),
+       |agg AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_games,
+       |         CAST(sum(hw) AS BIGINT) AS n_higher_wins
+       |  FROM items GROUP BY 1),
+       |ci AS (
+       |  SELECT bucket, n_games, n_higher_wins,
+       |         ${Num.rSql(p, 6)} AS win_rate_higher,
+       |         ${Num.rSql(s"$center - $half", 6)} AS ci_lo,
+       |         ${Num.rSql(s"$center + $half", 6)} AS ci_hi
+       |  FROM agg)
+       |SELECT bucket, n_games, n_higher_wins, win_rate_higher, ci_lo, ci_hi,
+       |       (ci_lo > 0.5 OR ci_hi < 0.5) AS biased
+       |FROM ci""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Tournament transitivity: cyclic-triad rate of the majority digraph.
   // ---------------------------------------------------------------------
 
@@ -580,15 +769,19 @@ object Preference {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bt_rating" -> btRating,
+    "q_bt_rating_se" -> btRatingSe,
     "q_rater_agreement" -> raterAgreement,
     "q_fleiss_kappa" -> fleissKappa,
     "q_pair_winrate_ci" -> pairWinrateCi,
+    "q_magnitude_bias" -> magnitudeBias,
     "q_bt_transitivity" -> btTransitivity)
 
   val oracles: Map[String, String] = Map(
     "q_bt_rating" -> btRatingSql,
+    "q_bt_rating_se" -> btRatingSeSql,
     "q_rater_agreement" -> raterAgreementSql,
     "q_fleiss_kappa" -> fleissKappaSql,
     "q_pair_winrate_ci" -> pairWinrateCiSql,
+    "q_magnitude_bias" -> magnitudeBiasSql,
     "q_bt_transitivity" -> btTransitivitySql)
 }

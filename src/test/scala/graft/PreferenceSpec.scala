@@ -155,6 +155,58 @@ class PreferenceSpec extends AnyFunSuite {
       set(Preference.pairWinrateCi(spark, sf)))
   }
 
+  test("rating SEs: symmetry, games-monotonicity, and the winless NULL") {
+    // symmetric 2-player tournament: at the fixed point both strengths
+    // are equal, so info = W/p² − n/(2p)² = (5 − 2.5)/p² and the
+    // normalized SE is 1/sqrt(2.5) = 0.6324555… up to display snapping
+    val sym = Preference.btRatingSeOf(
+        Seq((1L, 2L, 10L, 5L)).toDF("i", "j", "n", "w"))
+      .select("player", "rating", "se").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sym(1L)._1 == 1.0 && sym(2L)._1 == 1.0)
+    assert(sym(1L)._2 == sym(2L)._2, "symmetric players must share an SE")
+    assert(math.abs(sym(1L)._2 - 0.6324555) < 1e-5, s"se ${sym(1L)._2}")
+    // 10× the games at the same win rate → strictly tighter SEs
+    val big = Preference.btRatingSeOf(
+        Seq((1L, 2L, 100L, 50L)).toDF("i", "j", "n", "w"))
+      .select("se").as[Double].collect()
+    assert(big.forall(_ < sym(1L)._2), "more games must shrink the SE")
+    // a winless player's likelihood has no interior maximum: se is NULL
+    val skew = Preference.btRatingSeOf(
+        Seq((1L, 2L, 5L, 5L)).toDF("i", "j", "n", "w"))
+      .select("player", "se").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(skew(1L).isDefined && skew(2L).isEmpty)
+  }
+
+  test("magnitude bias fixtures: a biased judge flags, a blind judge does not") {
+    // 20 items where the higher-quantity offer ALWAYS wins (cheaper c),
+    // |Δm| = 5 → bucket 1; plus one magnitude-tie item that must drop
+    val biased = (1 to 20).flatMap(o => Seq((o.toLong, 1L, 1.0, 10.0),
+        (o.toLong, 2L, 2.0, 5.0))) ++
+      Seq((21L, 1L, 1.0, 7.0), (21L, 2L, 2.0, 7.0))
+    val rb = Preference.magnitudeBiasOf(
+      biased.toDF("o", "s", "c", "m")).collect()
+    assert(rb.length == 1)
+    assert(rb.head.getLong(0) == 1L && rb.head.getLong(1) == 20L)
+    assert(rb.head.getDouble(3) == 1.0 && rb.head.getBoolean(6),
+      "uniform higher-magnitude wins must flag as biased")
+    // alternating winners at the same |Δm|: rate 0.5, interval spans 0.5
+    val blind = (1 to 20).flatMap { o =>
+      val (cLo, cHi) = if (o % 2 == 0) (1.0, 2.0) else (2.0, 1.0)
+      Seq((o.toLong, 1L, cLo, 10.0), (o.toLong, 2L, cHi, 5.0))
+    }
+    val rn = Preference.magnitudeBiasOf(
+      blind.toDF("o", "s", "c", "m")).collect()
+    assert(rn.length == 1 && rn.head.getDouble(3) == 0.5 &&
+      !rn.head.getBoolean(6))
+    // the catch-all bucket: |Δm| = 60 lands in bucket 9, not 12
+    val far = Preference.magnitudeBiasOf(
+      Seq((1L, 1L, 1.0, 70.0), (1L, 2L, 2.0, 10.0)).toDF("o", "s", "c", "m"))
+      .collect()
+    assert(far.head.getLong(0) == 9L)
+  }
+
   test("registered wiring: per-player bookkeeping matches the pair stream") {
     val out = Preference.btRating(spark, sf)
     val agg = out.agg(sum("wins").as("w"), sum("games").as("g"),
