@@ -39,18 +39,31 @@ object Forecast {
   /** Holt linear smoothing: level/trend state per day plus the one-step
     * forecast. Initialization: l₁ = y₁, b₁ = 0.
     *
-    * Cost bound (the SlidingAgg-style note): the `acc || array(...)`
-    * append re-copies the accumulator per step, so the fold is O(n²) in
-    * n = rows of the DAY GRID — a calendar-bounded dimension (~2.4k days
-    * across the TPC-H date span; ~36k for a century), never the corpus,
-    * which was already collapsed by the dailyRevenue aggregate. At the
-    * century bound that is ~6·10⁸ tiny struct copies in one task —
-    * still sub-second-scale and independent of fact-table size; the
-    * recurrence itself is nonlinear state with no prefix-sum
-    * decomposition, so a wider-than-calendar grid is the signal to
-    * revisit, not data volume. ForecastSpec pins the fold against a
-    * driver-side sequential evaluation of the same recurrence. */
+    * The recurrence is nonlinear state (the per-step 1e-9 snap breaks
+    * the affine-scan decomposition deliberately — it is the cross-engine
+    * determinism contract), so it runs sequentially over the collected
+    * DAY GRID — a calendar-bounded dimension (~2.4k days across the
+    * TPC-H date span; ~36k for a century), never the corpus, which was
+    * already collapsed by the dailyRevenue aggregate. Since r12 the fold
+    * is [[graft.scale.SeqFold.HoltFoldExpr]] — a Catalyst expression
+    * running the identical recurrence as an O(grid) Scala loop; the
+    * original HOF form ([[holtForecastHof]]) re-copied the accumulator
+    * array per step (O(grid²) churn in ArrayAggregate's interpreted
+    * path) and stays only as ForecastSpec's equality pin.
+    */
   def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    dailyRevenue(spark, dir)
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("a"))
+      .select(explode(
+        graft.scale.SeqFold.holtFold(col("a"), HoltAlpha, HoltBeta)).as("r"))
+      .select(col("r.day").as("day"), col("r.y").as("y"),
+        col("r.l").as("level"), col("r.b").as("trend"),
+        Num.r(col("r.l") + col("r.b"), 2).as("forecast_next"))
+
+  /** The original HOF fold — kept (unregistered) as the differential
+    * baseline ForecastSpec pins [[holtForecast]] bit-identical against.
+    */
+  private[graft] def holtForecastHof(spark: SparkSession, dir: String): DataFrame =
     dailyRevenue(spark, dir)
       .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("a"))
       .select(explode(expr(
@@ -166,20 +179,47 @@ object Forecast {
     * exists; slots align to the dense calendar (slot = (i−1) mod 7 + 1),
     * which is why the series must be gap-filled first.
     *
-    * Same scale stance and O(grid²) fold bound as [[holtForecast]] (the
-    * recurrence is nonlinear state over the calendar-bounded grid; the
-    * corpus was already collapsed by the daily aggregate and the fill is
-    * one sequence span). Level/trend/seasonal all re-snap at 1e-9 per
-    * step, so both engines iterate bit-identical doubles; the oracle is
-    * the same recursive CTE shape carrying the 7-slot seasonal list
+    * Same scale stance as [[holtForecast]] (the recurrence is nonlinear
+    * state over the calendar-bounded grid; the corpus was already
+    * collapsed by the daily aggregate and the fill is one sequence
+    * span). Level/trend/seasonal all re-snap at 1e-9 per step, so both
+    * engines iterate bit-identical doubles; the oracle is the same
+    * recursive CTE shape carrying the 7-slot seasonal list
     * (indexed-lambda update, 1-based like the Spark side's j + 1).
+    * Since r12 the fold is
+    * [[graft.scale.SeqFold.HoltWintersFoldExpr]] (O(grid) Scala loop);
+    * the HOF form stays as [[holtWintersHof]] for the spec pin.
     */
   def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val folded = hwGrid(spark, dir)
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("a"))
+      .select(explode(graft.scale.SeqFold.holtWintersFold(
+        col("a"), HwAlpha, HwBeta, HwGamma)).as("r"))
+    hwSelect(folded)
+  }
+
+  private def hwGrid(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyRevenue(spark, dir).localCheckpoint()
-    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
       .join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("y"), lit(0.0)).as("y"))
+  }
+
+  private def hwSelect(folded: DataFrame): DataFrame =
+    folded.select(col("r.day").as("day"), col("r.y").as("y"),
+      col("r.l").as("level"), col("r.b").as("trend"),
+      element_at(col("r.s"), ((col("r.i") - lit(1)) % lit(7)) + lit(1))
+        .as("seasonal"),
+      Num.r(col("r.l") + col("r.b") +
+        element_at(col("r.s"), (col("r.i") % lit(7)) + lit(1)), 2)
+        .as("forecast_next"))
+
+  /** The original HOF fold — kept (unregistered) as the differential
+    * baseline ForecastSpec pins [[holtWinters]] bit-identical against.
+    */
+  private[graft] def holtWintersHof(spark: SparkSession, dir: String): DataFrame = {
+    val grid = hwGrid(spark, dir)
     val prev = "element_at(acc, size(acc))"
     val kEx = s"(($prev.i) % 7) + 1"
     val sPrev = s"element_at($prev.s, $kEx)"
@@ -203,13 +243,7 @@ object Forecast {
            |      's', transform($prev.s, (v, j) ->
            |        CASE WHEN j + 1 = $kEx THEN $sNew ELSE v END)) END),
            |  acc -> acc)""".stripMargin)).as("r"))
-    folded.select(col("r.day").as("day"), col("r.y").as("y"),
-      col("r.l").as("level"), col("r.b").as("trend"),
-      element_at(col("r.s"), ((col("r.i") - lit(1)) % lit(7)) + lit(1))
-        .as("seasonal"),
-      Num.r(col("r.l") + col("r.b") +
-        element_at(col("r.s"), (col("r.i") % lit(7)) + lit(1)), 2)
-        .as("forecast_next"))
+    hwSelect(folded)
   }
 
   val holtWintersSql: String = {

@@ -684,6 +684,14 @@ object ABBench {
       time(s"pref_winci_artifact_$i") {
         analytics.Preference.pairWinrateCiOf(
           spark.read.parquet("/tmp/pref_games_ab")).count() }
+      // r12 linear-state exponential-smoothing folds (VERDICT r11 #5):
+      // the `acc || array(...)` HOF fold (O(grid²) interpreted churn in
+      // ArrayAggregate) vs the SeqFold Catalyst expression (O(grid)
+      // Scala loop). Output bit-identical by ForecastSpec's pin.
+      time(s"holt_hof_$i") { analytics.Forecast.holtForecastHof(spark, sfDir).count() }
+      time(s"holt_fold_$i") { analytics.Forecast.holtForecast(spark, sfDir).count() }
+      time(s"hw_hof_$i") { analytics.Forecast.holtWintersHof(spark, sfDir).count() }
+      time(s"hw_fold_$i") { analytics.Forecast.holtWinters(spark, sfDir).count() }
     }
     spark.stop()
   }

@@ -73,6 +73,17 @@ class ForecastSpec extends AnyFunSuite {
     days.sliding(2).foreach(p => assert(p(1) == p(0).plusDays(1)))
   }
 
+  test("SeqFold expressions are bit-identical to the original HOF folds") {
+    // the r12 linear-state rewrite must not move a single ulp: the HOF
+    // forms stay unregistered as the differential baseline
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("day")).collect().map(_.toSeq).toSeq
+    assert(rows(Forecast.holtForecast(spark, sf)) ==
+      rows(Forecast.holtForecastHof(spark, sf)))
+    assert(rows(Forecast.holtWinters(spark, sf)) ==
+      rows(Forecast.holtWintersHof(spark, sf)))
+  }
+
   test("acf values are in [-1, 1] and lags are exactly 1..7") {
     val rows = Forecast.acf(spark, sf)
       .select("lag", "acf").collect()
