@@ -107,51 +107,67 @@ object Bench {
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.currentTimeMillis())
     val rng = new scala.util.Random(seed)
-    val timings: Seq[(String, Seq[Either[String, Double]])] =
+    // Warm-rep hygiene (r9 "what's wrong" #3): localCheckpoint RDDs
+    // from a completed rep are freed only when the driver GC enqueues
+    // their weak refs and the ContextCleaner drains them — with a
+    // pre-touched 24g heap GC may not fire for minutes, so a warm rep
+    // of a checkpoint-heavy query (CC loops, LSH families) could run
+    // AGAINST the cold rep's lingering blocks and exceed cold
+    // in-JVM. An explicit GC + a short cleaner drain between reps
+    // sits OUTSIDE both timings and makes the warm column mean warm.
+    def reapBetweenReps(): Unit = {
+      System.gc()
+      Thread.sleep(250)
+    }
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Seq[Either[String, Double]]) = {
+      val cold = timed(fn)
+      val rest0 = if (cold.isRight) (2 to reps).map { _ =>
+        reapBetweenReps(); timed(fn)
+      } else Nil
+      // Self-exonerating warm column on the heavy tail (cold > 5 s):
+      // a SINGLE warm sample can land inside a host-noise window and
+      // read as warm>cold — two r10 sf10 anomalies (q_triangle_count
+      // 236.9 warm vs 154.2 cold, q_containment_lsh 92.2 vs 76.4)
+      // each needed a manual multi-rep re-run to exonerate. Guarantee
+      // ≥2 warm samples for heavy queries so min-warm absorbs one
+      // noise window; cheap queries keep the configured reps.
+      val extraWarm = cold match {
+        case Right(v) if v > 5.0 => (2 - rest0.count(_.isRight)).max(0)
+        case _ => 0
+      }
+      val rest = rest0 ++ (1 to extraWarm).map { _ =>
+        reapBetweenReps(); timed(fn)
+      }
+      // Incremental per-query line: a run killed or crashed mid-sweep
+      // keeps every completed timing in the log (the aggregate JSON is
+      // only written at the end). One line per query, greppable.
+      val shown = (cold +: rest).map {
+        case Right(v) => f"$v%.3f"
+        case Left(e) => s"err:$e"
+      }.mkString(" ")
+      println(s"[bench] $name $shown")
+      name -> (cold +: rest)
+    }
+    val registryTimings: Seq[(String, Seq[Either[String, Double]])] =
       rng.shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
         .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
         .filter { case (name, _) => !skip.contains(name) }
-        .map { case (name, fn) =>
-        // Warm-rep hygiene (r9 "what's wrong" #3): localCheckpoint RDDs
-        // from a completed rep are freed only when the driver GC enqueues
-        // their weak refs and the ContextCleaner drains them — with a
-        // pre-touched 24g heap GC may not fire for minutes, so a warm rep
-        // of a checkpoint-heavy query (CC loops, LSH families) could run
-        // AGAINST the cold rep's lingering blocks and exceed cold
-        // in-JVM. An explicit GC + a short cleaner drain between reps
-        // sits OUTSIDE both timings and makes the warm column mean warm.
-        def reapBetweenReps(): Unit = {
-          System.gc()
-          Thread.sleep(250)
-        }
-        val cold = timed(fn)
-        val rest0 = if (cold.isRight) (2 to reps).map { _ =>
-          reapBetweenReps(); timed(fn)
-        } else Nil
-        // Self-exonerating warm column on the heavy tail (cold > 5 s):
-        // a SINGLE warm sample can land inside a host-noise window and
-        // read as warm>cold — two r10 sf10 anomalies (q_triangle_count
-        // 236.9 warm vs 154.2 cold, q_containment_lsh 92.2 vs 76.4)
-        // each needed a manual multi-rep re-run to exonerate. Guarantee
-        // ≥2 warm samples for heavy queries so min-warm absorbs one
-        // noise window; cheap queries keep the configured reps.
-        val extraWarm = cold match {
-          case Right(v) if v > 5.0 => (2 - rest0.count(_.isRight)).max(0)
-          case _ => 0
-        }
-        val rest = rest0 ++ (1 to extraWarm).map { _ =>
-          reapBetweenReps(); timed(fn)
-        }
-        // Incremental per-query line: a run killed or crashed mid-sweep
-        // keeps every completed timing in the log (the aggregate JSON is
-        // only written at the end). One line per query, greppable.
-        val shown = (cold +: rest).map {
-          case Right(v) => f"$v%.3f"
-          case Left(e) => s"err:$e"
-        }.mkString(" ")
-        println(s"[bench] $name $shown")
-        name -> (cold +: rest)
-      }
+        .map { case (name, fn) => runOne(name, fn) }
+    // Artifact arm (VERDICT r11 #1): the production-topology rows —
+    // build each shared artifact once (its cost is a row), then the
+    // Θ(artifact) consumer forms. Runs AFTER the shuffled registry
+    // sweep, in declaration order (builds precede consumers — run order
+    // is semantic here, so no seed shuffle). Same only/skip filters so
+    // targeted stress runs stay targeted.
+    val artBase = sys.env.getOrElse("SPARK_GRAFT_ART_DIR", "/tmp/graft_bench_artifacts")
+    val artifactTimings: Seq[(String, Seq[Either[String, Double]])] =
+      Artifacts.phases(artBase)
+        .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+        .filter { case (name, _) => !skip.contains(name) }
+        .map { case (name, fn) => runOne(name, fn) }
+    val timings = registryTimings ++ artifactTimings
     // Artifact order is sorted by name regardless of run order — the
     // cross-round diff should not churn on the shuffle.
     val results: Seq[(String, Either[String, Double])] =
