@@ -459,8 +459,24 @@ object Streams {
   val EloStart = 1000.0
 
   case class EloP(games: Long, rating: Double)
-  case class EloBoard(players: Map[Long, EloP])
+
+  /** Carried state: the rating board plus the event-time high-water mark
+    * and a cumulative late-game counter (ADVICE r11: the fold sorts only
+    * WITHIN a micro-batch, so a game arriving below the carried maxUs is
+    * folded out of global order — that divergence from the batch replay
+    * must be detectable, not silent).
+    */
+  case class EloBoard(players: Map[Long, EloP],
+      maxUs: Long = Long.MinValue, late: Long = 0L)
   case class EloRow(player: Long, games: Long, rating: Double)
+
+  /** Sentinel player id under which [[eloStream]] reports out-of-order
+    * input: when a batch contains games below the carried event-time
+    * high-water mark, the batch emits one extra row
+    * `(EloLatePlayer, cumulative late count, 0.0)`. Consumers of the
+    * leaderboard filter `player >= 0`; monitors alert on the sentinel.
+    */
+  val EloLatePlayer = -1L
 
   /** One sequential Elo pass: winner gains K·(1−E_w), loser loses the
     * same, E_w = 1/(1+10^((r_l−r_w)/400)). Pure function shared by the
@@ -496,6 +512,14 @@ object Streams {
     * q_bt_rating (data-parallel MM over the pre-aggregated game graph);
     * this operator is its online companion, pinned stream ≡ batch
     * replay in StreamingSpec across multi-batch state carry-over.
+    *
+    * Ordering contract: games must arrive in event-time order ACROSS
+    * micro-batches (each batch is sorted internally). Violations are
+    * detected, not silently reordered: the state carries the event-time
+    * high-water mark, and a batch containing games below it logs a
+    * warning and emits the [[EloLatePlayer]] sentinel row with the
+    * cumulative late count — so stream≠batch divergence is observable
+    * in-band (StreamingSpec pins the sentinel).
     */
   def eloStream(games: DataFrame)(
       implicit spark: SparkSession): Dataset[EloRow] = {
@@ -511,16 +535,33 @@ object Streams {
           val gs = it.toArray.sortBy(g => (g._1, g._2))
           if (gs.isEmpty) Iterator.empty
           else {
-            val before = state.getOption.map(_.players)
+            val prior = state.getOption
+            val before = prior.map(_.players)
               .getOrElse(Map.empty[Long, EloP])
+            // the sort above is batch-LOCAL: a game below the carried
+            // high-water mark folds out of global event-time order and
+            // the board diverges from eloBatch's replay. Count it,
+            // surface it (log + sentinel row) — never reorder silently.
+            val priorMax = prior.map(_.maxUs).getOrElse(Long.MinValue)
+            val lateInBatch = gs.count(_._1 < priorMax).toLong
+            val lateTotal = prior.map(_.late).getOrElse(0L) + lateInBatch
+            if (lateInBatch > 0L)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+                .warn(s"eloStream: $lateInBatch game(s) below the carried " +
+                  s"event-time high-water mark ($priorMax us) - fold order " +
+                  s"diverges from the batch replay ($lateTotal total)")
             val after =
               eloFold(before, gs.iterator.map(g => (g._3, g._4)))
-            state.update(EloBoard(after))
+            state.update(EloBoard(after,
+              math.max(priorMax, gs.last._1), lateTotal))
             val touched = gs.iterator.flatMap(g => Iterator(g._3, g._4))
               .toSet
-            touched.toSeq.sorted.iterator.map { p =>
+            val rows = touched.toSeq.sorted.iterator.map { p =>
               val e = after(p); EloRow(p, e.games, e.rating)
             }
+            if (lateInBatch > 0L)
+              Iterator(EloRow(EloLatePlayer, lateTotal, 0.0)) ++ rows
+            else rows
           }
         })
   }

@@ -24,22 +24,34 @@ class DensitySpec extends AnyFunSuite {
   val MaxCellOccupancy = Density.DbMaxCellOccupancy
 
   test("grid premise: max eps-cell occupancy stays under the probe budget at sf0.1") {
-    val occ = Tables.embeddings(spark, sf)
+    // occupancy is counted over the exact-coordinate QUOTIENT (distinct
+    // snapped (x, y) per cell), because that is what the 3×3 probe
+    // actually joins — the pipeline collapses duplicate coordinates
+    // before the neighbor stage, so a mass-duplicated corpus must not
+    // fail this gate (ADVICE r11: the raw-row count and
+    // PremiseCheck/quotientStats were asserting two different
+    // quantities against the one shared budget)
+    val quotient = Tables.embeddings(spark, sf)
       .select(
-        floor(Num.r(graft.scale.VectorOps.dot(col("embedding"),
+        Num.r(graft.scale.VectorOps.dot(col("embedding"),
           typedLit((0 until 64).map(j =>
             graft.analytics.CorpusDiversity.jlSign(0, j)))) / lit(4.0), 6)
-          * lit(Density.DbCellScale)).as("cx"),
-        floor(Num.r(graft.scale.VectorOps.dot(col("embedding"),
+          .as("x"),
+        Num.r(graft.scale.VectorOps.dot(col("embedding"),
           typedLit((0 until 64).map(j =>
             graft.analytics.CorpusDiversity.jlSign(1, j)))) / lit(4.0), 6)
-          * lit(Density.DbCellScale)).as("cy"))
+          .as("y"))
+      .distinct()
+    val occ = quotient
+      .select(floor(col("x") * lit(Density.DbCellScale)).as("cx"),
+        floor(col("y") * lit(Density.DbCellScale)).as("cy"))
       .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
     assert(occ <= MaxCellOccupancy,
-      s"an eps-grid cell holds $occ points (> $MaxCellOccupancy): the " +
-        "cell-probe join is leaving its sparse regime — re-grain DbEps " +
-        "or cap cell membership before the corpus grows further")
+      s"an eps-grid cell holds $occ distinct coordinates (> " +
+        s"$MaxCellOccupancy): the cell-probe join is leaving its sparse " +
+        "regime — re-grain DbEps or cap cell membership before the " +
+        "corpus grows further")
   }
 
   test("labels partition the corpus: roles are consistent with cluster ids") {

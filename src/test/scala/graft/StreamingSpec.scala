@@ -324,6 +324,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rating(1L) > rating(6L))
   }
 
+  test("online Elo flags cross-batch out-of-order games via the sentinel row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val out = Streams.eloStream(
+      ms.toDF().toDF("us", "game_id", "winner", "loser")).toDF()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("elo_late").start()
+    // batch 1 at us=2000/3000, batch 2 regresses to us=1000 (one late
+    // game) plus an in-order us=4000
+    ms.addData(Seq((2000L, 1L, 1L, 2L), (3000L, 2L, 1L, 3L)))
+    q.processAllAvailable()
+    ms.addData(Seq((1000L, 3L, 2L, 3L), (4000L, 4L, 1L, 2L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("elo_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sentinels = rows.filter(_._1 == Streams.EloLatePlayer)
+    assert(sentinels == Seq((Streams.EloLatePlayer, 1L)),
+      s"expected one sentinel with cumulative late=1, got $sentinels")
+    // the board rows themselves are unaffected by the flag
+    assert(rows.count(_._1 >= 0L) > 0)
+  }
+
   test("streaming approx DAU tracks the exact batch distinct within rsd") {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dau")
     java.nio.file.Files.copy(
