@@ -654,6 +654,86 @@ object Preference {
        |FROM ci""".stripMargin
   }
 
+  /** Position-bias audit — the second standard RLHF annotation check
+    * (response ORDER in a side-by-side comparison; here the supplier's
+    * earliest line position within the order, the direct analog): does
+    * the judged winner correlate with being listed FIRST rather than
+    * with the judged criterion? Per decisive pair item with distinct
+    * positions, the item lands in a position-delta bucket (|Δpos| is
+    * already small-integer-bounded — ≤ 6 with ≤ 7 lines per order — so
+    * the raw delta IS the bucket, no width needed) and scores whether
+    * the EARLIER-listed side won; Wilson intervals and the `biased`
+    * flag as in [[magnitudeBiasOf]]. Expected profile on this stream:
+    * ~0.5 everywhere (unit price does not depend on line order) — the
+    * audit's value is certifying the null, exactly like a well-run
+    * annotation pipeline's position-bias report.
+    */
+  def positionBias(spark: SparkSession, dir: String): DataFrame =
+    positionBiasOf(Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+        col("l_quantity")).as("c"),
+        min(col("l_linenumber").cast("long")).as("p")))
+
+  /** The audit over any `(o, s, c, p)` offer relation — PreferenceSpec
+    * pins a position-rigged fixture and the unbiased null.
+    */
+  def positionBiasOf(offers: DataFrame): DataFrame = {
+    val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"),
+      col("p").as("pi"))
+    val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"),
+      col("p").as("pj"))
+    val items = a.join(b, Seq("o"))
+      .filter(col("i") < col("j") && col("ci") =!= col("cj") &&
+        col("pi") =!= col("pj"))
+      .select(abs(col("pi") - col("pj")).as("delta_pos"),
+        when((col("ci") < col("cj")) === (col("pi") < col("pj")), 1L)
+          .otherwise(0L).as("ew"))
+    val agg = items.groupBy(col("delta_pos"))
+      .agg(count(lit(1)).as("n_games"), sum(col("ew")).as("n_earlier_wins"))
+    val z2 = lit(CorpusQueries.WilsonZ2)
+    val p = col("n_earlier_wins").cast("double") / col("n_games")
+    val denom = lit(1.0) + z2 / col("n_games")
+    val center = (p + z2 / (lit(2.0) * col("n_games"))) / denom
+    val half = sqrt(p * (lit(1.0) - p) / col("n_games") +
+      z2 / (lit(4.0) * col("n_games") * col("n_games"))) * sqrt(z2) / denom
+    agg.select(col("delta_pos"), col("n_games"), col("n_earlier_wins"),
+        Num.r(p, 6).as("win_rate_earlier"),
+        Num.r(center - half, 6).as("ci_lo"),
+        Num.r(center + half, 6).as("ci_hi"))
+      .withColumn("biased", col("ci_lo") > 0.5 || col("ci_hi") < 0.5)
+  }
+
+  val positionBiasSql: String = {
+    val z2 = CorpusQueries.WilsonZ2.toString
+    val p = "CAST(n_earlier_wins AS DOUBLE) / n_games"
+    val center = s"(($p + $z2 / (2.0 * n_games)) / (1.0 + $z2 / n_games))"
+    val half = s"(sqrt($p * (1.0 - $p) / n_games + $z2 / (4.0 * n_games * n_games)) * sqrt($z2) / (1.0 + $z2 / n_games))"
+    s"""WITH offers AS (
+       |  SELECT l_orderkey AS o, l_suppkey AS s,
+       |         min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS c,
+       |         CAST(min(l_linenumber) AS BIGINT) AS p
+       |  FROM lineitem GROUP BY 1, 2),
+       |items AS (
+       |  SELECT abs(a.p - b.p) AS delta_pos,
+       |         CASE WHEN (a.c < b.c) = (a.p < b.p) THEN 1 ELSE 0 END AS ew
+       |  FROM offers a JOIN offers b
+       |    ON a.o = b.o AND a.s < b.s AND a.c <> b.c AND a.p <> b.p),
+       |agg AS (
+       |  SELECT delta_pos, CAST(count(*) AS BIGINT) AS n_games,
+       |         CAST(sum(ew) AS BIGINT) AS n_earlier_wins
+       |  FROM items GROUP BY 1),
+       |ci AS (
+       |  SELECT delta_pos, n_games, n_earlier_wins,
+       |         ${Num.rSql(p, 6)} AS win_rate_earlier,
+       |         ${Num.rSql(s"$center - $half", 6)} AS ci_lo,
+       |         ${Num.rSql(s"$center + $half", 6)} AS ci_hi
+       |  FROM agg)
+       |SELECT delta_pos, n_games, n_earlier_wins, win_rate_earlier,
+       |       ci_lo, ci_hi, (ci_lo > 0.5 OR ci_hi < 0.5) AS biased
+       |FROM ci""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Tournament transitivity: cyclic-triad rate of the majority digraph.
   // ---------------------------------------------------------------------
@@ -774,6 +854,7 @@ object Preference {
     "q_fleiss_kappa" -> fleissKappa,
     "q_pair_winrate_ci" -> pairWinrateCi,
     "q_magnitude_bias" -> magnitudeBias,
+    "q_position_bias" -> positionBias,
     "q_bt_transitivity" -> btTransitivity)
 
   val oracles: Map[String, String] = Map(
@@ -783,5 +864,6 @@ object Preference {
     "q_fleiss_kappa" -> fleissKappaSql,
     "q_pair_winrate_ci" -> pairWinrateCiSql,
     "q_magnitude_bias" -> magnitudeBiasSql,
+    "q_position_bias" -> positionBiasSql,
     "q_bt_transitivity" -> btTransitivitySql)
 }

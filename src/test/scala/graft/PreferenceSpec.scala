@@ -207,6 +207,25 @@ class PreferenceSpec extends AnyFunSuite {
     assert(far.head.getLong(0) == 9L)
   }
 
+  test("position bias fixtures: a first-listed-always-wins judge flags; alternation does not") {
+    // 20 items where the earlier-listed offer always wins, |Δpos| = 2
+    val rigged = (1 to 20).flatMap(o => Seq((o.toLong, 1L, 1.0, 1L),
+      (o.toLong, 2L, 2.0, 3L)))
+    val rr = Preference.positionBiasOf(
+      rigged.toDF("o", "s", "c", "p")).collect()
+    assert(rr.length == 1 && rr.head.getLong(0) == 2L)
+    assert(rr.head.getDouble(3) == 1.0 && rr.head.getBoolean(6))
+    // alternating winners: rate 0.5, unbiased; equal positions drop
+    val fair = (1 to 20).flatMap { o =>
+      val (cLo, cHi) = if (o % 2 == 0) (1.0, 2.0) else (2.0, 1.0)
+      Seq((o.toLong, 1L, cLo, 1L), (o.toLong, 2L, cHi, 2L))
+    } ++ Seq((21L, 1L, 1.0, 1L), (21L, 2L, 2.0, 1L))
+    val rf = Preference.positionBiasOf(
+      fair.toDF("o", "s", "c", "p")).collect()
+    assert(rf.length == 1 && rf.head.getLong(1) == 20L &&
+      rf.head.getDouble(3) == 0.5 && !rf.head.getBoolean(6))
+  }
+
   test("registered wiring: per-player bookkeeping matches the pair stream") {
     val out = Preference.btRating(spark, sf)
     val agg = out.agg(sum("wins").as("w"), sum("games").as("g"),
