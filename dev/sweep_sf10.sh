@@ -30,7 +30,12 @@ echo "== sweep_sf10: density data premises at 100x =="
 sbt -batch "runMain graft.PremiseCheck $SF10" || exit 1
 
 echo "== sweep_sf10: full-registry bench (skips: $SKIP) -> $OUT =="
-SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
+# 48 g driver heap: the sf10 corpus needs it (24 g default OOM'd the
+# q_containment_lsh warm rep mid-sweep on the first r12 attempt —
+# boxed shingle buffers across 32 executor threads; prior rounds'
+# sf10 sweeps also ran at 48 g, BASELINE.md)
+SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
+  SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_SEED=42 SPARK_GRAFT_BENCH_REPS=2 \
   SPARK_GRAFT_BENCH_SKIP="$SKIP" SPARK_GRAFT_BENCH_OUT="$OUT" \
   SPARK_GRAFT_ART_DIR="$SF10/_bench_artifacts" \
