@@ -263,8 +263,19 @@ object Attribution {
     val channels = trans.select(col("prev").as("rc")).distinct()
       .filter(col("rc") =!= "(start)" && col("rc") =!= "purchase")
       .unionByName(spark.range(1).select(lit("(none)").as("rc")))
+    // trx and direct are LOOP-INVARIANT and |channels|·|trans|-bounded;
+    // without a checkpoint each of the MarkovSteps−1 rounds re-embeds
+    // (and re-executes) the channels-distinct + crossJoin subtree — the
+    // unchecked plan was 5k lines / 340 Exchanges / 94 nested-loop joins
+    // at sf0.1 and execution re-ran the bounded aggregates ~7× (the
+    // branch-reuse rule, CLAUDE.md). Two eager checkpoints of tiny
+    // relations collapse every round to two equi-joins + one aggregate.
+    // (The r8 lesson in SKILL.md — per-step checkpoints of REACH were
+    // slower — still holds: reach stays un-checkpointed, its lineage is
+    // a chain, not a blowup.)
     val trx = channels.crossJoin(trans)
       .filter(col("prev") =!= col("rc") && col("next") =!= col("rc"))
+      .localCheckpoint()
     val direct = channels
       .crossJoin(trans.select(col("prev").as("state")).distinct())
       .filter(col("state") =!= col("rc"))
@@ -272,6 +283,7 @@ object Attribution {
         .select(col("rc"), col("prev").as("state"), col("p").as("d0")),
         Seq("rc", "state"), "left")
       .select(col("rc"), col("state"), coalesce(col("d0"), lit(0.0)).as("d"))
+      .localCheckpoint()
     var reach = direct.select(col("rc"), col("state"), col("d").as("reach"))
     for (_ <- 2 to MarkovSteps) {
       val contrib = trx.filter(col("next") =!= "purchase")
