@@ -37,4 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // startup (~3 s per 4 GB, parallel) keeps GC out of the timed path.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
+  // A full-registry sweep generates thousands of whole-stage-codegen
+  // classes; the JDK 17 default code cache (240 MB) fills mid-sweep and
+  // the sweep's codegen-heaviest queries then pay JIT flush/recompile
+  // churn INSIDE their timings (r12 baseline: q_scd2_priority 19.2 s
+  // in-sweep vs 5.2 s isolated, q_containment_lsh 36 s cold in-sweep).
+  // 512 MB keeps the whole sweep's hot methods resident; same-session
+  // A/B in OPTIMIZATION_r12.md.
+  "-XX:ReservedCodeCacheSize=512m",
 )

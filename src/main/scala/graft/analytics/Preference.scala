@@ -68,9 +68,13 @@ object Preference {
     // Symmetrize so "opponents of i" is one equi-join: each unordered
     // pair contributes a row in both directions. Edge-sized (bounded by
     // co-occurring pairs, not players²) — persisted once for the loop,
-    // like pagerankOn's edge relation.
-    val sym = gd.select(col("i"), col("j"), col("n"), col("w"))
-      .unionByName(gd.select(col("j").as("i"), col("i").as("j"), col("n"),
+    // like pagerankOn's edge relation. The incoming game relation is
+    // checkpointed first: the union references it twice, so the composed
+    // callers' offers self-join + pair aggregate would otherwise run
+    // twice inside the persist-populating job (branch-reuse rule).
+    val g = gd.localCheckpoint()
+    val sym = g.select(col("i"), col("j"), col("n"), col("w"))
+      .unionByName(g.select(col("j").as("i"), col("i").as("j"), col("n"),
         (col("n") - col("w")).as("w")))
       .persist()
     sym.count()
@@ -164,10 +168,17 @@ object Preference {
     * (≤ C(7,2) pairs), so no key explodes.
     */
   private def supplierGames(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpointed: the a/b self-join below re-embeds this corpus-sized
+    // aggregate subtree on BOTH sides (Catalyst does not CSE logical
+    // branches, and the shuffle-vs-broadcast exchange pair defeats
+    // ReuseExchange — the r12 before-plan shows two full lineitem scans
+    // + two-phase aggs). One eager checkpoint of the narrow (o, s, c)
+    // relation halves the family's only fact-table work.
     val offers = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       .agg(min(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
         col("l_quantity")).as("c"))
+      .localCheckpoint()
     val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"))
     val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"))
     a.join(b, Seq("o"))
@@ -284,6 +295,9 @@ object Preference {
           col("l_quantity")).as("ca"),
         min(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cb"),
         min(col("l_extendedprice")).as("cc"))
+      // same branch-reuse checkpoint as supplierGames: the a/b self-join
+      // otherwise scans + aggregates lineitem twice
+      .localCheckpoint()
     val a = offers.select(col("o"), col("s").as("i"),
       col("ca").as("cai"), col("cb").as("cbi"), col("cc").as("cci"))
     val b = offers.select(col("o"), col("s").as("j"),
@@ -596,9 +610,12 @@ object Preference {
     * biased and magnitude-blind fixtures.
     */
   def magnitudeBiasOf(offers: DataFrame): DataFrame = {
-    val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"),
+    // branch-reuse checkpoint (see supplierGames): the a/b self-join
+    // otherwise re-runs the caller's offers collapse on both sides
+    val off = offers.localCheckpoint()
+    val a = off.select(col("o"), col("s").as("i"), col("c").as("ci"),
       col("m").as("mi"))
-    val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"),
+    val b = off.select(col("o"), col("s").as("j"), col("c").as("cj"),
       col("m").as("mj"))
     val items = a.join(b, Seq("o"))
       .filter(col("i") < col("j") && col("ci") =!= col("cj") &&
@@ -679,9 +696,12 @@ object Preference {
     * pins a position-rigged fixture and the unbiased null.
     */
   def positionBiasOf(offers: DataFrame): DataFrame = {
-    val a = offers.select(col("o"), col("s").as("i"), col("c").as("ci"),
+    // branch-reuse checkpoint (see supplierGames): the a/b self-join
+    // otherwise re-runs the caller's offers collapse on both sides
+    val off = offers.localCheckpoint()
+    val a = off.select(col("o"), col("s").as("i"), col("c").as("ci"),
       col("p").as("pi"))
-    val b = offers.select(col("o"), col("s").as("j"), col("c").as("cj"),
+    val b = off.select(col("o"), col("s").as("j"), col("c").as("cj"),
       col("p").as("pj"))
     val items = a.join(b, Seq("o"))
       .filter(col("i") < col("j") && col("ci") =!= col("cj") &&
@@ -769,15 +789,19 @@ object Preference {
     * transitive tournaments.
     */
   def transitivityOf(gd: DataFrame): DataFrame = {
+    // checkpoint the game relation: act references it twice and ed once —
+    // three executions of the composed caller's offers self-join + pair
+    // aggregate without the barrier (branch-reuse rule)
+    val g = gd.localCheckpoint()
     // top-k active players: player-bounded relation, deterministic order
-    val act = gd.select(col("i").as("p"), col("n"))
-      .unionByName(gd.select(col("j").as("p"), col("n")))
+    val act = g.select(col("i").as("p"), col("n"))
+      .unionByName(g.select(col("j").as("p"), col("n")))
       .groupBy(col("p")).agg(sum(col("n")).as("games"))
       .orderBy(col("games").desc, col("p").asc)
       .limit(TransTopK)
       .select(col("p"))
     // majority digraph on the active set (ties drop: no direction)
-    val ed = gd
+    val ed = g
       .join(act.select(col("p").as("i")), Seq("i"))
       .join(act.select(col("p").as("j")), Seq("j"))
       .filter(col("w") * 2 =!= col("n"))

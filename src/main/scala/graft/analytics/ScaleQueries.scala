@@ -2383,18 +2383,40 @@ object ScaleQueries {
     // queries no winner-resolve join is needed at all. tf/df/dl values are
     // unchanged by the hashing (modulo ~2⁻⁶⁴ collisions), so the score
     // doubles — and the oracle hash — are identical to the string plan.
-    val qth = array(Bm25Terms.map(t => xxhash64(lit(t))): _*)
-    val tf = docs
+    // ONE tokenize pass (r12): the tf/dl/qdf/stats formulation scanned +
+    // tokenized the corpus FOUR times — the array_contains filter pushes
+    // below the tf aggregate on two of the branches, so the subtrees
+    // differ and ReuseExchange never fires (the r12 before-plan shows 4
+    // Generate+Scan chains). One groupBy(doc_id) computes the doc length
+    // (dl = total tokens = Σ per-term tf) and the per-query-term tf
+    // columns together; everything downstream is doc-bounded arithmetic
+    // on the checkpointed one-row-per-doc relation. The per-(doc, term)
+    // score multiset is IDENTICAL (same tf/df/dl/sdl/nd doubles through
+    // the same expression), so the final snapped sums and the oracle
+    // hash are unchanged.
+    val qh = Bm25Terms.map(t => xxhash64(lit(t)))
+    val perDoc = docs
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .select(col("doc_id"), xxhash64(col("term")).as("th"))
-      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = broadcast(dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("nd")))
-    val qdf = tf.filter(array_contains(qth, col("th")))
-      .groupBy("th").agg(count(lit(1)).as("df"))
-    tf.filter(array_contains(qth, col("th")))
-      .join(broadcast(qdf), "th").join(dl, "doc_id").crossJoin(stats)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        qh.zipWithIndex.map { case (h, k) =>
+          sum(when(col("th") === h, 1L).otherwise(0L)).as(s"tf$k")
+        }: _*)
+      .localCheckpoint() // two consumers (stats row + scoring stream)
+    val statCols = Seq(sum(col("dl")).as("sdl"), count(lit(1)).as("nd")) ++
+      qh.indices.map(k =>
+        sum(when(col(s"tf$k") > 0L, 1L).otherwise(0L)).as(s"df$k"))
+    val stats = broadcast(perDoc.agg(statCols.head, statCols.tail: _*))
+    val termRows = perDoc.crossJoin(stats)
+      .select(col("doc_id"), col("dl"), col("sdl"), col("nd"),
+        explode(array(qh.indices.map(k =>
+          struct(col(s"tf$k").as("tf"), col(s"df$k").as("df"))): _*)).as("e"))
+      .select(col("doc_id"), col("dl"), col("sdl"), col("nd"),
+        col("e.tf").as("tf"), col("e.df").as("df"))
+      .filter(col("tf") > 0L)
+    termRows
       .withColumn("s",
         log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * lit(2.2)) /

@@ -197,9 +197,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(analytics.ScaleQueries.bm25Search(spark, sf))
     assert(p.contains("BroadcastExchange"), s"corpus stats should broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"limit should not global-sort:\n$p")
-    // term strings never key a shuffle: the only string op below the
-    // aggregates is the tokenizer; groupings key on xxhash64 longs
-    assert(p.contains("xxhash64"), s"tf/df should key on hashed terms:\n$p")
+    // r12 one-pass design: the tokenize + xxhash64 term hashing happens
+    // exactly once, inside the per-doc (dl, tf_k) aggregate behind an
+    // eager checkpoint — the scoring plan must read that checkpoint, not
+    // re-tokenize the corpus (the old tf/dl/qdf/stats composition
+    // tokenized it four times; a parquet scan here would mean the
+    // checkpoint barrier regressed)
+    assert(p.contains("Scan ExistingRDD"), s"scoring should read the " +
+      s"checkpointed per-doc relation:\n$p")
+    assert(!p.contains("Scan parquet"), s"corpus must not be re-tokenized " +
+      s"in the scoring plan:\n$p")
   }
 
   test("ngram top-k resolves winners through broadcast joins, no window sort") {

@@ -102,8 +102,11 @@ class RegistrySweepSpec extends AnyFunSuite {
       ("q_ordered_funnel", "events") -> (4, unionOfFilters),
       ("q_rolling_active", "events") -> (3, unionOfFilters),
       ("q_validation_split", "events") -> (3, unionOfFilters),
-      ("q_bm25_search", "documents") -> (4, dictRecovery),
-      ("q_hybrid_search", "documents") -> (4, dictRecovery),
+      // q_bm25_search / q_hybrid_search: fixed r12, not pinned — the
+      // one-pass per-doc (dl, tf_k) aggregate behind a checkpoint
+      // replaced the 4-tokenize tf/dl/qdf/stats composition (the
+      // array_contains pushdown differentiated the subtrees, so
+      // ReuseExchange never fired).
       ("q_tfidf_topterms", "documents") -> (3, dictRecovery),
       ("q_ann_jl", "embeddings") -> (3, modelThenScore),
       ("q_ann_lsh", "embeddings") -> (4, modelThenScore),
