@@ -305,10 +305,19 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           // ANSI-safe: null nl compares to null, filter() drops it
           (col("nl") < col("label")).as("chg"))
-        .localCheckpoint()
-      val next = updated.filter(col("chg")).select(col("node"), col("label"))
+        // LAZY checkpoint (r12): the eager form spent TWO jobs per round
+        // (materialize + isEmpty) and the round count is the whole cost
+        // of the geometry-bounded DBSCAN loop (~24 rounds × fixed job
+        // overhead). The count below computes EVERY partition of
+        // `updated` (filter is narrow, count is total), so the one
+        // action both materializes the checkpoint — truncating lineage
+        // exactly like the eager form — and decides convergence.
+        .localCheckpoint(eager = false)
+      val nChanged = updated.filter(col("chg")).count()
       labels = updated.select(col("node"), col("label"))
-      frontier = if (next.isEmpty) null else next
+      frontier =
+        if (nChanged == 0L) null
+        else updated.filter(col("chg")).select(col("node"), col("label"))
       iter += 1
     }
     edges.unpersist()
