@@ -206,7 +206,12 @@ object Bench {
     // line prints FIRST, (3) the LAST line is a compact summary — same
     // schema, queries trimmed to the slowest 15 — that survives any
     // tail window of a few hundred bytes.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Default embeds the core count: the r12 driver ran the bench at 32
+    // AND 8 cores and both runs wrote bench_full.json — the second
+    // clobbered the first and the per-query 32-core map survived only as
+    // a truncated stdout tail (VERDICT r12 finding #4). The summary-line
+    // contract is unchanged; the artifact name is what moves.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_full_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
     println(full)

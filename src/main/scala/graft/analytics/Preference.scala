@@ -64,6 +64,100 @@ object Preference {
     * ([[btRatingSeOf]]) evaluates its Fisher information at the SAME
     * fixed point the published ratings come from.
     */
+  /** Collected-MM budget in rows of the (i < j) game relation; override
+    * with spark conf `spark.graft.bt.collectPairs` (0 disables). The
+    * graph is pair-bounded by construction (co-occurring player pairs,
+    * ≤ C(players, 2)): at sf0.1 it is ~3×10⁵ rows — driver-trivial —
+    * while each MM round of the DataFrame loop costs a fixed ~3 jobs
+    * (two broadcast builds + the checkpoint materialization) that the
+    * r12 PERF scaling block measured core-count-INVARIANT (c8/c32 ratio
+    * 0.68–0.87: pure scheduling floor, not compute). Past the budget
+    * (a genuinely large player universe) the broadcast-join loop below
+    * is unchanged — the 100 TB path never collects.
+    */
+  val BtCollectPairsDefault = 1000000L
+
+  /** Scalar twin of Num.r: floor(x·10^s + 0.5)/10^s over doubles — the
+    * identical IEEE expression (Spark's floor-to-LONG and math.floor
+    * agree wherever |x·10^s| < 2⁶³, which every snapped MM quantity
+    * satisfies by magnitudes: den ≤ Σn/2 ≈ 10⁶ at 1e-9 → 10¹⁵).
+    */
+  private def rs(x: Double, s: Int): Double = {
+    val p = math.pow(10, s)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** The MM fixed point computed on the DRIVER from the collected
+    * pair-bounded graph (VERDICT r12 #3, the dupClusters union-find
+    * precedent): one collect job replaces BtIters × (2 broadcast builds
+    * + 1 checkpoint job). Arithmetic is the same expression stream as
+    * the DataFrame loop — per-edge n/(pᵢ+pⱼ) IEEE divisions, the
+    * per-player sum snapped at 1e-9 BEFORE the update divide, the new
+    * rating snapped at 1e-9 — so each round re-enters from doubles on
+    * the same 1e-9 grid both engines' loops land on; summation order
+    * differs from Spark's partial-agg order exactly as Spark's differs
+    * from DuckDB's, which is the noise class the per-round snap exists
+    * to absorb (Num.scala scaladoc; gates re-run at sf0.001/0.01/0.1).
+    * Returns the same (sym, pl, r) relation triple as the loop, as
+    * parallelized local relations — downstream joins (mean, SE Fisher
+    * terms) are unchanged and Spark-evaluated in both paths.
+    */
+  private def btFitLocal(g: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val rows = g.select(col("i"), col("j"), col("n"), col("w")).collect()
+    val idxOf = new java.util.HashMap[Long, Int](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def idOf(x: Long): Int =
+      if (idxOf.containsKey(x)) idxOf.get(x)
+      else { val k = ids.length; idxOf.put(x, k); ids += x; k }
+    val m = rows.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    val en = new Array[Long](m); val ew = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val row = rows(k)
+      ea(k) = idOf(row.getLong(0)); eb(k) = idOf(row.getLong(1))
+      en(k) = row.getLong(2); ew(k) = row.getLong(3)
+      k += 1
+    }
+    val nP = ids.length
+    val wins = new Array[Long](nP); val games = new Array[Long](nP)
+    k = 0
+    while (k < m) {
+      wins(ea(k)) += ew(k); games(ea(k)) += en(k)
+      wins(eb(k)) += en(k) - ew(k); games(eb(k)) += en(k)
+      k += 1
+    }
+    val p = Array.fill(nP)(1.0)
+    for (_ <- 1 to BtIters) {
+      val den = new Array[Double](nP)
+      k = 0
+      while (k < m) {
+        val t = en(k).toDouble / (p(ea(k)) + p(eb(k)))
+        den(ea(k)) += t; den(eb(k)) += t
+        k += 1
+      }
+      var i = 0
+      while (i < nP) {
+        p(i) = rs((wins(i).toDouble + 0.5) / rs(den(i), 9), 9)
+        i += 1
+      }
+    }
+    val symRows = (0 until m).flatMap(k => Seq(
+      (ids(ea(k)), ids(eb(k)), en(k), ew(k)),
+      (ids(eb(k)), ids(ea(k)), en(k), en(k) - ew(k))))
+    val slices = math.max(1, spark.sparkContext.defaultParallelism)
+    val sym = spark.sparkContext.parallelize(symRows, slices).toDF("i", "j", "n", "w")
+    val pl = spark.sparkContext
+      .parallelize((0 until nP).map(i => (ids(i), wins(i), games(i))), slices)
+      .toDF("i", "wins", "games")
+    val r = spark.sparkContext
+      .parallelize((0 until nP).map(i => (ids(i), p(i))), slices)
+      .toDF("i", "p")
+    (sym, pl, r)
+  }
+
   private def btFit(gd: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // Symmetrize so "opponents of i" is one equi-join: each unordered
     // pair contributes a row in both directions. Edge-sized (bounded by
@@ -73,6 +167,14 @@ object Preference {
     // callers' offers self-join + pair aggregate would otherwise run
     // twice inside the persist-populating job (branch-reuse rule).
     val g = gd.localCheckpoint()
+    // CERTIFIED-BOUNDED fast path: one count on the checkpointed graph
+    // is the certificate (VERDICT r12 #3 — the MM loop's cost at gate
+    // scales is per-round job floor, not compute).
+    val btBudget = g.sparkSession.conf
+      .get("spark.graft.bt.collectPairs", BtCollectPairsDefault.toString).toLong
+    val allLong = Seq("i", "j", "n", "w").forall(c =>
+      g.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (allLong && g.count() <= btBudget) return btFitLocal(g)
     val sym = g.select(col("i"), col("j"), col("n"), col("w"))
       .unionByName(g.select(col("j").as("i"), col("i").as("j"), col("n"),
         (col("n") - col("w")).as("w")))

@@ -1084,13 +1084,21 @@ object Relational {
         when(col("y2") > col("y1"), 1L).when(col("y2") < col("y1"), -1L)
           .otherwise(0L).as("sgn"),
         ((col("y2") - col("y1")) / (col("w2") - col("w1"))).as("slope"))
-    val ranked = pairs.withColumn("rk", row_number().over(
-      Window.partitionBy(col("n_name")).orderBy(col("slope"), col("w1"), col("w2"))))
-    val med = ranked
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("n_name"))))
+    // ONE pass over the pairwise relation (VERDICT r12 #4): the sign sum
+    // is an unordered window over the SAME n_name partitioning the
+    // median rank already shuffles/sorts by, so the median-row filter
+    // carries S along — the self-join is never referenced twice and
+    // nothing is re-materialized. S is an integer sum (order-free), so
+    // the value is identical to the old groupBy aggregate.
+    val wPart = Window.partitionBy(col("n_name"))
+    val med = pairs
+      .withColumn("rk", row_number().over(
+        wPart.orderBy(col("slope"), col("w1"), col("w2"))))
+      .withColumn("np", count(lit(1)).over(wPart))
+      .withColumn("s", sum(col("sgn")).over(wPart))
       .filter(col("rk") === expr("(np + 1) div 2"))
-      .select(col("n_name"), Num.r(col("slope"), 6).as("ts_slope"))
-    val stats = pairs.groupBy(col("n_name")).agg(sum(col("sgn")).as("s"))
+      .select(col("n_name"), Num.r(col("slope"), 6).as("ts_slope"), col("s"))
+    med
       .join(weekly.groupBy(col("n_name")).agg(count(lit(1)).as("n_weeks")), "n_name")
       .withColumn("vs",
         (col("n_weeks") * (col("n_weeks") - 1) * (lit(2L) * col("n_weeks") + 5)) / lit(18.0))
@@ -1098,8 +1106,7 @@ object Relational {
         when(col("s") > 0, (col("s") - lit(1L)) / sqrt(col("vs")))
           .when(col("s") < 0, (col("s") + lit(1L)) / sqrt(col("vs")))
           .otherwise(lit(0.0)), 6))
-      .select(col("n_name"), col("n_weeks"), col("s"), col("z"))
-    stats.join(med, "n_name")
+      .select(col("n_name"), col("n_weeks"), col("s"), col("z"), col("ts_slope"))
   }
 
   val mkTrendSql: String =

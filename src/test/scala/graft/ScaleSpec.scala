@@ -327,18 +327,46 @@ class ScaleSpec extends AnyFunSuite {
     // 7-edge path needs 7 steps to converge; at maxIters=3 the frontier
     // is still non-empty and the guard must REFUSE to return the
     // unconverged labels (silent wrong clusters are the failure mode the
-    // cap used to allow).
+    // cap used to allow). The collected union-find path is exact and
+    // capless, so force the iterative path via its budget conf.
     import spark.implicits._
     val chain = (0L until 7L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val e = intercept[IllegalArgumentException] {
-      graft.scale.Dedup.dupClusters(chain, maxIters = 3)
-    }
-    assert(e.getMessage.contains("did not converge"))
-    // the same chain converges to ONE cluster once the cap covers its
-    // diameter — the guard only fires on genuine non-convergence
-    val ok = graft.scale.Dedup.dupClusters(chain, maxIters = 10)
-    assert(ok.count() == 8)
-    assert(ok.select("cluster_id").distinct().count() == 1)
+    spark.conf.set("spark.graft.cc.collectEdges", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.scale.Dedup.dupClusters(chain, maxIters = 3)
+      }
+      assert(e.getMessage.contains("did not converge"))
+      // the same chain converges to ONE cluster once the cap covers its
+      // diameter — the guard only fires on genuine non-convergence
+      val ok = graft.scale.Dedup.dupClusters(chain, maxIters = 10)
+      assert(ok.count() == 8)
+      assert(ok.select("cluster_id").distinct().count() == 1)
+    } finally spark.conf.unset("spark.graft.cc.collectEdges")
+  }
+
+  test("dupClusters collected union-find labels equal the iterative loop's") {
+    // the certified-bounded fast path must be a pure plan change: same
+    // (doc_id, cluster_id) set as delta-frontier min-label propagation,
+    // on a graph with multi-hop chains, a star, a cycle and an isolated
+    // self-looped pair structure
+    import spark.implicits._
+    val pairs = (
+      (0L until 6L).map(i => (i, i + 1)) ++            // 7-node chain
+        Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++     // star
+        Seq((20L, 21L), (21L, 22L), (20L, 22L)) ++     // triangle
+        Seq((30L, 31L))                                // lone pair
+      ).toDF("d1", "d2")
+    val uf = graft.scale.Dedup.dupClusters(pairs, maxIters = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.collectEdges", "0")
+    val loop =
+      try graft.scale.Dedup.dupClusters(pairs, maxIters = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.cc.collectEdges")
+    assert(uf == loop)
+    assert(uf.exists(_ == (6L, 0L)) && uf.exists(_ == (13L, 10L)) &&
+      uf.exists(_ == (22L, 20L)) && uf.exists(_ == (31L, 30L)))
   }
 
   test("span dedup's hashed-span ratios equal a string-keyed recomputation") {
