@@ -98,6 +98,17 @@ class ScaleSpec extends AnyFunSuite {
     // K4 minus edge (3,4): 2 triangles; wedges2 = sum deg(deg-1) = 6+6+2+2 = 16
     val k4m = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L)
     assert(k4m._3 == 2L && k4m._4 == Some(0.75))
+    // the collected driver census (the path the fixtures above took)
+    // must equal the distributed triad join row-for-row on the real kNN
+    // graph — force the distributed path via the budget conf
+    val knn = ScaleQueries.knnGraph(spark, sf)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b")).localCheckpoint()
+    val local = ScaleQueries.triangleStatsOf(knn).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.triangles.collectEdges", "0")
+    val dist =
+      try ScaleQueries.triangleStatsOf(knn).collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.triangles.collectEdges")
+    assert(local == dist, s"driver census $local != distributed $dist")
     // duplicate / reversed / self edges canonicalize away
     val dup = stats(1L -> 2L, 2L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
     assert(dup == ((3L, 3L, 1L, Some(1.0))))
