@@ -4400,6 +4400,7 @@ object ScaleQueries {
     "q_knn_join" -> knnJoinSql,
     "q_topk_per_user" -> topkPerUserSql,
     "q_multimodal_stats" -> multimodalStatsSql,
+    "q_image_neardup" -> graft.multimodal.Multimodal.imageNeardupSql,
     "q_ivf_topk" -> ivfTopKSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_jaccard_pairs" -> jaccardPairsSql,

@@ -191,14 +191,29 @@ object Multimodal {
 
   def phashBand(ph: Int, b: Int): Int = (ph >> (4 * b)) & 0xF
 
-  /** Perceptual near-dup report over the asset corpus: decode (real
-    * codec for images, deterministic stub otherwise) → 16-bit aHash →
-    * exact-phash clusters plus banded candidate-pair volume (the same
-    * bucket-cap-free accounting the MinHash tier reports). Decode runs
-    * partition-parallel once per asset; everything after it shuffles
-    * 20-byte rows. Rows-only for the driver (no SQL engine can run the
-    * codec); MultimodalSpec pins the hamming/banding contract on
-    * constructed PNGs and exact-dup recall against the text-digest tier.
+  /** Perceptual near-dup CONTRACT report over the asset corpus: decode
+    * (real codec for images, deterministic stub otherwise) → 16-bit
+    * aHash → exact-phash clusters plus banded candidate-pair volume.
+    * Decode runs partition-parallel ONCE per asset (the phash relation
+    * is checkpointed — clusters and bands both consume it; the branch
+    * duplication previously ran the codec pass twice) and everything
+    * after it shuffles 20-byte rows.
+    *
+    * Published row (the sketch-tier contract-oracle pattern, VERDICT
+    * r12 #8): the SQL-exact payload ground truth — asset count,
+    * distinct payloads, exact-dup assets — plus in-engine booleans the
+    * DuckDB oracle asserts as TRUE literals. Identical payload bytes
+    * decode to identical features (decode is a pure function of the
+    * payload), hence identical phash, so:
+    *   - phash clusters can only MERGE payload groups:
+    *     1 ≤ n_phash_clusters ≤ min(n_distinct_payloads, 2¹⁶);
+    *   - every exact-dup asset sits in a >1 phash cluster:
+    *     phash dup assets ≥ exact dup assets;
+    *   - a phash-identical pair agrees in all PhashBands bands:
+    *     band candidate pairs ≥ PhashBands · exact dup pairs.
+    * The codec-dependent magnitudes live inside the booleans, so the
+    * whole row is hash-checked; MultimodalSpec keeps the constructed-PNG
+    * hamming/banding pins and the exact-recall assertion.
     */
   def imageNeardup(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -206,6 +221,7 @@ object Multimodal {
     val hashed = extractFeatures(syntheticAssets(spark, dir), parallelism = 32)
       .map(f => (f.assetId, phash(f.features)))
       .toDF("asset_id", "ph")
+      .localCheckpoint()
     val clusters = hashed.groupBy(col("ph"))
       .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keeper"))
     val bands = hashed.select(col("asset_id"), explode(array(
@@ -214,13 +230,49 @@ object Multimodal {
           shiftright(col("ph"), 4 * b).bitwiseAND(lit(15)).as("bits"))): _*)).as("bb"))
     val bandPairs = bands.groupBy(col("bb.b"), col("bb.bits"))
       .agg(count(lit(1)).as("bn"))
-      .agg(sum(col("bn") * (col("bn") - 1) / 2).as("n_band_candidate_pairs"))
-    clusters.agg(
-      sum(col("n")).as("n_assets"),
+      .agg(coalesce(sum(expr("bn * (bn - 1) div 2")), lit(0L))
+        .as("band_pairs"))
+    val ph = clusters.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_assets"),
       count(lit(1)).as("n_phash_clusters"),
-      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_assets"))
+      coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L))
+        .as("ph_dup_assets"))
       .crossJoin(bandPairs)
+    // exact payload ground truth — SQL-expressible on the same base
+    // table (payload bytes ARE the document text by construction)
+    val exact = graft.Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_distinct_payloads"),
+        coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L))
+          .as("n_exact_dup_assets"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .as("n_exact_dup_pairs"))
+    ph.crossJoin(exact).select(
+      col("n_assets"), col("n_distinct_payloads"), col("n_exact_dup_assets"),
+      (col("n_phash_clusters") >= least(col("n_distinct_payloads"), lit(1L)) &&
+        col("n_phash_clusters") <= least(col("n_distinct_payloads"), lit(65536L)))
+        .as("clusters_within_payload_bound"),
+      (col("ph_dup_assets") >= col("n_exact_dup_assets")).as("dups_cover_exact"),
+      (col("band_pairs") >= lit(PhashBands.toLong) * col("n_exact_dup_pairs"))
+        .as("bands_cover_exact_pairs"))
   }
+
+  /** DuckDB side of the [[imageNeardup]] contract: the exact payload
+    * columns computed from `documents`, the codec-dependent booleans
+    * asserted as TRUE literals.
+    */
+  val imageNeardupSql: String =
+    s"""WITH g AS (SELECT md5(text) AS h, count(*) AS n
+       |           FROM documents GROUP BY 1)
+       |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_assets,
+       |       CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+       |       CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+       |         AS n_exact_dup_assets,
+       |       TRUE AS clusters_within_payload_bound,
+       |       TRUE AS dups_cover_exact,
+       |       TRUE AS bands_cover_exact_pairs
+       |FROM g""".stripMargin
 
   /** Deterministic media corpus synthesized from `documents`: payload =
     * UTF-8 text bytes, kind/meta derived from doc_id — the sf-scaled

@@ -120,11 +120,14 @@ class MultimodalSpec extends AnyFunSuite {
       .exactDupGroups(Tables.documents(spark, sf), "text", "doc_id")
       .agg(coalesce(sum(col("n_copies")), lit(0L))).collect()(0).getLong(0)
     val report = Multimodal.imageNeardup(spark, sf).collect()(0)
-    val nAssets = report.getAs[Long]("n_assets")
-    val nDup = report.getAs[Long]("n_dup_assets")
-    assert(nAssets == Tables.documents(spark, sf).count())
+    assert(report.getAs[Long]("n_assets") == Tables.documents(spark, sf).count())
+    // the published exact-dup column must agree with the dedup tier's
+    // ground truth, and every contract boolean must hold on real data
+    assert(report.getAs[Long]("n_exact_dup_assets") == dupAssets)
+    assert(report.getAs[Boolean]("clusters_within_payload_bound"))
     // every exact-dup asset is inside a phash cluster of size > 1
-    assert(nDup >= dupAssets, s"phash dup assets $nDup < exact dup assets $dupAssets")
+    assert(report.getAs[Boolean]("dups_cover_exact"))
+    assert(report.getAs[Boolean]("bands_cover_exact_pairs"))
   }
 
   test("frame sampling explodes videos at the expected stride") {

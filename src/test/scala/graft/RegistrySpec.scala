@@ -41,15 +41,12 @@ class RegistrySpec extends AnyFunSuite {
     * addition self-documents instead of silently weakening the gate.
     */
   private val rowsOnlyJustified: Map[String, String] = Map(
-    // q_approx_distinct / q_approx_quantiles left this list in r12: the
-    // published row now carries the exact count plus an in-engine
-    // contract boolean the DuckDB oracle asserts as TRUE, so the sketch
-    // CONTRACT is hash-checked even though the estimate is engine-seeded.
-    "q_image_neardup" ->
-      ("decodes the binary media column with real javax.imageio " +
-        "(Multimodal.scala) — DuckDB cannot run an image codec, so no " +
-        "SQL oracle exists. Exact-verified: MultimodalSpec decodes real " +
-        "PNGs and pins near-dup recall of exact-duplicate payload pairs."))
+    // EMPTY since r13: q_image_neardup — the last rows-only row — now
+    // publishes the sketch-tier contract shape (exact payload columns
+    // plus codec-contract booleans the DuckDB oracle asserts as TRUE),
+    // so every registered query is oracle-checked. q_approx_distinct /
+    // q_approx_quantiles left the same way in r12.
+  )
 
   test("every oracle key has a query, and every rows-only query carries a justification") {
     val qs = SparkEntry.queries.keySet
