@@ -1799,10 +1799,50 @@ object ScaleQueries {
     * default; BASELINE.md "sf10 stress" records the measured fixed-k
     * cost at 200k vectors and the cells-raised arm.
     */
+  /** Broadcast cell-table budget in VECTORS for the expression-kernel
+    * kNN path (conf `spark.graft.knn.cellTableRows`, 0 disables): 1M
+    * 64-dim float vectors ≈ 256 MB flat — the same memory class as the
+    * broadcast join it replaces (which ships the identical relation as
+    * a hash table). Past the budget the join+TopKAgg pipeline below is
+    * unchanged; beyond BROADCAST size entirely, the salted-slice shuffle
+    * arm (ABBench) / IVF-PQ tier remain the documented escalation.
+    */
+  val KnnCellTableRowsDefault = 1000000L
+
   def knnGraph(spark: SparkSession, dir: String, cells: Int = KmeansK): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val trained = graft.scale.KMeans.fit(emb, cells, iters = 1)
     val asg = graft.scale.KMeans.assign(emb, trained)
+    // CERTIFIED-BOUNDED fast path (VERDICT r12 #5): the pair stage is
+    // n²/cells rows through join+hash-agg machinery (~88 s warm at the
+    // sf10 stress for ~3 s of dot-product FLOPs); when the vector table
+    // fits the broadcast budget — the SAME condition the broadcast join
+    // below already relies on — evaluate each probe row's exact top-k
+    // in one tight loop over a flat-float cell table instead
+    // (scale/CellTopK.scala: bit-identical snapped cosines, identical
+    // (score desc, id asc) selection, same output schema).
+    val knnBudget = spark.conf
+      .get("spark.graft.knn.cellTableRows", KnnCellTableRowsDefault.toString).toLong
+    if (emb.count() <= knnBudget) {
+      val collected = asg
+        .select(col("cluster"), col("vec_id"), col("embedding")).collect()
+      val bc = spark.sparkContext.broadcast(graft.scale.CellTopK.buildTable(collected))
+      // EAGER checkpoint: the kernel runs exactly once, as a plain
+      // projection job (measured stable: 40 s × 3 reps at sf10).
+      // Running it inside a consumer's InMemoryRelation cache build
+      // instead was ERRATIC (q_pagerank reps 52/102/183 s, same work) —
+      // the columnar cache builder wraps the kernel's iterator in
+      // batch-unroll memory accounting; checkpointing hands consumers a
+      // materialized edge RDD, so persists/caches downstream store
+      // Θ(edges) rows, never re-driving the kernel.
+      return asg.select(col("cluster"), col("vec_id"),
+          graft.scale.CellTopK.topKColumn(bc, KnnGraphK,
+            col("cluster"), col("vec_id"), col("embedding")).as("top"))
+        .select(col("cluster"), col("vec_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+        .select(col("cluster"), col("vec_id"), (col("rank0") + 1).as("rank"),
+          col("e.id").as("nbr_id"), col("e.score").as("cos_sim"))
+        .localCheckpoint()
+    }
     // the cell id alone has only KmeansK distinct values, so a plain
     // shuffle equi-join runs the whole n²/K pair volume through K tasks
     // (observed at sf1: 8 tasks carried 50M pairs, 26-82 s). BROADCAST

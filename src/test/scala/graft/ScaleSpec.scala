@@ -98,6 +98,17 @@ class ScaleSpec extends AnyFunSuite {
     // K4 minus edge (3,4): 2 triangles; wedges2 = sum deg(deg-1) = 6+6+2+2 = 16
     val k4m = stats(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L)
     assert(k4m._3 == 2L && k4m._4 == Some(0.75))
+    // the cell-table expression kernel must equal the join+TopKAgg
+    // pipeline row-for-row (snapped cosines, ranks, ties) on the real
+    // corpus — force the join path via its budget conf
+    val kernel = ScaleQueries.knnGraph(spark, sf).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.knn.cellTableRows", "0")
+    val joined =
+      try ScaleQueries.knnGraph(spark, sf).collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.knn.cellTableRows")
+    assert(kernel == joined,
+      s"cell-table kNN diverges: missing ${(joined -- kernel).take(3)}, " +
+        s"extra ${(kernel -- joined).take(3)}")
     // the collected driver census (the path the fixtures above took)
     // must equal the distributed triad join row-for-row on the real kNN
     // graph — force the distributed path via the budget conf
