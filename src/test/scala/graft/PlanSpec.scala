@@ -249,13 +249,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("knn graph: cell-restricted equi-join + bounded top-k, no window, no cartesian") {
+    // bounded-regime path (r13): the pair stage is the broadcast
+    // cell-table kernel materialized behind a checkpoint — the returned
+    // plan must be the checkpoint scan, with no window/cartesian ever
     val p = plan(analytics.ScaleQueries.knnGraph(spark, sf))
-    // the per-cell compare must be a streaming equi-join on cluster, not
-    // an all-pairs product, and ranking must be the bounded aggregate,
-    // not a per-vector window sort
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), s"knn graph regressed to a window rank:\n$p")
-    assert(p.contains("topk"), s"expected the bounded TopKAgg:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed kernel:\n$p")
+    // fallback path (past the cell-table budget): the per-cell compare
+    // must stay a streaming equi-join on cluster ranked by the bounded
+    // TopKAgg, not an all-pairs product or a per-vector window sort
+    spark.conf.set("spark.graft.knn.cellTableRows", "0")
+    val pj =
+      try plan(analytics.ScaleQueries.knnGraph(spark, sf))
+      finally spark.conf.unset("spark.graft.knn.cellTableRows")
+    assert(!pj.contains("CartesianProduct"), pj)
+    assert(!pj.contains("Window"), s"knn fallback regressed to a window rank:\n$pj")
+    assert(pj.contains("topk"), s"expected the bounded TopKAgg:\n$pj")
   }
 
   test("split assignment is map-side: one accounting shuffle only") {

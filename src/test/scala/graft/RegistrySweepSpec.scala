@@ -112,7 +112,10 @@ class RegistrySweepSpec extends AnyFunSuite {
       ("q_ann_lsh", "embeddings") -> (4, modelThenScore),
       ("q_ivf_topk", "embeddings") -> (3, modelThenScore),
       ("q_embed_drift", "embeddings") -> (3, modelThenScore),
-      ("q_graph_coherence", "embeddings") -> (4, modelThenScore),
+      // q_graph_coherence: was pinned 4 (modelThenScore) until r13 —
+      // the kNN edges now come from the checkpointed cell-table kernel,
+      // so only the kmeans seed scan + the score-side embedding read
+      // remain (2, the unpinned default).
       ("q_minhash_pairs", "documents") -> (2, "r9 emit-once banding: the " +
         "signature pass moved behind lshCandidates' eager checkpoint and " +
         "the two verify-side shingle reads share one exchange via " +
