@@ -1752,6 +1752,26 @@ object ScaleQueries {
     val trained = graft.scale.KMeans.fit(emb, k, iters = 1)
     val assigned = graft.scale.KMeans.assign(emb, trained)
       .select(col("vec_id"), col("embedding"), col("cluster"))
+    // CERTIFIED-BOUNDED fast path (r13): the within-cell pair join is
+    // Σ C(cell, 2) join rows each paying row construction + a snapped
+    // cosine projection for a usually-sparse qualifying set; when the
+    // vector table fits the cell-table budget (the SAME relation the
+    // broadcast/salted join would ship), emit each probe row's
+    // qualifying (v2, cos) pairs in one tight loop over its cell slice
+    // (CellPairsExpr: identical commuted IEEE dot/den, identical 1e6
+    // snap, pair-once by v1 < v2). The salt knob is result-identical
+    // task splitting for the JOIN shape and is simply unused here.
+    if (emb.count() <= graft.scale.CellTopK.budget(spark)) {
+      val collected = assigned
+        .select(col("cluster"), col("vec_id"), col("embedding")).collect()
+      val bc = spark.sparkContext.broadcast(graft.scale.CellTopK.buildTable(collected))
+      return assigned.select(col("cluster"), col("vec_id").as("v1"),
+          graft.scale.CellTopK.pairsColumn(bc, SemDedupTau,
+            col("cluster"), col("vec_id"), col("embedding")).as("ps"))
+        .select(col("cluster"), col("v1"), explode(col("ps")).as("p"))
+        .select(col("cluster"), col("v1"), col("p.id").as("v2"),
+          col("p.score").as("cos_sim"))
+    }
     val a0 = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val b0 = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
     val (a, b, keys) =
@@ -1807,7 +1827,7 @@ object ScaleQueries {
     * unchanged; beyond BROADCAST size entirely, the salted-slice shuffle
     * arm (ABBench) / IVF-PQ tier remain the documented escalation.
     */
-  val KnnCellTableRowsDefault = 1000000L
+  val KnnCellTableRowsDefault: Long = graft.scale.CellTopK.DefaultTableRows
 
   def knnGraph(spark: SparkSession, dir: String, cells: Int = KmeansK): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -1941,6 +1961,35 @@ object ScaleQueries {
       .select(col("cluster"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"),
         Similarity.norm(col("embedding")).as("q_nrm"))
+    // CERTIFIED-BOUNDED fast path (r13): the knnGraph cell-table kernel
+    // applied to the delta probe — the history rides as the broadcast
+    // flat-float table (the SAME relation the join below broadcasts as a
+    // hash table) and each delta row's exact top-k is one tight loop, no
+    // candidate pair row ever exists. Two certificates, both checked by
+    // construction: the table budget (emb.count ≤ cellTableRows), and
+    // id-space disjointness — the kernel's `id != probeId` self-exclusion
+    // must never fire here (the join keeps the origin vector, cos = 1.0),
+    // so every collected history id must sit below the 1e6 delta offset.
+    // Numerics are bit-identical (CellTopK scaladoc): commuted IEEE
+    // dot/den, same 1e6 snap, same (score desc, id asc) selection.
+    val knnBudget = spark.conf
+      .get("spark.graft.knn.cellTableRows", KnnCellTableRowsDefault.toString).toLong
+    if (emb.count() <= knnBudget) {
+      val collected = hist
+        .select(col("cluster"), col("vec_id"), col("embedding")).collect()
+      if (collected.forall(_.getLong(1) < 1000000L)) {
+        val bc = spark.sparkContext.broadcast(graft.scale.CellTopK.buildTable(collected))
+        // eager checkpoint: kernel runs once as a plain projection job
+        // (never inside a consumer's InMemoryRelation build — CLAUDE.md)
+        return delta.select(col("cluster"), col("q_id"),
+            graft.scale.CellTopK.topKColumn(bc, KnnGraphK,
+              col("cluster"), col("q_id"), col("q_emb")).as("top"))
+          .select(col("cluster"), col("q_id"), posexplode(col("top")).as(Seq("rank0", "e")))
+          .select(col("cluster"), col("q_id"), (col("rank0") + 1).as("rank"),
+            col("e.id").as("vec_id"), col("e.score").as("cos_sim"))
+          .localCheckpoint()
+      }
+    }
     val den = col("nrm") * col("q_nrm")
     hist.join(broadcast(delta), Seq("cluster"))
       .select(col("cluster"), col("q_id"), col("vec_id"),

@@ -44,6 +44,47 @@ final class CellTable(
     val nrms: Array[Array[Double]],
     val dim: Int) extends Serializable {
 
+  /** All qualifying pairs for one probe row: candidates in the probe's
+    * cell with id > vecId (each unordered pair emitted exactly once, by
+    * its smaller endpoint) whose SNAPPED cosine clears tau — the
+    * within-cell near-dup join (`a ⋈_cell b ON v1 < v2` → snap → filter)
+    * as one tight loop. Same numerics as [[topK]]: commuted IEEE
+    * dot/den, floor(x·1e6 + 0.5)/1e6 snap; emission order is table
+    * order (the pair RELATION is order-free — both engines sort rows
+    * for comparison).
+    */
+  def pairsAbove(cluster: Int, vecId: Long, emb: ArrayData, tau: Double): ArrayData = {
+    if (cluster < 0 || cluster >= ids.length || ids(cluster) == null)
+      return new GenericArrayData(Array.empty[Any])
+    val cid = ids(cluster); val cf = flat(cluster); val cn = nrms(cluster)
+    val d = emb.numElements()
+    val q = new Array[Float](d)
+    var i = 0
+    while (i < d) { q(i) = emb.getFloat(i); i += 1 }
+    var acc = 0.0
+    i = 0
+    while (i < d) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var m = 0
+    while (m < cid.length) {
+      val id = cid(m)
+      if (id > vecId) {
+        var dot = 0.0
+        var j = 0
+        val off = m * dim
+        val lim = math.min(d, dim)
+        while (j < lim) { dot += q(j).toDouble * cf(off + j).toDouble; j += 1 }
+        val den = nrm * cn(m)
+        val cos = if (den > 0) dot / den else 0.0
+        val s = math.floor(cos * 1e6 + 0.5) / 1e6
+        if (s >= tau) out += InternalRow(s, id)
+      }
+      m += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def topK(cluster: Int, vecId: Long, emb: ArrayData, k: Int): ArrayData = {
     if (cluster < 0 || cluster >= ids.length || ids(cluster) == null)
       return new GenericArrayData(Array.empty[Any])
@@ -147,7 +188,69 @@ case class CellTopKExpr(
     copy(cluster = f, vecId = s, emb = t)
 }
 
+/** Threshold-pair sibling of [[CellTopKExpr]]: per probe row, every
+  * (probe, candidate) pair in the probe's cell with candidate id >
+  * probe id and snapped cosine ≥ tau — the within-cell near-dup join
+  * without the pair rows.
+  */
+case class CellPairsExpr(
+    cluster: Expression,
+    vecId: Expression,
+    emb: Expression,
+    bc: Broadcast[CellTable],
+    tau: Double)
+  extends TernaryExpression {
+
+  override def first: Expression = cluster
+  override def second: Expression = vecId
+  override def third: Expression = emb
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (cluster.dataType == IntegerType && vecId.dataType == LongType &&
+        (emb.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"CellPairsExpr requires (int, bigint, array<float>), got " +
+        s"(${cluster.dataType}, ${vecId.dataType}, ${emb.dataType})")
+
+  override def nullSafeEval(c: Any, v: Any, e: Any): Any =
+    bc.value.pairsAbove(c.asInstanceOf[Int], v.asInstanceOf[Long],
+      e.asInstanceOf[ArrayData], tau)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("cellTableBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, (c, v, e) => {
+      s"""${ev.value} = ((graft.scale.CellTable) $bcRef.value())
+         |  .pairsAbove($c, $v, $e, $tau);""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CellPairsExpr =
+    copy(cluster = f, vecId = s, emb = t)
+}
+
 object CellTopK {
+
+  /** Broadcast cell-table budget in VECTORS shared by every cell-table
+    * kernel consumer (kNN graph/delta top-k, within-cell pair emit):
+    * 1M 64-dim float vectors ≈ 256 MB flat — the same memory class as
+    * the broadcast hash relation the join formulations ship. Conf
+    * `spark.graft.knn.cellTableRows`; 0 disables (tests force the
+    * distributed fallback with it).
+    */
+  val DefaultTableRows = 1000000L
+
+  def budget(spark: org.apache.spark.sql.SparkSession): Long = spark.conf
+    .get("spark.graft.knn.cellTableRows", DefaultTableRows.toString).toLong
 
   /** Build the per-cell flat-float table from collected
     * (cluster int, vec_id long, embedding array<float>) rows. Candidate
@@ -193,4 +296,11 @@ object CellTopK {
       GraftColumnBridge.expression(cluster),
       GraftColumnBridge.expression(vecId),
       GraftColumnBridge.expression(emb), bc, k))
+
+  def pairsColumn(bc: Broadcast[CellTable], tau: Double,
+      cluster: Column, vecId: Column, emb: Column): Column =
+    GraftColumnBridge.column(CellPairsExpr(
+      GraftColumnBridge.expression(cluster),
+      GraftColumnBridge.expression(vecId),
+      GraftColumnBridge.expression(emb), bc, tau))
 }

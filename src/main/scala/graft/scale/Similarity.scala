@@ -132,6 +132,37 @@ object Similarity {
     * engines share).
     */
   def nearDupPairs(embeddings: DataFrame, planeIds: Seq[Long], threshold: Double): DataFrame = {
+    // CERTIFIED-BOUNDED fast path (r13): the bucket self-join is
+    // Σ C(bucket, 2) join rows; when the vector table fits the shared
+    // cell-table budget, emit each probe row's qualifying pairs in one
+    // tight loop over its bucket slice (CellPairsExpr — identical
+    // snapped cosine, pair-once by v1 < v2). The bucket BIT DECISIONS
+    // are the exact lshSignature expressions (dot(embedding, plane) >= 0
+    // per plane in sorted-pid order); the int encoding Σ bitᵢ·2ⁱ is a
+    // bijection of the concat-string bucket, so the pair partition is
+    // identical by construction.
+    val sparkSess = embeddings.sparkSession
+    if (embeddings.count() <= CellTopK.budget(sparkSess)) {
+      val planes: Seq[(Long, Seq[Double])] = embeddings
+        .filter(col("vec_id").isInCollection(planeIds))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1).toSeq
+      val bucketInt = planes.zipWithIndex.map { case ((_, pe), i) =>
+        when(dot(col("embedding"), typedLit(pe)) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+      val withB = embeddings.select(col("vec_id"), col("embedding"),
+        bucketInt.as("bucket"))
+      val collected = withB
+        .select(col("bucket"), col("vec_id"), col("embedding")).collect()
+      val bc = sparkSess.sparkContext.broadcast(CellTopK.buildTable(collected))
+      return withB.select(col("vec_id").as("v1"),
+          CellTopK.pairsColumn(bc, threshold,
+            col("bucket"), col("vec_id"), col("embedding")).as("ps"))
+        .select(col("v1"), explode(col("ps")).as("p"))
+        .select(col("v1"), col("p.id").as("v2"), col("p.score").as("cos_sim"))
+    }
     val sigs = lshSignature(embeddings, planeIds)
     // precompute the norm once per vector — per-pair work is then a single
     // dot product (the norm value is bit-identical to recomputing it per

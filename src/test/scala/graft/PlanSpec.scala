@@ -304,10 +304,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("knn delta broadcasts the increment against one history scan") {
+    // bounded-regime path (r13): the probe stage is the broadcast
+    // cell-table kernel materialized behind a checkpoint — the returned
+    // plan must be the checkpoint scan, with no window/cartesian ever
     val p = plan(analytics.ScaleQueries.knnDelta(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"delta side should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), s"ranking must be the bounded TopKAgg:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed kernel:\n$p")
+    // fallback path (past the cell-table budget): the delta must ride as
+    // a broadcast against one streaming history scan, ranked by TopKAgg
+    spark.conf.set("spark.graft.knn.cellTableRows", "0")
+    val pj =
+      try plan(analytics.ScaleQueries.knnDelta(spark, sf))
+      finally spark.conf.unset("spark.graft.knn.cellTableRows")
+    assert(pj.contains("BroadcastHashJoin"), s"delta side should broadcast:\n$pj")
+    assert(!pj.contains("CartesianProduct"), pj)
+    assert(!pj.contains("Window"), s"ranking must be the bounded TopKAgg:\n$pj")
+    assert(pj.contains("topk"), s"expected the bounded TopKAgg:\n$pj")
   }
 
   test("bigram logprob shuffles hashed longs only (no string shuffle keys)") {

@@ -109,6 +109,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(kernel == joined,
       s"cell-table kNN diverges: missing ${(joined -- kernel).take(3)}, " +
         s"extra ${(kernel -- joined).take(3)}")
+    // same pin for the delta probe (r13): the kernel path must equal the
+    // broadcast-join pipeline row-for-row — including the origin vector
+    // at cos 1.0 (the kernel's self-exclusion must never fire; id
+    // disjointness is certified on the collected history ids)
+    val dKernel = ScaleQueries.knnDelta(spark, sf).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.knn.cellTableRows", "0")
+    val dJoined =
+      try ScaleQueries.knnDelta(spark, sf).collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.knn.cellTableRows")
+    assert(dKernel == dJoined,
+      s"cell-table knnDelta diverges: missing ${(dJoined -- dKernel).take(3)}, " +
+        s"extra ${(dKernel -- dJoined).take(3)}")
+    // and for the two within-cell PAIR queries (r13): the CellPairsExpr
+    // kernel must equal the bucket/cluster self-join row-for-row —
+    // snapped cosines, the v1 < v2 pair-once rule, the tau cut
+    val sKernel = ScaleQueries.semanticNearDup(spark, sf, salt = 4)
+      .collect().map(_.toSeq).toSet
+    val eKernel = ScaleQueries.embedNearDup(spark, sf).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.knn.cellTableRows", "0")
+    val (sJoined, eJoined) =
+      try (ScaleQueries.semanticNearDup(spark, sf, salt = 4)
+             .collect().map(_.toSeq).toSet,
+           ScaleQueries.embedNearDup(spark, sf).collect().map(_.toSeq).toSet)
+      finally spark.conf.unset("spark.graft.knn.cellTableRows")
+    assert(sKernel == sJoined,
+      s"cell-pairs semanticNearDup diverges: missing ${(sJoined -- sKernel).take(3)}, " +
+        s"extra ${(sKernel -- sJoined).take(3)}")
+    assert(eKernel == eJoined,
+      s"cell-pairs embedNearDup diverges: missing ${(eJoined -- eKernel).take(3)}, " +
+        s"extra ${(eKernel -- eJoined).take(3)}")
     // the collected driver census (the path the fixtures above took)
     // must equal the distributed triad join row-for-row on the real kNN
     // graph — force the distributed path via the budget conf
